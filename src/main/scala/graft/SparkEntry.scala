@@ -1,13 +1,408 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.engine._
+import graft.geo.{Geo, Mercator, TileCoord}
+import graft.model._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: `queries` = one entry per implemented operator
+ * (SURVEY.md §2), `oracleSql` = the DuckDB-runnable equivalent over the
+ * same parquet tables. Column names and row order are aligned between
+ * both sides.
+ *
+ * Geo queries run over the synthesized interleaved docs table
+ * (see `engine/Docs.scala`); their oracles re-derive the expected
+ * result arithmetically from the base tables, which cross-checks the
+ * whole WKT->JTS->mercator->tile pipeline against an independent
+ * derivation.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: full docs -> tiles pipeline on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Docs.docs(spark, dir)
+    val profile = new Pipeline.GraftProfile(pointMaxZoom = 7, lineMaxZoom = 7, polyMaxZoom = 6)
+    import spark.implicits._
+    Pipeline.tiles(docs, profile, numPartitions = 8, gzipTiles = false)
+      .groupBy($"z").agg(count(lit(1)).as("tiles"), sum($"feature_count").as("features"))
+      .orderBy($"z")
+  }
+
+  // ---- shared oracle fragments (keep in sync with engine/Docs.scala) ----
+  private val lonSql = "(CAST(o_orderkey * 9973 % 36000 AS DOUBLE) / 100.0 - 180.0)"
+  private val latSql = "(CAST(o_orderkey * 7919 % 17000 AS DOUBLE) / 100.0 - 85.0)"
+  // mercator world coords (same formula shape as geo/Mercator.scala)
+  private def worldYSql(lat: String) =
+    s"(0.5 - 0.25 * ln((1 + sin(radians($lat))) / (1 - sin(radians($lat)))) / pi())"
+  private def worldXSql(lon: String) = s"(($lon + 180.0) / 360.0)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------- relational core (scan/filter/agg/join/window) ----------
+
+    "q01_agg_pushdown" -> ((s, dir) => {
+      // TPC-H Q1 shape: scan + filter pushdown + hash agg (partial map-side)
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1998-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_broadcast_join" -> ((s, dir) => {
+      // small-dim broadcast join chain: customer x nation x region
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("balance"))
+        .orderBy(col("r_name"))
+    }),
+
+    "q03_shuffle_join_topn" -> ((s, dir) => {
+      // large-large shuffle join + top-N
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("items"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(50)
+    }),
+
+    "q04_window_topk" -> ((s, dir) => {
+      // top-3 orders per customer by price: window row_number (the
+      // label-grid density-limit pattern, SURVEY §2.5)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
+    }),
+
+    // ---------- geo: docs synthesis + projection + tile assignment ----------
+
+    "q10_docs_shape" -> ((s, dir) => {
+      // the interleaved docs table itself: per-source doc counts and
+      // span-sequence integrity (offsets strictly 0..n-1 in order)
+      Docs.docs(s, dir)
+        .select(
+          substring_index(col("doc_id"), "_", 1).as("src"),
+          size(col("spans")).as("n_spans"),
+          (col("spans") === array_sort(col("spans"),
+            (l, r) => (l.getField("offset") - r.getField("offset")).cast("int")))
+            .cast("int").as("ordered"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("docs"), sum(col("n_spans")).as("spans"),
+          sum(col("ordered")).as("ordered_docs"))
+        .orderBy(col("src"))
+    }),
+
+    "q11_tile_assign" -> ((s, dir) => {
+      // point docs -> (zoom 7 tile x, y) through the real engine path:
+      // WKT parse -> JTS -> mercator -> tile index. Oracle re-derives
+      // the same tiles arithmetically in DuckDB.
+      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      import s.implicits._
+      sf.map { f =>
+        val g = Geo.fromWkb(f.geom)
+        val c = g.getCoordinate
+        val z = 7
+        (f.doc_id,
+          Mercator.tileIndex(Mercator.worldX(c.x), z),
+          Mercator.tileIndex(Mercator.worldY(c.y), z))
+      }.toDF("doc_id", "tile_x", "tile_y")
+        .orderBy(col("doc_id"))
+    }),
+
+    "q12_tiles_per_zoom" -> ((s, dir) => {
+      // distinct covered tiles per zoom for the point layer (the
+      // zoom-explode fan-out, SURVEY §2.3/§2.4 tile-cover join)
+      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      import s.implicits._
+      sf.flatMap { f =>
+        val c = Geo.fromWkb(f.geom).getCoordinate
+        (0 to 7).map { z =>
+          (z, Mercator.tileIndex(Mercator.worldX(c.x), z).toLong * 100000 +
+            Mercator.tileIndex(Mercator.worldY(c.y), z)) }
+      }.toDF("z", "txy")
+        .groupBy(col("z"))
+        .agg(countDistinct(col("txy")).as("tiles"), count(lit(1)).as("points"))
+        .orderBy(col("z"))
+    }),
+
+    "q13_pip_join" -> ((s, dir) => {
+      // point-in-polygon: broadcast STRtree of admin rectangles, exact
+      // covers() probe per partition; smallest containing poly id wins
+      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      import s.implicits._
+      val pts = sf.map { f =>
+        val c = Geo.fromWkb(f.geom).getCoordinate
+        (f.doc_id, c.x, c.y)
+      }.toDF("doc_id", "lon", "lat")
+      val polys = Docs.sourceFeatures(Docs.polygonDocs(s, dir)).collect().map { f =>
+        SpatialJoin.Poly(f.doc_id, f.geom, f.tags)
+      }
+      SpatialJoin.pointInPolygon(pts, polys, left = true)
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("points"))
+        .orderBy(col("poly_id"))
+    }),
+
+    "q14_knn_join" -> ((s, dir) => {
+      // nearest admin-cell center per point (broadcast site index,
+      // expanding-ring STRtree probe; ties by (distance, site_id))
+      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      import s.implicits._
+      val pts = sf.map { f =>
+        val c = Geo.fromWkb(f.geom).getCoordinate
+        (f.doc_id, c.x, c.y)
+      }.toDF("doc_id", "lon", "lat")
+      val sites = (0 until 25).map { i =>
+        SpatialJoin.Site(f"site_$i%02d", (i % 5) * 72.0 - 144.0, (i / 5) * 34.0 - 68.0)
+      }.toArray
+      SpatialJoin.nearestSite(pts, sites)
+        .groupBy(col("site_id"))
+        .agg(count(lit(1)).as("points"))
+        .orderBy(col("site_id"))
+    }),
+
+    "q15_waynode_join" -> ((s, dir) => {
+      // ordered way<-node assembly through the docs path: parse each
+      // line doc's LINESTRING and report vertex count + first/last
+      // coords; oracle rebuilds the same from lineitem (ordered
+      // large-large join, SURVEY §2.4 row 1)
+      val sf = Docs.sourceFeatures(Docs.lineDocs(s, dir))
+      import s.implicits._
+      sf.map { f =>
+        val g = Geo.fromWkb(f.geom)
+        val cs = g.getCoordinates
+        (f.doc_id, cs.length, cs.head.x, cs.head.y, cs.last.x, cs.last.y)
+      }.toDF("doc_id", "n_pts", "x0", "y0", "x1", "y1")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---------- text / dedup over documents ----------
+
+    "q20_exact_dedup" -> ((s, dir) => {
+      // exact dedup by content hash: duplicate groups + survivors
+      t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("copies"), min(col("doc_id")).as("canonical"))
+        .where(col("copies") > 1)
+        .orderBy(col("canonical"))
+    }),
+
+    "q21_token_stats" -> ((s, dir) => {
+      // whitespace tokenization + per-language aggregates
+      t(s, dir, "documents")
+        .select(col("lang"),
+          size(split(col("text"), " ")).as("tokens"),
+          length(col("text")).as("chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("total_tokens"),
+          max(col("tokens")).as("max_tokens"), min(col("chars")).as("min_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    "q22_quality_score" -> ((s, dir) => {
+      // quality heuristics: distinct-token ratio buckets
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("tokens"),
+          size(array_distinct(split(col("text"), " "))).as(("distinct_tokens")))
+      d.select(col("doc_id"),
+          floor(col("distinct_tokens") * 10.0 / col("tokens")).cast("long").as("uniq_decile"))
+        .groupBy(col("uniq_decile"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("uniq_decile"))
+    }),
+
+    // ---------- events: sessionization / windows ----------
+
+    "q30_tumbling_window" -> ((s, dir) => {
+      // 1-hour tumbling window counts per event type (streaming-agg
+      // shape run on the batch table)
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").getField("start").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("v"))
+        .orderBy(col("win"), col("event_type"))
+    }),
+
+    "q31_sessionize" -> ((s, dir) => {
+      // gap-based sessionization (30-min inactivity) via window lag +
+      // running sum — the stateful-streaming analog in batch form
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          (col("prev_ts").isNull ||
+            col("ts").cast("timestamp").cast("long") -
+              col("prev_ts").cast("timestamp").cast("long") > 1800).cast("int"))
+        .withColumn("session_idx", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"))
+        .agg(max(col("session_idx")).as("sessions"), count(lit(1)).as("events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+         COUNT(*) AS n
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q02_broadcast_join" ->
+      """SELECT r_name, COUNT(*) AS customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS balance
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q03_shuffle_join_topn" ->
+      """SELECT o_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+         COUNT(*) AS items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 50""",
+
+    "q04_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3
+         ORDER BY o_custkey, rk, o_orderkey""",
+
+    "q10_docs_shape" ->
+      """WITH docs AS (
+           SELECT 'doc' AS src, 3 AS n_spans, 1 AS ordered FROM orders
+           UNION ALL
+           SELECT 'line', 3, 1 FROM (SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 2)
+           UNION ALL
+           SELECT 'adm', 3, 1 FROM nation)
+         SELECT src, COUNT(*) AS docs, CAST(SUM(n_spans) AS BIGINT) AS spans,
+                CAST(SUM(ordered) AS BIGINT) AS ordered_docs
+         FROM docs GROUP BY 1 ORDER BY 1""",
+
+    "q11_tile_assign" ->
+      s"""SELECT 'doc_' || o_orderkey AS doc_id,
+          CAST(GREATEST(0, LEAST(127, FLOOR(${worldXSql(lonSql)} * 128))) AS INT) AS tile_x,
+          CAST(GREATEST(0, LEAST(127, FLOOR(${worldYSql(latSql)} * 128))) AS INT) AS tile_y
+          FROM orders ORDER BY doc_id""",
+
+    "q12_tiles_per_zoom" ->
+      s"""WITH z(z) AS (SELECT UNNEST(GENERATE_SERIES(0, 7))),
+          pts AS (SELECT ${worldXSql(lonSql)} AS wx, ${worldYSql(latSql)} AS wy FROM orders)
+          SELECT z,
+            COUNT(DISTINCT CAST(GREATEST(0, LEAST((1 << z) - 1, FLOOR(wx * (1 << z)))) AS BIGINT) * 100000 +
+                           CAST(GREATEST(0, LEAST((1 << z) - 1, FLOOR(wy * (1 << z)))) AS BIGINT)) AS tiles,
+            COUNT(*) AS points
+          FROM pts, z GROUP BY z ORDER BY z""",
+
+    "q13_pip_join" ->
+      s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM orders),
+          assigned AS (
+            SELECT CASE WHEN (lon + 180.0) % 72.0 = 0 AND lon > -180.0
+                        THEN CAST((lon + 180.0) / 72.0 AS INT) - 1
+                        ELSE CAST(FLOOR((lon + 180.0) / 72.0) AS INT) END AS c,
+                   CASE WHEN (lat + 85.0) % 34.0 = 0 AND lat > -85.0
+                        THEN CAST((lat + 85.0) / 34.0 AS INT) - 1
+                        ELSE CAST(FLOOR((lat + 85.0) / 34.0) AS INT) END AS r
+            FROM pts)
+          SELECT 'adm_' || (LEAST(r, 4) * 5 + LEAST(c, 4)) AS poly_id, COUNT(*) AS points
+          FROM assigned GROUP BY 1 ORDER BY 1""",
+
+    "q14_knn_join" ->
+      s"""WITH pts AS (SELECT o_orderkey AS k, $lonSql AS lon, $latSql AS lat FROM orders),
+          sites AS (SELECT i, (i % 5) * 72.0 - 144.0 AS slon,
+                           CAST(FLOOR(i / 5) AS INT) * 34.0 - 68.0 AS slat
+                    FROM (SELECT UNNEST(GENERATE_SERIES(0, 24)) AS i)),
+          ranked AS (
+            SELECT printf('site_%02d', i) AS site_id,
+              ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+                (slon - lon) * (slon - lon) + (slat - lat) * (slat - lat), i) AS rk
+            FROM pts CROSS JOIN sites)
+          SELECT site_id, COUNT(*) AS points FROM ranked WHERE rk = 1
+          GROUP BY 1 ORDER BY 1""",
+
+    "q15_waynode_join" ->
+      """WITH v AS (
+           SELECT l_orderkey AS k, l_linenumber AS ln,
+             ((l_orderkey * 9973) % 36000) / 100.0 - 180.0 + l_linenumber * 0.003 AS x,
+             ((l_orderkey * 7919) % 17000) / 100.0 - 85.0 + ((l_linenumber * 13) % 5) * 0.002 AS y
+           FROM lineitem),
+         agg AS (
+           SELECT k, COUNT(*) AS n_pts,
+             ARG_MIN(x, ln) AS x0, ARG_MIN(y, ln) AS y0,
+             ARG_MAX(x, ln) AS x1, ARG_MAX(y, ln) AS y1
+           FROM v GROUP BY k HAVING COUNT(*) >= 2)
+         SELECT 'line_' || k AS doc_id, CAST(n_pts AS INT) AS n_pts, x0, y0, x1, y1
+         FROM agg ORDER BY doc_id""",
+
+    "q20_exact_dedup" ->
+      """SELECT md5(text) AS h, COUNT(*) AS copies, MIN(doc_id) AS canonical
+         FROM documents GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY canonical""",
+
+    "q21_token_stats" ->
+      """SELECT lang, COUNT(*) AS docs,
+           CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+           CAST(MAX(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS INT) AS max_tokens,
+           CAST(MIN(LENGTH(text)) AS INT) AS min_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q22_quality_score" ->
+      """WITH d AS (
+           SELECT doc_id,
+             ARRAY_LENGTH(STRING_SPLIT(text, ' ')) AS tokens,
+             ARRAY_LENGTH(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS distinct_tokens
+           FROM documents)
+         SELECT CAST(FLOOR(distinct_tokens * 10.0 / tokens) AS BIGINT) AS uniq_decile,
+                COUNT(*) AS docs
+         FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q30_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q31_sessionize" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         s AS (
+           SELECT user_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+           FROM e)
+         SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS sessions, COUNT(*) AS events
+         FROM s GROUP BY 1 ORDER BY 1"""
+  )
 }

@@ -1,0 +1,380 @@
+package graft.engine
+
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Mapbox Vector Tile codec: geometry command encoding and the tile
+ * protobuf assembly, written directly against the MVT 2.1 wire format
+ * (the reference implements the same format in `VectorTile.java:1186-1317`
+ * for commands and `VectorTile.java:546-592` for proto assembly; ours is
+ * an independent implementation over the public spec).
+ *
+ * Layout: a Tile is `repeated Layer = 3`; a Layer has version(15)=2,
+ * name(1), features(2), keys(3), values(4), extent(5)=4096; a Feature
+ * has id(1), packed tags(2), type(3), packed geometry(4). Geometry
+ * commands: MoveTo=1, LineTo=2, ClosePath=7; command int =
+ * (id & 0x7) | (count << 3); coordinates are zigzag deltas.
+ */
+object Mvt {
+  val Extent = 4096
+
+  @inline def zigzag(v: Int): Int = (v << 1) ^ (v >> 31)
+  @inline def unzigzag(v: Int): Int = (v >>> 1) ^ -(v & 1)
+
+  final val MoveTo = 1
+  final val LineTo = 2
+  final val ClosePath = 7
+  @inline def cmd(id: Int, count: Int): Int = (id & 0x7) | (count << 3)
+
+  /** Encode a multipoint: one MoveTo with all (zigzag-delta) points. */
+  def encodePoints(pts: Array[(Int, Int)]): Array[Int] = {
+    val out = new ArrayBuffer[Int](1 + pts.length * 2)
+    out += cmd(MoveTo, pts.length)
+    var px = 0; var py = 0
+    pts.foreach { case (x, y) =>
+      out += zigzag(x - px); out += zigzag(y - py)
+      px = x; py = y
+    }
+    out.toArray
+  }
+
+  /**
+   * Encode lines: each an array of (x,y) ints. Consecutive duplicate
+   * points are dropped; lines with < 2 points after dedup are skipped.
+   */
+  def encodeLines(lines: Seq[Array[(Int, Int)]]): Array[Int] = {
+    val out = ArrayBuffer.empty[Int]
+    var px = 0; var py = 0
+    lines.foreach { line0 =>
+      val line = dedupConsecutive(line0)
+      if (line.length >= 2) {
+        out += cmd(MoveTo, 1)
+        out += zigzag(line(0)._1 - px); out += zigzag(line(0)._2 - py)
+        px = line(0)._1; py = line(0)._2
+        out += cmd(LineTo, line.length - 1)
+        var i = 1
+        while (i < line.length) {
+          out += zigzag(line(i)._1 - px); out += zigzag(line(i)._2 - py)
+          px = line(i)._1; py = line(i)._2
+          i += 1
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /**
+   * Encode polygon rings (closed in input; trailing dup point removed
+   * before encoding; ClosePath implied). Caller orients shells positive
+   * (surveyor formula in y-down screen space), holes negative.
+   */
+  def encodeRings(rings: Seq[Array[(Int, Int)]]): Array[Int] = {
+    val out = ArrayBuffer.empty[Int]
+    var px = 0; var py = 0
+    rings.foreach { ring0 =>
+      var ring = dedupConsecutive(ring0)
+      if (ring.length >= 2 && ring.head == ring.last) ring = ring.dropRight(1)
+      if (ring.length >= 3) {
+        out += cmd(MoveTo, 1)
+        out += zigzag(ring(0)._1 - px); out += zigzag(ring(0)._2 - py)
+        px = ring(0)._1; py = ring(0)._2
+        out += cmd(LineTo, ring.length - 1)
+        var i = 1
+        while (i < ring.length) {
+          out += zigzag(ring(i)._1 - px); out += zigzag(ring(i)._2 - py)
+          px = ring(i)._1; py = ring(i)._2
+          i += 1
+        }
+        out += cmd(ClosePath, 1)
+      }
+    }
+    out.toArray
+  }
+
+  private def dedupConsecutive(pts: Array[(Int, Int)]): Array[(Int, Int)] = {
+    if (pts.length < 2) pts
+    else {
+      val out = new ArrayBuffer[(Int, Int)](pts.length)
+      out += pts(0)
+      var i = 1
+      while (i < pts.length) {
+        if (pts(i) != out.last) out += pts(i)
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** Decode geometry commands into absolute-coordinate parts.
+    * Each part = (isClosed, points). */
+  def decodeCommands(geomType: Int, cmds: Array[Int]): Seq[(Boolean, Array[(Int, Int)])] = {
+    val parts = ArrayBuffer.empty[(Boolean, Array[(Int, Int)])]
+    var cur = ArrayBuffer.empty[(Int, Int)]
+    var x = 0; var y = 0
+    var i = 0
+    while (i < cmds.length) {
+      val c = cmds(i); i += 1
+      val id = c & 0x7
+      val count = c >>> 3
+      id match {
+        case MoveTo =>
+          var k = 0
+          while (k < count) {
+            if (cur.nonEmpty && geomType != 1) { parts += ((false, cur.toArray)); cur = ArrayBuffer.empty }
+            x += unzigzag(cmds(i)); y += unzigzag(cmds(i + 1)); i += 2
+            cur += ((x, y))
+            k += 1
+          }
+        case LineTo =>
+          var k = 0
+          while (k < count) {
+            x += unzigzag(cmds(i)); y += unzigzag(cmds(i + 1)); i += 2
+            cur += ((x, y))
+            k += 1
+          }
+        case ClosePath =>
+          parts += ((true, cur.toArray)); cur = ArrayBuffer.empty
+          i += 0
+        case _ => throw new IllegalArgumentException(s"bad command $id")
+      }
+    }
+    if (cur.nonEmpty) parts += ((false, cur.toArray))
+    parts.toSeq
+  }
+
+  // ---- protobuf wire writer ----
+
+  final class ProtoWriter {
+    private val buf = new java.io.ByteArrayOutputStream(1024)
+    def writeVarint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { buf.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      buf.write(v.toInt)
+    }
+    def key(field: Int, wire: Int): Unit = writeVarint((field << 3) | wire)
+    def str(field: Int, s: String): Unit = bytes(field, s.getBytes("UTF-8"))
+    def bytes(field: Int, b: Array[Byte]): Unit = { key(field, 2); writeVarint(b.length); buf.write(b) }
+    def uint(field: Int, v: Long): Unit = { key(field, 0); writeVarint(v) }
+    def packedUints(field: Int, vs: Array[Int]): Unit = {
+      val inner = new ProtoWriter
+      vs.foreach(v => inner.writeVarint(v.toLong & 0xffffffffL))
+      bytes(field, inner.toBytes)
+    }
+    def double(field: Int, v: Double): Unit = {
+      key(field, 1)
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { buf.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** One feature inside a layer, pre-encoded geometry commands. */
+  case class LayerFeature(id: Long, geomType: Int, commands: Array[Int], attrs: Map[String, String])
+
+  /** Encode one layer. Attr values are type-sniffed (long/double/bool/string). */
+  def encodeLayer(name: String, features: Seq[LayerFeature]): Array[Byte] = {
+    val keys = ArrayBuffer.empty[String]
+    val keyIdx = mutable.HashMap.empty[String, Int]
+    val values = ArrayBuffer.empty[String] // canonical form "t:payload"
+    val valIdx = mutable.HashMap.empty[String, Int]
+
+    def keyOf(k: String): Int = keyIdx.getOrElseUpdate(k, { keys += k; keys.length - 1 })
+    def valOf(v: String): Int = {
+      val canon = sniff(v) match {
+        case ('i', s) => "i:" + s
+        case ('d', s) => "d:" + s
+        case ('b', s) => "b:" + s
+        case (_, s) => "s:" + s
+      }
+      valIdx.getOrElseUpdate(canon, { values += canon; values.length - 1 })
+    }
+
+    val featBytes = features.map { f =>
+      val w = new ProtoWriter
+      if (f.id != 0) w.uint(1, f.id)
+      val tags = f.attrs.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(keyOf(k), valOf(v)) }
+      if (tags.nonEmpty) w.packedUints(2, tags.toArray)
+      w.uint(3, f.geomType)
+      w.packedUints(4, f.commands)
+      w.toBytes
+    }
+
+    val layer = new ProtoWriter
+    layer.uint(15, 2) // version
+    layer.str(1, name)
+    featBytes.foreach(layer.bytes(2, _))
+    keys.foreach(layer.str(3, _))
+    values.foreach { canon =>
+      val w = new ProtoWriter
+      val payload = canon.substring(2)
+      canon.charAt(0) match {
+        case 'i' => w.key(4, 0); w.writeVarint(payload.toLong) // int_value zigzag? field 4 = int_value (int64, plain varint)
+        case 'd' => w.double(3, payload.toDouble)
+        case 'b' => w.uint(7, if (payload == "true") 1 else 0)
+        case _ => w.str(1, payload)
+      }
+      layer.bytes(4, w.toBytes)
+    }
+    layer.uint(5, Extent)
+    layer.toBytes
+  }
+
+  private def sniff(v: String): (Char, String) = {
+    if (v == "true" || v == "false") ('b', v)
+    else if (v.nonEmpty && v.forall(c => c.isDigit || c == '-') && v.lengthCompare(19) <= 0) {
+      try { ('i', v.toLong.toString) } catch { case _: Exception => ('s', v) }
+    } else {
+      // only treat as double if round-trips exactly, to keep attr parity
+      try {
+        val d = v.toDouble
+        if (d.toString == v) ('d', v) else ('s', v)
+      } catch { case _: Exception => ('s', v) }
+    }
+  }
+
+  /** Assemble a full tile from (layerName -> features), gzip optional. */
+  def encodeTile(layers: Seq[(String, Seq[LayerFeature])]): Array[Byte] = {
+    val w = new ProtoWriter
+    layers.foreach { case (name, feats) => w.bytes(3, encodeLayer(name, feats)) }
+    w.toBytes
+  }
+
+  def gzip(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(b.length / 2 max 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  def gunzip(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(b))
+    in.readAllBytes()
+  }
+
+  /** FNV-1a 64-bit hash (content-dedup key, like the reference's
+    * `util/Hashing.java`). */
+  def fnv1a64(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) {
+      h ^= (b(i) & 0xff)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  // ---- minimal tile decoder (tests / verify round-trips) ----
+
+  case class DecodedFeature(layer: String, id: Long, geomType: Int,
+                            parts: Seq[(Boolean, Array[(Int, Int)])],
+                            attrs: Map[String, String])
+
+  def decodeTile(bytes: Array[Byte]): Seq[DecodedFeature] = {
+    val out = ArrayBuffer.empty[DecodedFeature]
+    val r = new ProtoReader(bytes)
+    while (r.hasMore) {
+      val (field, wire) = r.readKey()
+      if (field == 3 && wire == 2) out ++= decodeLayer(r.readBytes())
+      else r.skip(wire)
+    }
+    out.toSeq
+  }
+
+  private def decodeLayer(bytes: Array[Byte]): Seq[DecodedFeature] = {
+    var name = ""
+    val keys = ArrayBuffer.empty[String]
+    val values = ArrayBuffer.empty[String]
+    val rawFeatures = ArrayBuffer.empty[Array[Byte]]
+    val r = new ProtoReader(bytes)
+    while (r.hasMore) {
+      val (field, wire) = r.readKey()
+      field match {
+        case 1 => name = new String(r.readBytes(), "UTF-8")
+        case 2 => rawFeatures += r.readBytes()
+        case 3 => keys += new String(r.readBytes(), "UTF-8")
+        case 4 => values += decodeValue(r.readBytes())
+        case _ => r.skip(wire)
+      }
+    }
+    rawFeatures.map { fb =>
+      var id = 0L; var geomType = 0
+      var tags = Array.empty[Int]; var cmds = Array.empty[Int]
+      val fr = new ProtoReader(fb)
+      while (fr.hasMore) {
+        val (field, wire) = fr.readKey()
+        field match {
+          case 1 => id = fr.readVarint()
+          case 2 => tags = fr.readPackedUints()
+          case 3 => geomType = fr.readVarint().toInt
+          case 4 => cmds = fr.readPackedUints()
+          case _ => fr.skip(wire)
+        }
+      }
+      val attrs = tags.grouped(2).collect { case Array(k, v) => keys(k) -> values(v) }.toMap
+      DecodedFeature(name, id, geomType, decodeCommands(geomType, cmds), attrs)
+    }.toSeq
+  }
+
+  private def decodeValue(b: Array[Byte]): String = {
+    val r = new ProtoReader(b)
+    var res = ""
+    while (r.hasMore) {
+      val (field, wire) = r.readKey()
+      field match {
+        case 1 => res = new String(r.readBytes(), "UTF-8")
+        case 3 => res = r.readDouble().toString
+        case 4 | 5 => res = r.readVarint().toString
+        case 6 => val v = r.readVarint(); res = ((v >>> 1) ^ -(v & 1)).toString
+        case 7 => res = (r.readVarint() == 1).toString
+        case _ => r.skip(wire)
+      }
+    }
+    res
+  }
+
+  final class ProtoReader(b: Array[Byte]) {
+    private var pos = 0
+    def hasMore: Boolean = pos < b.length
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var more = true
+      while (more) {
+        val x = b(pos) & 0xff; pos += 1
+        v |= (x & 0x7fL) << shift
+        shift += 7
+        more = (x & 0x80) != 0
+      }
+      v
+    }
+    def readKey(): (Int, Int) = { val k = readVarint(); ((k >>> 3).toInt, (k & 7).toInt) }
+    def readBytes(): Array[Byte] = {
+      val len = readVarint().toInt
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + len)
+      pos += len
+      out
+    }
+    def readDouble(): Double = {
+      var bits = 0L
+      var i = 0
+      while (i < 8) { bits |= (b(pos + i) & 0xffL) << (8 * i); i += 1 }
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
+    }
+    def readPackedUints(): Array[Int] = {
+      val bytes = readBytes()
+      val inner = new ProtoReader(bytes)
+      val out = ArrayBuffer.empty[Int]
+      while (inner.hasMore) out += inner.readVarint().toInt
+      out.toArray
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => readVarint()
+      case 1 => pos += 8
+      case 2 => val len = readVarint().toInt; pos += len
+      case 5 => pos += 4
+    }
+  }
+}

@@ -1,0 +1,86 @@
+package graft.engine
+
+import graft.geo.Geo
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{LineString, Point => JtsPoint, Polygon => JtsPolygon, MultiPoint, MultiLineString, MultiPolygon}
+
+/**
+ * The flagship end-to-end dataflow (reference: `Planetiler.run()`
+ * three-phase pipeline, `Planetiler.java:791-996`):
+ *
+ *   docs (interleaved text+media)                       [scan]
+ *    -> SourceFeature (geom spans parsed, span_sig)     [project]
+ *    -> Profile.processFeature                          [flatMap]
+ *    -> Render: zoom explode -> simplify -> tile slice  [flatMap fan-out]
+ *    -> repartitionByRange(hilbert tile id) + sort      [the one shuffle]
+ *    -> per-tile assemble (label grid, merge, MVT+gzip) [mapPartitions]
+ *    -> files archive / tiles dataset                   [sink]
+ *
+ * Checkpoint/resume: each named stage can snapshot its output as
+ * parquet with a _SUCCESS marker; a resumed run short-circuits to the
+ * snapshot (the analog of the reference's reusable feature DB,
+ * `Planetiler.java:862-979`).
+ */
+object Pipeline {
+
+  /** Default profile: one layer per geometry family, zoom ranges sized
+    * so the synthetic world renders a full pyramid without exploding
+    * the small-SF test runtime. */
+  class GraftProfile(pointMaxZoom: Int = 8, lineMaxZoom: Int = 8, polyMaxZoom: Int = 7)
+      extends Profile {
+    override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
+      val geom = Geo.fromWkb(sf.geom)
+      val world = Geo.latLonToWorld(geom)
+      val id = math.abs(sf.doc_id.hashCode).toLong
+      geom match {
+        case _: JtsPoint | _: MultiPoint =>
+          Iterator.single(FeatureSpec(
+            layer = "points", geom = Geo.toWkb(world), id = id,
+            sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = pointMaxZoom,
+            attrs = Map("text" -> sf.tags.getOrElse("text", "")),
+            labelGridPixelSize = 64, labelGridLimit = 16))
+        case _: LineString | _: MultiLineString =>
+          Iterator.single(FeatureSpec(
+            layer = "lines", geom = Geo.toWkb(world), id = id,
+            sortKey = (id % 1000).toInt, minzoom = 4, maxzoom = lineMaxZoom,
+            attrs = Map("text" -> sf.tags.getOrElse("text", ""))))
+        case _: JtsPolygon | _: MultiPolygon =>
+          Iterator.single(FeatureSpec(
+            layer = "admin", geom = Geo.toWkb(world), id = id,
+            sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = polyMaxZoom,
+            attrs = Map("text" -> sf.tags.getOrElse("text", ""))))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  def renderedFromDocs(docs: DataFrame, profile: Profile): Dataset[Rendered] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sf = Docs.sourceFeatures(docs)
+    val specs = sf.flatMap(profile.processFeature _)
+    Render.render(specs)
+  }
+
+  /** Full pipeline: docs -> encoded tiles dataset. */
+  def tiles(docs: DataFrame, profile: Profile = new GraftProfile(),
+            numPartitions: Int = 32, gzipTiles: Boolean = true): Dataset[TileBytes] =
+    TileAssembler.assemble(renderedFromDocs(docs, profile), profile, numPartitions, gzipTiles)
+
+  /**
+   * Stage snapshot: compute-or-resume. If `dir` holds a committed
+   * snapshot, read it (executor-loss / rerun resume path); otherwise
+   * compute, write, and re-read so downstream lineage starts at the
+   * snapshot.
+   */
+  def checkpoint[T](ds: Dataset[T], dir: String)(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    val spark = ds.sparkSession
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      ds.write.mode("overwrite").parquet(dir)
+    }
+    spark.read.parquet(dir).as[T]
+  }
+}

@@ -1,0 +1,91 @@
+package graft.engine
+
+import graft.geo.{Geo, Mercator, Simplify, TileCoord}
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.locationtech.jts.geom.{Geometry, Point => JtsPoint, MultiPoint}
+
+/**
+ * Profile API — the user-facing "query language" of the engine, the
+ * analog of the reference's `Profile.processFeature` callback
+ * (planetiler `Profile.java:36`, `FeatureCollector.java:72-80`): map one
+ * source feature to zero-or-more output feature specs. Runs inside a
+ * typed `flatMap`, so the surrounding plan stays declarative.
+ */
+trait Profile extends Serializable {
+  def processFeature(sf: SourceFeature): Iterator[FeatureSpec]
+  /** Per-tile-layer post-process hook (merge, limit...), pure function. */
+  def postProcessLayer(layer: String, zoom: Int,
+                       features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] = features
+}
+
+/**
+ * Render stage: FeatureSpec -> per-(zoom, tile) Rendered rows.
+ *
+ * Spark shape: one typed `flatMap` that explodes each spec across its
+ * zoom range, applies the cheap pixel-size gate BEFORE any geometry
+ * work (reference: `FeatureRenderer.java:71-97`), simplifies at the
+ * zoom's resolution (Douglas-Peucker, `simplifyTolerancePx`), then
+ * fans out via the stripe-clip tile slicer. The output is keyed by the
+ * Hilbert tile id, ready for `repartitionByRange`.
+ */
+object Render {
+
+  def render(specs: Dataset[FeatureSpec]): Dataset[Rendered] = {
+    val spark = specs.sparkSession
+    import spark.implicits._
+    specs.flatMap(renderOne _)
+  }
+
+  def renderOne(spec: FeatureSpec): Iterator[Rendered] = {
+    val geom =
+      try Geo.fromWkb(spec.geom)
+      catch { case _: Exception => null }
+    if (geom == null || geom.isEmpty) Iterator.empty
+    else (spec.minzoom to spec.maxzoom).iterator.flatMap { z => renderAtZoom(spec, geom, z) }
+  }
+
+  private def renderAtZoom(spec: FeatureSpec, geom: Geometry, z: Int): Iterator[Rendered] = {
+    val isPoint = geom.isInstanceOf[JtsPoint] || geom.isInstanceOf[MultiPoint]
+    val pxPerWorld = 256.0 * (1 << z)
+    if (!isPoint && spec.minPixelSize > 0) {
+      // cheap envelope gate: skip rendering shapes smaller than
+      // minPixelSize px at this zoom (lines use length proxy = diagonal)
+      val env = geom.getEnvelopeInternal
+      val spanPx = math.max(env.getWidth, env.getHeight) * pxPerWorld
+      if (spanPx < spec.minPixelSize) return Iterator.empty
+    }
+    val simplified =
+      if (isPoint || spec.simplifyTolerancePx <= 0) geom
+      else Simplify.dp(geom, spec.simplifyTolerancePx / pxPerWorld)
+    if (simplified == null || simplified.isEmpty) return Iterator.empty
+
+    // label grid: quantize the feature's first point into a grid cell at
+    // this zoom (reference: `GeoUtils.java:414-427` longFromDoubles of
+    // floor-quantized world coords)
+    val group: Long =
+      if (spec.labelGridPixelSize > 0 && isPoint) {
+        val c = geom.getCoordinate
+        val cells = pxPerWorld / spec.labelGridPixelSize
+        val gx = math.floor(c.x * cells).toLong
+        val gy = math.floor(c.y * cells).toLong
+        (gx << 32) ^ (gy & 0xffffffffL) | 1L // never 0 so "has group" is group != 0
+      } else 0L
+
+    TileSlicer.slice(simplified, z, spec.bufferPx).map { s =>
+      Rendered(
+        tile_id = TileCoord.encodeHilbert(s.x, s.y, z),
+        layer = spec.layer,
+        sort_key = spec.sortKey,
+        feature_id = spec.id,
+        geom_type = s.geomType,
+        commands = s.commands,
+        attrs = spec.attrs,
+        group = group,
+        group_limit = if (group != 0) spec.labelGridLimit else 0)
+    }
+  }
+
+  /** Build FeatureSpec geometry: lon/lat JTS geometry -> world WKB. */
+  def worldWkb(lonLat: Geometry): Array[Byte] = Geo.toWkb(Geo.latLonToWorld(lonLat))
+}

@@ -1,0 +1,172 @@
+package graft.engine
+
+import graft.geo.Geo
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.STRtree
+import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
+
+/**
+ * Spatial joins, Spark-first.
+ *
+ * Point-in-polygon: the polygon side (admin/landuse layers) is small
+ * relative to the probe side, so we BROADCAST an STRtree of prepared
+ * polygons and probe it per partition — the distributed analog of the
+ * reference's in-process `geo/PolygonIndex.java` (envelope prefilter +
+ * exact contains post-filter). No shuffle touches the big side.
+ *
+ * kNN: same broadcast-index pattern over polygon/point sites
+ * (reference `geo/PointIndex.java`), returning the nearest site within
+ * a max distance. For large-large variants, the cell-key equi-join path
+ * (`CellJoin`) applies.
+ */
+object SpatialJoin {
+
+  /** Serializable polygon payload; tree is rebuilt lazily per executor. */
+  case class Poly(id: String, wkb: Array[Byte], attrs: Map[String, String])
+
+  /** Natural id order: ids with a numeric suffix ("adm_12") compare by
+    * (prefix, number) so tie-breaks match numeric-id oracles. */
+  private[engine] def idLt(a: String, b: String): Boolean = {
+    def splitNum(s: String): (String, Long) = {
+      val i = s.lastIndexOf('_')
+      if (i >= 0 && i < s.length - 1 && s.substring(i + 1).forall(_.isDigit))
+        (s.substring(0, i), s.substring(i + 1).toLong)
+      else (s, Long.MaxValue)
+    }
+    val (pa, na) = splitNum(a)
+    val (pb, nb) = splitNum(b)
+    if (pa != pb) pa < pb else if (na != nb) na < nb else a < b
+  }
+
+  class PolygonIndex(polys: Array[Poly]) extends Serializable {
+    @transient private lazy val tree: STRtree = {
+      val t = new STRtree()
+      polys.foreach { p =>
+        val g = Geo.fromWkb(p.wkb)
+        t.insert(g.getEnvelopeInternal, (p, PreparedGeometryFactory.prepare(g)))
+      }
+      t.build()
+      t
+    }
+
+    /** Smallest-id polygon covering the point (envelope prefilter +
+      * exact covers; min-id tie-break keeps boundary points
+      * deterministic regardless of tree order). */
+    def firstContaining(lon: Double, lat: Double): Option[Poly] = {
+      val pt = Geo.point(lon, lat)
+      val hits = tree.query(new Envelope(lon, lon, lat, lat))
+      var best: Poly = null
+      val it = hits.iterator()
+      while (it.hasNext) {
+        val (p, prep) = it.next().asInstanceOf[(Poly, PreparedGeometry)]
+        if ((best == null || idLt(p.id, best.id)) && prep.covers(pt)) best = p
+      }
+      Option(best)
+    }
+
+    def allIntersecting(g: Geometry): Seq[Poly] = {
+      val hits = tree.query(g.getEnvelopeInternal)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Poly]
+      val it = hits.iterator()
+      while (it.hasNext) {
+        val (p, prep) = it.next().asInstanceOf[(Poly, PreparedGeometry)]
+        if (prep.intersects(g)) out += p
+      }
+      out.toSeq
+    }
+  }
+
+  /**
+   * points(doc_id, lon, lat) JOIN broadcast(polygons) ON contains.
+   * Returns probe columns + polygon id/attrs. Inner join (unmatched
+   * probes dropped) or left (poly_id null).
+   */
+  def pointInPolygon(points: DataFrame, polys: Array[Poly],
+                     lonCol: String = "lon", latCol: String = "lat",
+                     left: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val bcast = spark.sparkContext.broadcast(new PolygonIndex(polys))
+    val schema = org.apache.spark.sql.types.StructType(points.schema.fields :+
+      org.apache.spark.sql.types.StructField("poly_id", org.apache.spark.sql.types.StringType, nullable = true))
+    val lonIdx = points.schema.fieldIndex(lonCol)
+    val latIdx = points.schema.fieldIndex(latCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    points.mapPartitions { it =>
+      val idx = bcast.value
+      it.flatMap { row =>
+        val hit = idx.firstContaining(row.getDouble(lonIdx), row.getDouble(latIdx))
+        if (hit.isEmpty && !left) None
+        else Some(org.apache.spark.sql.Row.fromSeq(row.toSeq :+ hit.map(_.id).orNull))
+      }
+    }(enc)
+  }
+
+  /** Serializable point-site payload for kNN. */
+  case class Site(id: String, lon: Double, lat: Double)
+
+  class SiteIndex(sites: Array[Site]) extends Serializable {
+    @transient private lazy val tree: STRtree = {
+      val t = new STRtree()
+      sites.foreach(s => t.insert(new Envelope(s.lon, s.lon, s.lat, s.lat), s))
+      t.build()
+      t
+    }
+
+    /** Nearest site by squared lon/lat distance (expanding-ring search). */
+    def nearest(lon: Double, lat: Double, startRadius: Double, maxRadius: Double): Option[Site] = {
+      var r = startRadius
+      while (r <= maxRadius) {
+        val hits = tree.query(new Envelope(lon - r, lon + r, lat - r, lat + r))
+        if (!hits.isEmpty) {
+          var best: Site = null
+          var bestD = Double.MaxValue
+          val it = hits.iterator()
+          while (it.hasNext) {
+            val s = it.next().asInstanceOf[Site]
+            val d = (s.lon - lon) * (s.lon - lon) + (s.lat - lat) * (s.lat - lat)
+            if (d < bestD || (d == bestD && (best == null || s.id < best.id))) { bestD = d; best = s }
+          }
+          // candidates in the box are only guaranteed complete within r
+          if (math.sqrt(bestD) <= r) return Some(best)
+        }
+        r *= 4
+      }
+      None
+    }
+
+    def within(lon: Double, lat: Double, radius: Double): Seq[Site] = {
+      val hits = tree.query(new Envelope(lon - radius, lon + radius, lat - radius, lat + radius))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Site]
+      val it = hits.iterator()
+      while (it.hasNext) {
+        val s = it.next().asInstanceOf[Site]
+        val d = (s.lon - lon) * (s.lon - lon) + (s.lat - lat) * (s.lat - lat)
+        if (d <= radius * radius) out += s
+      }
+      out.toSeq
+    }
+  }
+
+  /** Nearest-site join: broadcast STRtree of sites, probe per partition. */
+  def nearestSite(points: DataFrame, sites: Array[Site],
+                  lonCol: String = "lon", latCol: String = "lat",
+                  maxRadius: Double = 360.0): DataFrame = {
+    val spark = points.sparkSession
+    val bcast = spark.sparkContext.broadcast(new SiteIndex(sites))
+    val schema = org.apache.spark.sql.types.StructType(points.schema.fields :+
+      org.apache.spark.sql.types.StructField("site_id", org.apache.spark.sql.types.StringType, nullable = true))
+    val lonIdx = points.schema.fieldIndex(lonCol)
+    val latIdx = points.schema.fieldIndex(latCol)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    points.mapPartitions { it =>
+      val idx = bcast.value
+      it.map { row =>
+        val hit = idx.nearest(row.getDouble(lonIdx), row.getDouble(latIdx), 1.0, maxRadius)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq :+ hit.map(_.id).orNull)
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,123 @@
+package graft
+
+import graft.geo._
+import org.locationtech.jts.geom.Coordinate
+import org.scalatest.funsuite.AnyFunSuite
+
+class GeoCoreSpec extends AnyFunSuite {
+
+  test("mercator world coords roundtrip") {
+    for (lon <- Seq(-179.9, -42.0, 0.0, 13.37, 179.9); lat <- Seq(-84.0, -45.0, 0.0, 43.7, 84.0)) {
+      assert(math.abs(Mercator.lon(Mercator.worldX(lon)) - lon) < 1e-9)
+      assert(math.abs(Mercator.lat(Mercator.worldY(lat)) - lat) < 1e-9)
+    }
+    assert(Mercator.worldX(0) == 0.5)
+    assert(Mercator.worldY(0) == 0.5)
+    assert(Mercator.worldY(Mercator.MaxLat) < 1e-9)
+  }
+
+  test("hilbert curve: known order-1 walk and roundtrip") {
+    assert(Hilbert.xyToIndex(1, 0, 0) == 0)
+    assert(Hilbert.xyToIndex(1, 0, 1) == 1)
+    assert(Hilbert.xyToIndex(1, 1, 1) == 2)
+    assert(Hilbert.xyToIndex(1, 1, 0) == 3)
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 2000) {
+      val order = 1 + rnd.nextInt(15)
+      val x = rnd.nextInt(1 << order)
+      val y = rnd.nextInt(1 << order)
+      val d = Hilbert.xyToIndex(order, x, y)
+      assert(d >= 0 && d < (1L << (2 * order)))
+      assert(Hilbert.indexToXY(order, d) == ((x, y)))
+    }
+  }
+
+  test("hilbert locality: consecutive indices are adjacent tiles") {
+    val order = 6
+    var prev = Hilbert.indexToXY(order, 0)
+    for (d <- 1L until (1L << (2 * order))) {
+      val cur = Hilbert.indexToXY(order, d)
+      assert(math.abs(cur._1 - prev._1) + math.abs(cur._2 - prev._2) == 1,
+        s"jump at $d: $prev -> $cur")
+      prev = cur
+    }
+  }
+
+  test("tile id encode: zoom-major, order-preserving, roundtrip") {
+    val ids = for (z <- 0 to 6; x <- 0 until (1 << z); y <- 0 until (1 << z))
+      yield TileCoord.encodeHilbert(x, y, z)
+    assert(ids.distinct.size == ids.size)
+    for (z <- 0 to 6) {
+      val zIds = for (x <- 0 until (1 << z); y <- 0 until (1 << z)) yield TileCoord.encodeHilbert(x, y, z)
+      assert(zIds.min == TileCoord.zoomOffset(z))
+      assert(zIds.max == TileCoord.zoomOffset(z) + (1L << (2 * z)) - 1)
+    }
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500) {
+      val z = rnd.nextInt(15)
+      val x = rnd.nextInt(1 << z)
+      val y = rnd.nextInt(1 << z)
+      assert(TileCoord.decodeHilbert(TileCoord.encodeHilbert(x, y, z)) == ((x, y, z)))
+      assert(TileCoord.decodeRow(TileCoord.encodeRow(x, y, z)) == ((x, y, z)))
+    }
+  }
+
+  test("douglas-peucker: drops collinear, keeps endpoints, ring floor of 4") {
+    val line = Array(
+      new Coordinate(0, 0), new Coordinate(1, 0.001), new Coordinate(2, 0),
+      new Coordinate(3, 5), new Coordinate(4, 0))
+    val simp = Simplify.douglasPeucker(line, 0.01, ring = false)
+    assert(simp.head.equals2D(line.head) && simp.last.equals2D(line.last))
+    assert(simp.length == 4) // collinear-ish middle point dropped, spike kept
+    assert(simp.exists(c => c.x == 3 && c.y == 5))
+
+    // a tiny diamond ring: would collapse to 2 points without the floor
+    val ring = Array(
+      new Coordinate(0, 0), new Coordinate(0.001, 0.001), new Coordinate(0, 0.002),
+      new Coordinate(-0.001, 0.001), new Coordinate(0, 0))
+    val simpRing = Simplify.douglasPeucker(ring, 10.0, ring = true)
+    assert(simpRing.length >= 4)
+  }
+
+  test("douglas-peucker on geometry: polygon stays valid-shaped") {
+    val poly = Geo.fromWkt("POLYGON ((0 0, 10 0.01, 20 0, 20 20, 0 20, 0 0))")
+    val simp = Simplify.dp(poly, 0.1)
+    assert(simp.getGeometryType == "Polygon")
+    assert(simp.getNumPoints == 5) // near-collinear vertex dropped
+    assert(math.abs(simp.getArea - poly.getArea) < 2)
+  }
+
+  test("visvalingam-whyatt reduces points and preserves endpoints") {
+    val line = Array.tabulate(100)(i => new Coordinate(i, math.sin(i * 0.1) * 0.01))
+    val simp = Simplify.visvalingamWhyatt(line, 0.5, 0.0, ring = false)
+    assert(simp.length < line.length)
+    assert(simp.head.equals2D(line.head) && simp.last.equals2D(line.last))
+  }
+
+  test("clip line to rect") {
+    val xs = Array(-1.0, 3.0)
+    val ys = Array(0.5, 0.5)
+    val out = Clip.clipLine(xs, ys, 0, 0, 1, 1)
+    assert(out.size == 1)
+    assert(out.head._1.toSeq == Seq(0.0, 1.0))
+    // fully outside
+    assert(Clip.clipLine(Array(5.0, 6.0), Array(5.0, 5.0), 0, 0, 1, 1).isEmpty)
+  }
+
+  test("clip ring to rect: corner cut") {
+    val (xs, ys) = Clip.clipRing(
+      Array(0.5, 2.0, 2.0, 0.5, 0.5), Array(0.5, 0.5, 2.0, 2.0, 0.5),
+      0, 0, 1, 1)
+    // clipped square corner: (0.5,0.5)-(1,0.5)-(1,1)-(0.5,1)
+    assert(xs.length == 5)
+    assert(math.abs(math.abs(Clip.signedArea2(xs, ys)) / 2 - 0.25) < 1e-12)
+  }
+
+  test("point in ring") {
+    val xs = Array(0.0, 10.0, 10.0, 0.0, 0.0)
+    val ys = Array(0.0, 0.0, 10.0, 10.0, 0.0)
+    assert(Clip.pointInRing(5, 5, xs, ys))
+    assert(!Clip.pointInRing(15, 5, xs, ys))
+    assert(!Clip.pointInRing(-0.1, 5, xs, ys))
+  }
+}

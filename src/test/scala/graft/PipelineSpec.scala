@@ -1,0 +1,132 @@
+package graft
+
+import graft.engine._
+import graft.geo.{Geo, Mercator, TileCoord}
+import graft.model._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * End-to-end pipeline tests in the shape of the reference's
+ * PlanetilerTests ("in-memory tests with fake data and profiles to
+ * ensure all features work end-to-end"): synthetic docs -> full
+ * pipeline -> decoded tile map -> assert tile contents.
+ */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def docsOf(rows: (String, Seq[Span])*) = {
+    import spark.implicits._
+    rows.map { case (id, spans) => Doc(id, spans) }.toDF("doc_id", "spans")
+  }
+
+  private def geomSpan(wkt: String, off: Int) = Span("geom", wkt, null, off)
+  private def textSpan(t: String, off: Int) = Span("text", t, null, off)
+  private def mediaSpan(r: String, off: Int) = Span("media", null, r, off)
+
+  test("single point renders into the right tile at every zoom") {
+    // lon 1, lat 1 -> worldX just over 0.5
+    val docs = docsOf("doc_1" -> Seq(textSpan("hello", 0), geomSpan("POINT (1 1)", 1)))
+    val profile = new Pipeline.GraftProfile(pointMaxZoom = 4)
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    // the PRIMARY tile (containing the point) exists at every zoom;
+    // extra tiles are buffered copies near edges (by design — labels
+    // must render across tile boundaries, like the reference)
+    for (z <- 0 to 4) {
+      val expX = Mercator.tileIndex(Mercator.worldX(1), z)
+      val expY = Mercator.tileIndex(Mercator.worldY(1), z)
+      val zt = tiles.filter(_.z == z)
+      assert(zt.exists(t => t.x == expX && t.y == expY), s"zoom $z")
+    }
+    for (t <- tiles) {
+      val dec = Mvt.decodeTile(t.bytes)
+      assert(dec.size == 1)
+      assert(dec.head.layer == "points")
+      assert(dec.head.attrs("text") == "hello")
+    }
+  }
+
+  test("polygon renders fills and edges; tile count matches pyramid") {
+    val docs = docsOf("adm_0" -> Seq(
+      textSpan("admin box", 0),
+      geomSpan("POLYGON ((-180 -85, 180 -85, 180 85, -180 85, -180 -85))", 1)))
+    val profile = new Pipeline.GraftProfile(polyMaxZoom = 4)
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    // world-covering polygon: every tile in the z0..4 pyramid
+    assert(tiles.length == TileCoord.pyramidSize(4))
+    // every tile decodes to a polygon feature in layer "admin"
+    val sample = tiles.find(t => t.z == 3).get
+    val dec = Mvt.decodeTile(sample.bytes)
+    assert(dec.head.layer == "admin" && dec.head.geomType == 3)
+    // interior tiles share identical content (dedup-ready): at z4 there
+    // must be many identical content hashes (canonical fills)
+    val z4 = tiles.filter(_.z == 4)
+    val hashGroups = z4.groupBy(_.content_hash)
+    assert(hashGroups.values.exists(_.length > 10), "expected shared fill content")
+  }
+
+  test("line spanning tiles appears in each, clipped") {
+    val docs = docsOf("line_1" -> Seq(
+      textSpan("road", 0),
+      geomSpan("LINESTRING (-100 20, 100 25)", 1),
+      mediaSpan("media://x/1", 2)))
+    val profile = new Pipeline.GraftProfile(lineMaxZoom = 5)
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    val z5 = tiles.filter(_.z == 5)
+    assert(z5.length >= 16, s"long line should span many z5 tiles, got ${z5.length}")
+    assert(z5.forall(t => Mvt.decodeTile(t.bytes).head.geomType == 2))
+  }
+
+  test("label grid limit keeps top-K per cell") {
+    // 30 points at nearly the same location, limit 16 per 64px cell
+    val docs = docsOf((1 to 30).map { i =>
+      s"doc_$i" -> Seq(geomSpan(s"POINT (${10 + i * 0.0001} 10)", 0))
+    }: _*)
+    val profile = new Pipeline.GraftProfile(pointMaxZoom = 2)
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    val z2 = tiles.filter(_.z == 2)
+    assert(z2.length == 1)
+    val dec = Mvt.decodeTile(z2.head.bytes)
+    assert(dec.size == 16, s"label grid limit 16, got ${dec.size}")
+  }
+
+  test("span_sig survives the full pipeline (order-sensitive invariant)") {
+    import spark.implicits._
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val before = docs.withColumn("sig", Docs.spanSigCol)
+      .select("doc_id", "sig").as[(String, Long)].collect().toMap
+    // after a full shuffle (repartition + sort), sigs must be unchanged
+    val after = docs.repartition(7, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .withColumn("sig", Docs.spanSigCol)
+      .select("doc_id", "sig").as[(String, Long)].collect().toMap
+    assert(before == after)
+    // and the extracted SourceFeatures carry the same sig
+    val sf = Docs.sourceFeatures(Docs.pointDocs(spark, "/root/testdata/sf0.001"))
+    val sfSigs = sf.map(f => (f.doc_id, f.span_sig)).collect().toMap
+    assert(sfSigs.forall { case (id, sig) => before(id) == sig })
+  }
+
+  test("tiles are globally hilbert-ordered across partitions") {
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val profile = new Pipeline.GraftProfile(3, 3, 3)
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 4, gzipTiles = false)
+    val ids = tiles.select("tile_id").collect().map(_.getLong(0))
+    // collect() preserves partition order; within the range-partitioned
+    // + sorted dataset that means global order
+    assert(ids.toSeq == ids.sorted.toSeq)
+    assert(ids.distinct.length == ids.length, "one output row per tile")
+  }
+
+  test("checkpoint resume: snapshot read-back equals computed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString + "/stage1"
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val rendered = Pipeline.renderedFromDocs(docs, new Pipeline.GraftProfile(3, 3, 3))
+    val first = Pipeline.checkpoint(rendered, dir)
+    val n1 = first.count()
+    // second call must hit the snapshot (no recompute): same rows
+    val second = Pipeline.checkpoint(rendered.limit(0), dir) // would be wrong if recomputed
+    assert(second.count() == n1)
+  }
+}
