@@ -30,6 +30,13 @@ import org.apache.spark.sql.functions._
  */
 object Docs {
 
+  /** Parallelism for synthesis scans: the driver test parquet is one
+    * row group (unsplittable), so fan the scan out explicitly before
+    * the span-construction work. 0 = leave as scanned. */
+  @volatile var synthParallelism: Int = 32
+  private def par(df: DataFrame): DataFrame =
+    if (synthParallelism > 0) df.repartition(synthParallelism) else df
+
   // lon/lat derivations — keep in sync with the oracle SQL in SparkEntry
   def lonExpr(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (key * 9973 % 36000) / 100.0 - 180.0
@@ -42,13 +49,17 @@ object Docs {
                          mediaRef: org.apache.spark.sql.Column, offset: Int) =
     struct(kind.as("kind"), text.as("text"), mediaRef.as("media_ref"), lit(offset).as("offset"))
 
-  /** Point-bearing docs from `orders`. */
-  def pointDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = spark.read.parquet(s"$sfDir/orders.parquet")
-    val lon = lonExpr(col("o_orderkey"))
-    val lat = latExpr(col("o_orderkey"))
+  /** Point-bearing docs from `orders`. `variant` shifts the key space
+    * so a benchmark corpus can be scaled to any multiple of the base
+    * tables, deterministically ("doc_" becomes "docV_"). */
+  def pointDocs(spark: SparkSession, sfDir: String, variant: Int = 0): DataFrame = {
+    val o = par(spark.read.parquet(s"$sfDir/orders.parquet"))
+    val key = col("o_orderkey") + lit(variant * 100000007L)
+    val lon = lonExpr(key)
+    val lat = latExpr(key)
+    val prefix = if (variant == 0) "doc_" else s"doc${variant}_"
     o.select(
-      concat(lit("doc_"), col("o_orderkey")).as("doc_id"),
+      concat(lit(prefix), col("o_orderkey")).as("doc_id"),
       array(
         spanStruct(lit("text"),
           concat(lit("order "), col("o_orderstatus"), lit(" "), col("o_orderpriority")),
@@ -63,10 +74,11 @@ object Docs {
 
   /** Line-bearing docs from `orders x lineitem` (vertices ordered by
     * l_linenumber — the ordered large-large join fixture). */
-  def lineDocs(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val lon = lonExpr(col("l_orderkey")) + col("l_linenumber") * 0.003
-    val lat = latExpr(col("l_orderkey")) + (col("l_linenumber") * 13 % 5) * 0.002
+  def lineDocs(spark: SparkSession, sfDir: String, variant: Int = 0): DataFrame = {
+    val li = par(spark.read.parquet(s"$sfDir/lineitem.parquet"))
+    val key = col("l_orderkey") + lit(variant * 100000007L)
+    val lon = lonExpr(key) + col("l_linenumber") * 0.003
+    val lat = latExpr(key) + (col("l_linenumber") * 13 % 5) * 0.002
     li.select(col("l_orderkey"), col("l_linenumber"),
         concat(lon.cast("string"), lit(" "), lat.cast("string")).as("pt"))
       .groupBy(col("l_orderkey"))
@@ -75,7 +87,7 @@ object Docs {
         count(lit(1)).as("n"))
       .where(col("n") >= 2)
       .select(
-        concat(lit("line_"), col("l_orderkey")).as("doc_id"),
+        concat(lit(if (variant == 0) "line_" else s"line${variant}_"), col("l_orderkey")).as("doc_id"),
         array(
           spanStruct(lit("text"), concat(lit("route "), col("l_orderkey")), lit(null).cast("string"), 0),
           spanStruct(lit("geom"), concat(lit("LINESTRING ("), col("pts"), lit(")")), lit(null).cast("string"), 1),
@@ -111,11 +123,15 @@ object Docs {
       ).as("spans"))
   }
 
-  /** The full interleaved docs table. */
-  def docs(spark: SparkSession, sfDir: String): DataFrame =
-    pointDocs(spark, sfDir)
-      .unionByName(lineDocs(spark, sfDir))
-      .unionByName(polygonDocs(spark, sfDir))
+  /** The full interleaved docs table; `mult` > 1 scales the corpus by
+    * unioning deterministic key-shifted variants (benchmark sizing). */
+  def docs(spark: SparkSession, sfDir: String, mult: Int = 1): DataFrame = {
+    val parts =
+      (0 until mult).map(v => pointDocs(spark, sfDir, v)) ++
+        (0 until mult).map(v => lineDocs(spark, sfDir, v)) :+
+        polygonDocs(spark, sfDir)
+    parts.reduce(_.unionByName(_))
+  }
 
   /**
    * Order-sensitive span-sequence signature: xxhash64 over the spans in
@@ -123,8 +139,12 @@ object Docs {
    * pipeline. Pure column expression (codegen'd, no UDF).
    */
   def spanSigCol: org.apache.spark.sql.Column =
-    xxhash64(to_json(array_sort(col("spans"),
-      (l, r) => (l.getField("offset") - r.getField("offset")).cast("int"))))
+    aggregate(
+      array_sort(col("spans"),
+        (l, r) => (l.getField("offset") - r.getField("offset")).cast("int")),
+      lit(-3750763034362895579L), // FNV-ish seed
+      (acc, s) => xxhash64(acc, s.getField("kind"), s.getField("text"),
+        s.getField("media_ref"), s.getField("offset")))
 
   /** docs -> typed SourceFeature dataset (one row per geom span). */
   def sourceFeatures(docs: DataFrame): Dataset[SourceFeature] = {

@@ -170,8 +170,15 @@ object Mvt {
     def toBytes: Array[Byte] = buf.toByteArray
   }
 
-  /** One feature inside a layer, pre-encoded geometry commands. */
-  case class LayerFeature(id: Long, geomType: Int, commands: Array[Int], attrs: Map[String, String])
+  /** One feature inside a layer: pre-encoded geometry commands and
+    * PACKED attrs (graft.engine.Attrs pairs, sorted by key). */
+  case class LayerFeature(id: Long, geomType: Int, commands: Array[Int], attrs: Array[Byte]) {
+    def attrsMap: Map[String, String] = Attrs.unpack(attrs)
+  }
+  object LayerFeature {
+    def of(id: Long, geomType: Int, commands: Array[Int], attrs: Map[String, String]): LayerFeature =
+      LayerFeature(id, geomType, commands, Attrs.pack(attrs))
+  }
 
   /** Encode one layer. Attr values are type-sniffed (long/double/bool/string). */
   def encodeLayer(name: String, features: Seq[LayerFeature]): Array[Byte] = {
@@ -191,11 +198,13 @@ object Mvt {
       valIdx.getOrElseUpdate(canon, { values += canon; values.length - 1 })
     }
 
+    val tagBuf = ArrayBuffer.empty[Int]
     val featBytes = features.map { f =>
       val w = new ProtoWriter
       if (f.id != 0) w.uint(1, f.id)
-      val tags = f.attrs.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(keyOf(k), valOf(v)) }
-      if (tags.nonEmpty) w.packedUints(2, tags.toArray)
+      tagBuf.clear()
+      Attrs.foreachPair(f.attrs) { (k, v) => tagBuf += keyOf(k); tagBuf += valOf(v) }
+      if (tagBuf.nonEmpty) w.packedUints(2, tagBuf.toArray)
       w.uint(3, f.geomType)
       w.packedUints(4, f.commands)
       w.toBytes
@@ -221,17 +230,33 @@ object Mvt {
     layer.toBytes
   }
 
+  /** Exception-free type sniff (this runs per attr per feature — a
+    * try/catch-based parse would throw millions of times per job). */
   private def sniff(v: String): (Char, String) = {
-    if (v == "true" || v == "false") ('b', v)
-    else if (v.nonEmpty && v.forall(c => c.isDigit || c == '-') && v.lengthCompare(19) <= 0) {
-      try { ('i', v.toLong.toString) } catch { case _: Exception => ('s', v) }
-    } else {
-      // only treat as double if round-trips exactly, to keep attr parity
-      try {
-        val d = v.toDouble
-        if (d.toString == v) ('d', v) else ('s', v)
-      } catch { case _: Exception => ('s', v) }
+    if (v == "true" || v == "false") return ('b', v)
+    val n = v.length
+    if (n == 0 || n > 18) return ('s', v)
+    var i = if (v.charAt(0) == '-') 1 else 0
+    if (i == n) return ('s', v)
+    var digits = 0
+    var dots = 0
+    var ok = true
+    while (i < n && ok) {
+      val c = v.charAt(i)
+      if (c >= '0' && c <= '9') digits += 1
+      else if (c == '.') dots += 1
+      else ok = false
+      i += 1
     }
+    val neg = v.charAt(0) == '-'
+    val leadZero = (if (neg) n > 2 && v.charAt(1) == '0' else n > 1 && v.charAt(0) == '0') &&
+      (dots == 0 || v.charAt(if (neg) 2 else 1) != '.')
+    if (!ok || digits == 0 || leadZero) ('s', v)
+    else if (dots == 0) ('i', v)
+    else if (dots == 1) {
+      val d = java.lang.Double.parseDouble(v)
+      if (java.lang.Double.toString(d) == v) ('d', v) else ('s', v)
+    } else ('s', v)
   }
 
   /** Assemble a full tile from (layerName -> features), gzip optional. */
@@ -241,11 +266,36 @@ object Mvt {
     w.toBytes
   }
 
+  /** BEST_SPEED gzip with a per-thread pooled Deflater, like the
+    * reference's FastGzipOutputStream (`util/Gzip.java`). A Deflater
+    * holds ~256KB of native zlib state — allocating one per tile
+    * (hundreds of thousands of tiles) would thrash native memory; the
+    * pool makes gzip allocation-free except for the output buffer. */
+  private val deflaterPool = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED, true))
+  private val gzipBufPool = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](64 * 1024))
+
   def gzip(b: Array[Byte]): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream(b.length / 2 max 64)
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(b); gz.close()
-    bos.toByteArray
+    val d = deflaterPool.get()
+    d.reset()
+    d.setInput(b)
+    d.finish()
+    val out = new java.io.ByteArrayOutputStream(b.length / 3 max 64)
+    // gzip header: magic, deflate, no flags/mtime/xfl, OS=unknown(255)
+    out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0, 0xff.toByte))
+    val buf = gzipBufPool.get()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    val crc = new java.util.zip.CRC32()
+    crc.update(b)
+    val c = crc.getValue
+    val sz = b.length.toLong
+    out.write(Array[Byte](
+      (c & 0xff).toByte, ((c >> 8) & 0xff).toByte, ((c >> 16) & 0xff).toByte, ((c >> 24) & 0xff).toByte,
+      (sz & 0xff).toByte, ((sz >> 8) & 0xff).toByte, ((sz >> 16) & 0xff).toByte, ((sz >> 24) & 0xff).toByte))
+    out.toByteArray
   }
 
   def gunzip(b: Array[Byte]): Array[Byte] = {

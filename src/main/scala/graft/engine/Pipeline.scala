@@ -56,10 +56,19 @@ object Pipeline {
     }
   }
 
-  def renderedFromDocs(docs: DataFrame, profile: Profile): Dataset[Rendered] = {
+  /**
+   * docs -> Rendered. `rebalance` round-robins the doc rows across
+   * `numPartitions` BEFORE the CPU-heavy parse/render fan-out: a small
+   * ingest (one parquet split, one Iceberg file) would otherwise pin
+   * the whole render phase to one task. At real scale the input
+   * arrives in thousands of splits and the extra shuffle is skipped.
+   */
+  def renderedFromDocs(docs: DataFrame, profile: Profile,
+                       rebalance: Int = 0): Dataset[Rendered] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sf = Docs.sourceFeatures(docs)
+    val balanced = if (rebalance > 0) docs.repartition(rebalance) else docs
+    val sf = Docs.sourceFeatures(balanced)
     val specs = sf.flatMap(profile.processFeature _)
     Render.render(specs)
   }
@@ -67,7 +76,8 @@ object Pipeline {
   /** Full pipeline: docs -> encoded tiles dataset. */
   def tiles(docs: DataFrame, profile: Profile = new GraftProfile(),
             numPartitions: Int = 32, gzipTiles: Boolean = true): Dataset[TileBytes] =
-    TileAssembler.assemble(renderedFromDocs(docs, profile), profile, numPartitions, gzipTiles)
+    TileAssembler.assemble(renderedFromDocs(docs, profile, rebalance = numPartitions),
+      profile, numPartitions, gzipTiles)
 
   /**
    * Stage snapshot: compute-or-resume. If `dir` holds a committed

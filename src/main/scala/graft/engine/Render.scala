@@ -42,10 +42,14 @@ object Render {
       try Geo.fromWkb(spec.geom)
       catch { case _: Exception => null }
     if (geom == null || geom.isEmpty) Iterator.empty
-    else (spec.minzoom to spec.maxzoom).iterator.flatMap { z => renderAtZoom(spec, geom, z) }
+    else {
+      // pack attrs ONCE; every emitted row shares the same byte array
+      val attrs = Attrs.pack(spec.attrs)
+      (spec.minzoom to spec.maxzoom).iterator.flatMap { z => renderAtZoom(spec, geom, z, attrs) }
+    }
   }
 
-  private def renderAtZoom(spec: FeatureSpec, geom: Geometry, z: Int): Iterator[Rendered] = {
+  private def renderAtZoom(spec: FeatureSpec, geom: Geometry, z: Int, attrs: Array[Byte]): Iterator[Rendered] = {
     val isPoint = geom.isInstanceOf[JtsPoint] || geom.isInstanceOf[MultiPoint]
     val pxPerWorld = 256.0 * (1 << z)
     if (!isPoint && spec.minPixelSize > 0) {
@@ -80,7 +84,7 @@ object Render {
         feature_id = spec.id,
         geom_type = s.geomType,
         commands = s.commands,
-        attrs = spec.attrs,
+        attrs = attrs,
         group = group,
         group_limit = if (group != 0) spec.labelGridLimit else 0)
     }

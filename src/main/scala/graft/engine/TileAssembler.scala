@@ -44,20 +44,21 @@ object TileAssembler {
     val spark = rendered.sparkSession
     import spark.implicits._
     rendered.mapPartitions { it =>
-      // bounded per-group heaps; groups without a limit pass through
+      // STREAM rows without a group straight through (no buffering);
+      // hold bounded per-group heaps only for label-gridded rows.
       val heaps = mutable.HashMap.empty[(Long, String, Long), mutable.PriorityQueue[Rendered]]
-      val passthrough = ArrayBuffer.empty[Rendered]
-      it.foreach { r =>
-        if (r.group == 0 || r.group_limit <= 0) passthrough += r
+      val grouped = it.filter { r =>
+        if (r.group == 0 || r.group_limit <= 0) true
         else {
           val key = (r.tile_id, r.layer, r.group)
           val heap = heaps.getOrElseUpdate(key,
             mutable.PriorityQueue.empty[Rendered](Ordering.by(_.sort_key)))
           heap += r
           if (heap.size > r.group_limit) heap.dequeue() // drop largest sort_key
+          false
         }
       }
-      passthrough.iterator ++ heaps.valuesIterator.flatMap(_.iterator)
+      grouped ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 
@@ -65,12 +66,21 @@ object TileAssembler {
                profile: Profile,
                numPartitions: Int,
                gzipTiles: Boolean = true,
-               lineage: Option[CollectionAccumulator[PartitionLineage]] = None): Dataset[TileBytes] = {
+               lineage: Option[CollectionAccumulator[PartitionLineage]] = None,
+               persistBeforeShuffle: Boolean = true): Dataset[TileBytes] = {
     val spark = rendered.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
 
-    val pre = partialLabelGridLimit(rendered)
+    val pre0 = partialLabelGridLimit(rendered)
+    // repartitionByRange runs a SAMPLING job over its child to pick
+    // range bounds — without a persist that job re-executes the whole
+    // upstream render fan-out a second time. Persist the rendered rows
+    // once (serialized, spillable); at real scale this slot is the
+    // stage-boundary snapshot table instead.
+    val pre = if (persistBeforeShuffle)
+      pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    else pre0
     val sorted = pre
       .repartitionByRange(numPartitions, col("tile_id"))
       .sortWithinPartitions(col("tile_id"), col("layer"), col("sort_key"), col("feature_id"))
@@ -110,29 +120,46 @@ object TileAssembler {
     }
   }
 
-  /** Encode one tile's features (already in (layer, sort_key) order). */
+  /** Encode one tile's features (already in (layer, sort_key) order:
+    * single pass, no groupBy/sort — the sorted-run grouping the
+    * reference does in `FeatureGroup.java:339-378`). */
   def encodeTile(tileId: Long, feats: Seq[Rendered], profile: Profile,
                  gzipTiles: Boolean): TileBytes = {
     val (x, y, z) = TileCoord.decodeHilbert(tileId)
+    val layers = ArrayBuffer.empty[(String, Seq[Mvt.LayerFeature])]
+    var curLayer: String = null
+    var curFeats: ArrayBuffer[Mvt.LayerFeature] = null
     // exact label-grid limit within the sorted run (streaming counters,
     // reference: `FeatureGroup.java:616-637`)
-    val counters = mutable.HashMap.empty[(String, Long), Int]
-    val kept = feats.filter { r =>
-      if (r.group == 0 || r.group_limit <= 0) true
-      else {
-        val k = (r.layer, r.group)
-        val c = counters.getOrElse(k, 0) + 1
-        counters(k) = c
-        c <= r.group_limit
+    var counters: mutable.HashMap[Long, Int] = null
+    var kept = 0
+    def flush(): Unit = if (curLayer != null) {
+      layers += ((curLayer, profile.postProcessLayer(curLayer, z, curFeats.toSeq)))
+    }
+    feats.foreach { r =>
+      if (r.layer != curLayer) {
+        flush()
+        curLayer = r.layer
+        curFeats = new ArrayBuffer[Mvt.LayerFeature](16)
+        counters = null
+      }
+      val keep =
+        if (r.group == 0 || r.group_limit <= 0) true
+        else {
+          if (counters == null) counters = mutable.HashMap.empty
+          val c = counters.getOrElse(r.group, 0) + 1
+          counters(r.group) = c
+          c <= r.group_limit
+        }
+      if (keep) {
+        curFeats += Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs)
+        kept += 1
       }
     }
-    val layers = kept.groupBy(_.layer).toSeq.sortBy(_._1).map { case (layer, fs) =>
-      val lf = fs.map(r => Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs))
-      layer -> profile.postProcessLayer(layer, z, lf)
-    }
-    val bytes0 = Mvt.encodeTile(layers)
+    flush()
+    val bytes0 = Mvt.encodeTile(layers.toSeq)
     val bytes = if (gzipTiles) Mvt.gzip(bytes0) else bytes0
-    TileBytes(tileId, z, x, y, bytes, kept.size, Mvt.fnv1a64(bytes0))
+    TileBytes(tileId, z, x, y, bytes, kept, Mvt.fnv1a64(bytes0))
   }
 
   /**

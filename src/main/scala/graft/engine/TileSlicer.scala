@@ -43,6 +43,20 @@ object TileSlicer {
   def slice(geom: Geometry, z: Int, bufferPx: Double): Iterator[Sliced] = {
     val n = 1 << z
     val buf = bufferPx / 256.0 // fraction of a tile
+    // fast path: geometry strictly inside one tile's unbuffered core
+    // (by far the common case at high zoom) -> no stripe machinery,
+    // no hash maps, one direct encode
+    if (!geom.isInstanceOf[GeometryCollection] || geom.isInstanceOf[MultiPoint] ||
+        geom.isInstanceOf[MultiLineString] || geom.isInstanceOf[MultiPolygon]) {
+      val env = geom.getEnvelopeInternal
+      val txMin = math.floor(env.getMinX * n - buf).toInt
+      val txMax = math.floor(env.getMaxX * n + buf).toInt
+      val tyMin = math.floor(env.getMinY * n - buf).toInt
+      val tyMax = math.floor(env.getMaxY * n + buf).toInt
+      if (txMin == txMax && tyMin == tyMax && txMin >= 0 && txMin < n && tyMin >= 0 && tyMin < n) {
+        return sliceSingleTile(geom, n, txMin, tyMin)
+      }
+    }
     geom match {
       case p: Point => slicePoints(Array(p.getCoordinate), n, buf)
       case mp: MultiPoint => slicePoints(mp.getCoordinates, n, buf)
@@ -60,6 +74,47 @@ object TileSlicer {
 
   @inline private def localInt(v: Double, tile: Int): Int =
     math.round((v - tile) * Extent).toInt
+
+  /** No-clip encode of a geometry known to fit inside tile (tx, ty). */
+  private def sliceSingleTile(geom: Geometry, n: Int, tx: Int, ty: Int): Iterator[Sliced] = {
+    @inline def px(c: Coordinate) = (localInt(c.x * n, tx), localInt(c.y * n, ty))
+    geom match {
+      case p: Point =>
+        Iterator.single(Sliced(tx, ty, 1, Mvt.encodePoints(Array(px(p.getCoordinate))), fill = false))
+      case mp: MultiPoint =>
+        Iterator.single(Sliced(tx, ty, 1, Mvt.encodePoints(mp.getCoordinates.map(px)), fill = false))
+      case l: LineString =>
+        val cmds = Mvt.encodeLines(Seq(l.getCoordinates.map(px)))
+        if (cmds.isEmpty) Iterator.empty
+        else Iterator.single(Sliced(tx, ty, 2, cmds, fill = false))
+      case ml: MultiLineString =>
+        val cmds = Mvt.encodeLines((0 until ml.getNumGeometries)
+          .map(ml.getGeometryN(_).getCoordinates.map(px)))
+        if (cmds.isEmpty) Iterator.empty
+        else Iterator.single(Sliced(tx, ty, 2, cmds, fill = false))
+      case _ => // polygon / multipolygon: orient rings, encode
+        val polys: Seq[Polygon] = geom match {
+          case p: Polygon => Seq(p)
+          case mp: MultiPolygon =>
+            (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon])
+          case _ => Seq.empty
+        }
+        val rings = polys.flatMap { poly =>
+          val shell = orientRing(poly.getExteriorRing.getCoordinates.map(px), positive = true)
+          val holes = (0 until poly.getNumInteriorRing)
+            .map(i => orientRing(poly.getInteriorRingN(i).getCoordinates.map(px), positive = false))
+          shell +: holes
+        }.filter(r => ringArea2(r) != 0)
+        val cmds = Mvt.encodeRings(rings)
+        if (cmds.isEmpty) Iterator.empty
+        else Iterator.single(Sliced(tx, ty, 3, cmds, fill = false))
+    }
+  }
+
+  private def orientRing(pts: Array[(Int, Int)], positive: Boolean): Array[(Int, Int)] = {
+    val a = ringArea2(pts)
+    if ((a > 0) != positive && a != 0) pts.reverse else pts
+  }
 
   private def slicePoints(coords: Array[Coordinate], n: Int, buf: Double): Iterator[Sliced] = {
     // group points by tile; a point lands in every tile whose buffered

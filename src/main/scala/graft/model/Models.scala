@@ -50,7 +50,11 @@ case class FeatureSpec(
 /**
  * One feature rendered into one tile at one zoom: the unit that gets
  * range-partitioned by Hilbert tile id. `commands` are MVT geometry
- * commands in tile-local extent-4096 integer space.
+ * commands in tile-local extent-4096 integer space. `attrs` is the
+ * PACKED key/value encoding (graft.engine.Attrs) — computed once per
+ * feature and carried as opaque bytes so the 10-100x tile fan-out
+ * never rebuilds per-row hash maps (string interning analog of the
+ * reference's FeatureGroup.java:65-66).
  */
 case class Rendered(
     tile_id: Long, // Hilbert-ordered tile id (TileCoord.encodeHilbert)
@@ -59,7 +63,7 @@ case class Rendered(
     feature_id: Long,
     geom_type: Int, // 1=point 2=line 3=polygon (MVT enum)
     commands: Array[Int],
-    attrs: Map[String, String],
+    attrs: Array[Byte],
     group: Long, // label-grid group key (0 = none)
     group_limit: Int)
 

@@ -35,9 +35,9 @@ class MvtSpec extends AnyFunSuite {
 
   test("full tile encode/decode with typed attrs") {
     val feats = Seq(
-      Mvt.LayerFeature(7, 1, Mvt.encodePoints(Array((10, 20))),
+      Mvt.LayerFeature.of(7, 1, Mvt.encodePoints(Array((10, 20))),
         Map("name" -> "x", "rank" -> "42", "ratio" -> "0.5", "flag" -> "true")),
-      Mvt.LayerFeature(8, 3, Mvt.encodeRings(Seq(Array((0, 0), (10, 0), (10, 10), (0, 0)))),
+      Mvt.LayerFeature.of(8, 3, Mvt.encodeRings(Seq(Array((0, 0), (10, 0), (10, 10), (0, 0)))),
         Map("name" -> "y")))
     val bytes = Mvt.encodeTile(Seq("mylayer" -> feats))
     val dec = Mvt.decodeTile(bytes)
