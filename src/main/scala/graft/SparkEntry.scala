@@ -199,6 +199,78 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------- relational: semi/anti joins, distinct agg, rollup ----------
+
+    "q05_anti_semi_join" -> ((s, dir) => {
+      // orders without any high-quantity lineitem (anti) + orders with
+      // at least one (semi), per orderpriority
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").where(col("l_quantity") >= 45)
+      val anti = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("without_big"))
+      val semi = o.join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("with_big"))
+      anti.join(semi, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          coalesce(col("without_big"), lit(0L)).as("without_big"),
+          coalesce(col("with_big"), lit(0L)).as("with_big"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q06_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("suppliers"),
+          countDistinct(col("l_partkey")).as("parts"),
+          count(lit(1)).as("rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q07_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority"))
+    }),
+
+    // ---------- embeddings: similarity search ----------
+
+    "q16_knn_bruteforce" -> ((s, dir) => {
+      // exact cosine top-5 for query vectors 0..9 (broadcast queries,
+      // one corpus pass, window top-k)
+      graft.ann.Ann.bruteForceTopK(t(s, dir, "embeddings"), 0L to 9L, 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q17_embedding_norms" -> ((s, dir) => {
+      // per-label L2 norm extremes (order-independent aggregates; norms
+      // rounded so both engines agree at 1e-6)
+      val v = t(s, dir, "embeddings")
+        .select(col("label"),
+          round(sqrt(aggregate(col("embedding").cast("array<double>"),
+            lit(0.0d), (acc, x) => acc + x * x)), 6).as("norm"))
+      v.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
+    "q18_ann_lsh" -> ((s, dir) => {
+      // LSH-bucketed ANN (rows-only check: recall tradeoff is not
+      // SQL-expressible; determinism guaranteed by hash-based planes)
+      graft.ann.Ann.lshTopK(t(s, dir, "embeddings"), 0L to 9L, 5, planes = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    "q19_ann_ivf" -> ((s, dir) => {
+      graft.ann.Ann.ivfTopK(t(s, dir, "embeddings"), 0L to 9L, 5, cells = 8, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ---------- text / dedup over documents ----------
 
     "q20_exact_dedup" -> ((s, dir) => {
@@ -233,6 +305,68 @@ object SparkEntry {
         .groupBy(col("uniq_decile"))
         .agg(count(lit(1)).as("docs"))
         .orderBy(col("uniq_decile"))
+    }),
+
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      // exact token-set similarity join: posting-list candidates +
+      // integer-exact threshold (c*5 >= 4*union <=> jaccard >= 0.8)
+      graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), 4, 5)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    "q24_minhash_lsh" -> ((s, dir) => {
+      // MinHash+LSH near-dup pairs, verified at jaccard >= 0.5 over
+      // 3-gram shingles (rows-only check: banding not SQL-expressible)
+      graft.dedup.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          shingleN = 3, k = 64, bands = 16, num = 1, den = 2)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    "q25_simhash" -> ((s, dir) => {
+      // SimHash near-dups at hamming <= 6 via 4x16-bit pigeonhole
+      graft.dedup.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    "q26_embedding_dedup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs >= 0.95 via hyperplane buckets
+      graft.dedup.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), 0.95, planes = 4)
+        .orderBy(col("da"), col("db"))
+    }),
+
+    "q27_lang_quality" -> ((s, dir) => {
+      // language-ID heuristic + quality score (model-ish heuristics:
+      // rows-only check)
+      t(s, dir, "documents")
+        .select(graft.text.Text.langId(col("text")).as("lang_pred"),
+          floor(graft.text.Text.qualityScore(col("text")) * 10).cast("long").as("q_decile"))
+        .groupBy(col("lang_pred"), col("q_decile"))
+        .agg(count(lit(1)).as("docs"))
+        .orderBy(col("lang_pred"), col("q_decile"))
+    }),
+
+    "q28_fingerprint" -> ((s, dir) => {
+      // order-sensitive rolling-hash fingerprints: identical docs share
+      // fingerprints; distinct-count per source proves order sensitivity
+      t(s, dir, "documents")
+        .select(col("source"), graft.text.Text.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
+        .orderBy(col("source"))
+    }),
+
+    "q29_media_features" -> ((s, dir) => {
+      // multimodal plumbing: media refs -> synthetic payloads ->
+      // partition-wise feature extraction (decode STUBBED, see mm/)
+      val docs = Docs.docs(s, dir)
+      val refs = docs.select(explode(col("spans")).as("s"))
+        .select(col("s.media_ref").as("media_ref"))
+        .where(col("media_ref").isNotNull)
+      val media = graft.mm.Multimodal.synthesizeMedia(refs)
+      graft.mm.Multimodal.extractFeatures(media)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), max(size(col("feature"))).as("dim"))
+        .orderBy(col("kind"))
     }),
 
     // ---------- events: sessionization / windows ----------
@@ -362,6 +496,53 @@ object SparkEntry {
            FROM v GROUP BY k HAVING COUNT(*) >= 2)
          SELECT 'line_' || k AS doc_id, CAST(n_pts AS INT) AS n_pts, x0, y0, x1, y1
          FROM agg ORDER BY doc_id""",
+
+    "q05_anti_semi_join" ->
+      """WITH big AS (SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+         SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN b.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS without_big,
+           CAST(SUM(CASE WHEN b.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS with_big
+         FROM orders o LEFT JOIN big b ON o.o_orderkey = b.l_orderkey
+         GROUP BY 1 ORDER BY 1""",
+
+    "q06_distinct_agg" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS suppliers,
+           COUNT(DISTINCT l_partkey) AS parts, COUNT(*) AS rows
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q07_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority, COUNT(*) AS n
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY 1, 2""",
+
+    "q16_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT qid, vec_id AS neighbor,
+             ROUND(list_dot_product(qe, embedding::DOUBLE[]) /
+               (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS cos
+           FROM q, embeddings WHERE vec_id != qid),
+         r AS (SELECT qid, neighbor, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS INT) AS rank
+           FROM s)
+         SELECT qid, rank, neighbor, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q17_embedding_norms" ->
+      """WITH v AS (SELECT label,
+           ROUND(SQRT(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+           FROM embeddings)
+         SELECT label, COUNT(*) AS n, MIN(norm) AS min_norm, MAX(norm) AS max_norm
+         FROM v GROUP BY 1 ORDER BY 1""",
+
+    "q23_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id AS id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t FROM documents),
+         sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2)
+         SELECT da, db, c, sa.n + sb.n - c AS u
+         FROM inter JOIN sz sa ON sa.id = da JOIN sz sb ON sb.id = db
+         WHERE c * 5 >= (sa.n + sb.n - c) * 4
+         ORDER BY da, db""",
 
     "q20_exact_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS copies, MIN(doc_id) AS canonical

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import graft.engine.{Docs, Pipeline, Profile, TileAssembler}
+import graft.model.TileBytes
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Structured-Streaming surface of the engine (SURVEY §2.9). The
+ * reference is pure batch; the Spark build adds the incremental path:
+ * watermarked windowed aggregation, stateful sessionization, and an
+ * incremental docs->tiles ingest via foreachBatch (each micro-batch
+ * runs the normal batch pipeline and upserts tiles — resumable from
+ * the checkpoint dir after executor loss).
+ */
+object Streams {
+
+  /** Watermarked tumbling-window counts per event type. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ -> event-time type
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("v"))
+      .select(col("window.start").as("win"), col("event_type"), col("n"), col("v"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionAgg(user_id: Long, events: Long, start_ts: Long, last_ts: Long)
+
+  /**
+   * Gap-based sessionization with mapGroupsWithState: a session closes
+   * after `gapSeconds` of inactivity (processing-time timeout drives
+   * emission — the streaming analog of the batch q31).
+   */
+  def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, SessionAgg](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
+          var cur = state.getOption.orNull
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime / 1000
+            if (cur == null) cur = SessionAgg(userId, 1, t, t)
+            else if (t - cur.last_ts > gapSeconds) {
+              closed += cur
+              cur = SessionAgg(userId, 1, t, t)
+            } else cur = cur.copy(events = cur.events + 1, last_ts = t)
+          }
+          if (cur != null) state.update(cur)
+          closed.iterator
+      }
+  }
+
+  /**
+   * Incremental ingest: a stream of docs rows -> per-micro-batch tile
+   * build appended to `outDir` (files archive layout). Checkpointed:
+   * a restart resumes from the last committed batch.
+   */
+  def incrementalTiles(docsStream: DataFrame, profile: Profile,
+                       outDir: String, checkpointDir: String,
+                       numPartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tiles = Pipeline.tiles(batch, profile, numPartitions, gzipTiles = false)
+          TileAssembler.writeFilesArchive(tiles, s"$outDir/batch_$batchId")
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -61,11 +61,12 @@ object Text {
   /** Hamming distance between two 64-bit hashes. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** Rolling-hash (Karp-Rabin flavored) fingerprint of the whole doc:
-    * order-sensitive, so reordered content changes the fingerprint. */
+  /** Rolling-hash fingerprint of the whole doc: an order-sensitive
+    * hash chain (reordered content changes the fingerprint; ANSI-safe —
+    * no overflowing multiply). */
   def fingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1469598103934665603L),
-      (acc, t) => (acc.bitwiseXOR(xxhash64(t)) * lit(1099511628211L)))
+      (acc, t) => xxhash64(acc, t))
 
   private val Stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),

@@ -1,0 +1,164 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.text.Text
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup / ANN / text-analysis operator semantics on small fixtures. */
+class ModulesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup finds duplicate groups") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 4L -> "a b c")
+    val out = Dedup.exact(d).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("copies") == 3)
+    assert(out.head.getAs[Long]("canonical") == 1)
+  }
+
+  test("ngram jaccard pairs: exact threshold") {
+    val d = docs(
+      1L -> "a b c d e",
+      2L -> "a b c d f", // jaccard 4/6 = 0.667
+      3L -> "p q r s t")
+    val hi = Dedup.ngramJaccardPairs(d, 7, 10).collect() // >= 0.7: none
+    assert(hi.isEmpty)
+    val lo = Dedup.ngramJaccardPairs(d, 6, 10).collect() // >= 0.6: (1,2)
+    assert(lo.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet == Set((1L, 2L)))
+  }
+
+  test("minhash LSH finds near-identical docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val other = (100 to 140).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.minhashLshPairs(d, shingleN = 3, k = 64, bands = 16, num = 1, den = 2)
+      .collect()
+    assert(pairs.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs hamming 0, near docs small hamming") {
+    val d = docs(1L -> "the quick brown fox jumps over the lazy dog and runs far away today",
+      2L -> "the quick brown fox jumps over the lazy dog and runs far away tonight",
+      3L -> "zx qv wk jn pm lr ts uv ef gh ij kl mn op qr st uv wx yz ab")
+    val h = d.select(col("doc_id"), Text.simhash(col("text")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(h(1L) ^ h(1L)) == 0)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) < java.lang.Long.bitCount(h(1L) ^ h(3L)))
+  }
+
+  test("brute force knn: self excluded, ranks deterministic, identical vector found") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 0.001f, 0.0f), 0), // nearly identical to 0
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+    val out = Ann.bruteForceTopK(emb, Seq(0L), 2).collect()
+    assert(out.length == 2)
+    assert(out.find(_.getAs[Int]("rank") == 1).get.getAs[Long]("neighbor") == 1L)
+  }
+
+  test("lsh ann buckets identical vectors together") {
+    val emb = (0 until 50).map { i =>
+      val v = if (i < 25) Seq(1.0f, 2.0f, 3.0f, (i * 0.001).toFloat)
+      else Seq(-1.0f, -2.0f, -3.0f, (i * 0.001).toFloat)
+      (i.toLong, v, i / 25)
+    }.toDF("vec_id", "embedding", "label")
+    val out = Ann.lshTopK(emb, Seq(0L), 3, planes = 3).collect()
+    assert(out.nonEmpty)
+    // all neighbors come from the same half (same bucket side)
+    assert(out.forall(_.getAs[Long]("neighbor") < 25))
+  }
+
+  test("language id: stopword heuristic picks the right profile") {
+    val d = Seq(
+      (1L, "the cat and the dog ran to the house with a friend"),
+      (2L, "el gato y el perro en la casa con los amigos un dia"),
+      (3L, "der hund und die katze ist mit das haus auf ein weg"),
+      (4L, "qqq www eee rrr ttt")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"), Text.langId(col("text")).as("l")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "de")
+    assert(got(4L) == "und")
+  }
+
+  test("quality score in [0,1], garbage scores lower than prose") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),
+      (2L, "a a a a a a a a a a a a a a a a")).toDF("doc_id", "text")
+    val q = d.select(col("doc_id"), Text.qualityScore(col("text")).as("q")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0 && v <= 1))
+    assert(q(1L) > q(2L))
+  }
+
+  test("fingerprint is order-sensitive") {
+    val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
+    val fp = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp(0) != fp(1))
+  }
+
+  test("multimodal: deterministic payloads, normalized features, frame sampling") {
+    val refs = Seq("media://img/1", "media://img/2", "media://img/1").toDF("media_ref")
+    val media = graft.mm.Multimodal.synthesizeMedia(refs)
+    assert(media.count() == 2) // distinct refs
+    val feats = graft.mm.Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").size == graft.mm.Multimodal.FeatureDim))
+    // deterministic: re-synthesis gives identical features
+    val feats2 = graft.mm.Multimodal.extractFeatures(graft.mm.Multimodal.synthesizeMedia(refs))
+      .collect()
+    assert(feats.map(_.toString).sorted.toSeq == feats2.map(_.toString).sorted.toSeq)
+  }
+
+  test("streaming: watermarked window agg over a rate-less batch via AvailableNow") {
+    import graft.streaming.Streams
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val q = Streams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // append mode emits only windows older than the watermark; compare
+    // against batch computation restricted to the same closed windows
+    val streamed = spark.sql("SELECT * FROM win_out")
+    val batch = spark.read.parquet(s"$dir/in")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win"), col("event_type"), col("n"))
+    val cut = spark.read.parquet(s"$dir/in")
+      .agg((max(col("ts").cast("timestamp")).cast("long") - 3 * 3600 - 60).cast("timestamp"))
+      .collect()(0).getTimestamp(0)
+    val closed = batch.where(col("win") < lit(cut))
+    val sCnt = streamed.select("win", "event_type", "n").collect().map(_.toString).toSet
+    val bCnt = closed.collect().map(_.toString).toSet
+    assert(bCnt.subsetOf(sCnt), s"missing windows: ${bCnt.diff(sCnt).take(3)}")
+  }
+
+  test("streaming sessionization matches batch gap logic") {
+    import graft.streaming.Streams
+    val evs = Seq(
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "a", 1.0),
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a", 1.0),
+      Streams.Event(1L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), "a", 1.0),
+      Streams.Event(2L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), "b", 1.0))
+    // batch-mode check of the state function via groupByKey on a static DS
+    val closed = Streams.sessionize(evs.toDS(), gapSeconds = 1800).collect()
+    // user 1: first session (2 events) closes when the 02:00 event arrives
+    assert(closed.length == 1)
+    assert(closed.head.user_id == 1L && closed.head.events == 2)
+  }
+}
