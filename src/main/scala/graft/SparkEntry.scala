@@ -97,6 +97,20 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rk"), col("o_orderkey"))
     }),
 
+    "q08_sql_frontend" -> ((s, dir) => {
+      // SQL front end over the registered NATIVE expressions (world_x /
+      // world_y implement doGenCode -> whole-stage codegen'd); oracle
+      // recomputes mercator independently in DuckDB
+      graft.functions.GeoFunctions.register(s)
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT
+             CAST(FLOOR(world_x((o_orderkey * 9973 % 36000) / 100.0 - 180.0) * 64) AS INT) AS tx,
+             CAST(FLOOR(world_y((o_orderkey * 7919 % 17000) / 100.0 - 85.0) * 64) AS INT) AS ty,
+             COUNT(*) AS n
+           FROM orders_v GROUP BY 1, 2 ORDER BY 1, 2""")
+    }),
+
     // ---------- geo: docs synthesis + projection + tile assignment ----------
 
     "q10_docs_shape" -> ((s, dir) => {
@@ -430,6 +444,12 @@ object SparkEntry {
                ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 3
          ORDER BY o_custkey, rk, o_orderkey""",
+
+    "q08_sql_frontend" ->
+      s"""SELECT CAST(FLOOR(${worldXSql(lonSql)} * 64) AS INT) AS tx,
+            CAST(FLOOR(${worldYSql(latSql)} * 64) AS INT) AS ty,
+            COUNT(*) AS n
+          FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q10_docs_shape" ->
       """WITH docs AS (

@@ -1,0 +1,56 @@
+package graft.engine
+
+import graft.model.TileBytes
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * Tileset summary statistics (reference
+ * `util/TilesetSummaryStatistics.java`, `util/TileSizeStats.java`):
+ * mergeable per-zoom aggregates + global top-N biggest tiles + archive
+ * metadata. Classic partial-aggregation shapes — every one map-side
+ * combines before the shuffle.
+ */
+object TileStats {
+
+  /** Per-zoom size/feature statistics. */
+  def perZoom(tiles: Dataset[TileBytes]): DataFrame =
+    tiles.groupBy(col("z"))
+      .agg(
+        count(lit(1)).as("tiles"),
+        sum(length(col("bytes"))).as("total_bytes"),
+        min(length(col("bytes"))).as("min_bytes"),
+        max(length(col("bytes"))).as("max_bytes"),
+        sum(col("feature_count")).as("features"),
+        countDistinct(col("content_hash")).as("unique_tiles"))
+      .orderBy(col("z"))
+
+  /** Global top-N biggest tiles (bounded priority queue analog =
+    * orderBy + limit; Spark turns it into TakeOrdered). */
+  def topBiggest(tiles: Dataset[TileBytes], n: Int = 10): DataFrame =
+    tiles.select(col("z"), col("x"), col("y"), length(col("bytes")).as("bytes"))
+      .orderBy(col("bytes").desc, col("z"), col("x"), col("y"))
+      .limit(n)
+
+  /** Weighted average tile size by a (z, x, y, weight) traffic table
+    * (reference `util/TileWeights.java`): broadcast the weights. */
+  def weightedAvgSize(tiles: Dataset[TileBytes], weights: DataFrame): DataFrame =
+    tiles.join(broadcast(weights), Seq("z", "x", "y"), "left")
+      .select(length(col("bytes")).as("b"), coalesce(col("weight"), lit(1.0)).as("w"))
+      .agg((sum(col("b") * col("w")) / sum(col("w"))).as("weighted_avg_bytes"))
+
+  /** Content-dedup summary: how many tiles share identical bytes
+    * (ocean fills / repeated edges) — the mbtiles-compact ratio. */
+  def dedupStats(tiles: Dataset[TileBytes]): DataFrame =
+    tiles.groupBy(col("z"))
+      .agg(count(lit(1)).as("tiles"), countDistinct(col("content_hash")).as("unique"))
+      .withColumn("dedup_ratio", round(col("unique") / col("tiles"), 4))
+      .orderBy(col("z"))
+
+  /** Archive metadata JSON (tilejson-flavored). */
+  def metadataJson(tiles: Dataset[TileBytes], name: String, layers: Seq[String]): String = {
+    val zooms = tiles.agg(min(col("z")), max(col("z")), count(lit(1))).collect()(0)
+    s"""{"name":"$name","minzoom":${zooms.get(0)},"maxzoom":${zooms.get(1)},""" +
+      s""""tiles":${zooms.get(2)},"vector_layers":[${layers.map(l => s"""{"id":"$l"}""").mkString(",")}]}"""
+  }
+}

@@ -1,0 +1,194 @@
+package graft.functions
+
+import graft.geo.{Geo, GeomOps, Hilbert, Mercator, Simplify, TileCoord}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.locationtech.jts.geom.LineString
+
+/**
+ * The engine's scalar function surface as native Catalyst expressions.
+ * The hot projection math (world_x/world_y/tile ids/hilbert) implements
+ * `doGenCode`, so it inlines into whole-stage codegen exactly like a
+ * built-in (no UDF boxing); geometry ops over WKB wrap JTS behind
+ * `CodegenFallback` (still expression-level: null handling + columnar
+ * inputs, no ScalaUDF closure overhead).
+ *
+ * `register` exposes everything to SQL (`SELECT world_x(lon) ...`).
+ */
+object GeoFunctions {
+
+  case class WorldX(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      Mercator.worldX(v.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.geo.Mercator.worldX($c)")
+    override protected def withNewChildInternal(c: Expression): WorldX = copy(c)
+  }
+
+  case class WorldY(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      Mercator.worldY(v.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.geo.Mercator.worldY($c)")
+    override protected def withNewChildInternal(c: Expression): WorldY = copy(c)
+  }
+
+  /** Hilbert-ordered tile id of a lon/lat point at a zoom. */
+  case class TileIdExpr(lon: Expression, lat: Expression, zoom: Expression)
+      extends TernaryExpression {
+    override def first: Expression = lon
+    override def second: Expression = lat
+    override def third: Expression = zoom
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(lo: Any, la: Any, z: Any): Any =
+      TileCoord.hilbertIdOf(lo.asInstanceOf[Double], la.asInstanceOf[Double], z.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"graft.geo.TileCoord.hilbertIdOf($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
+  case class HilbertIndex(order: Expression, x: Expression, y: Expression)
+      extends TernaryExpression {
+    override def first: Expression = order
+    override def second: Expression = x
+    override def third: Expression = y
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(o: Any, xv: Any, yv: Any): Any =
+      Hilbert.xyToIndex(o.asInstanceOf[Int], xv.asInstanceOf[Int], yv.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"graft.geo.Hilbert.xyToIndex($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
+  /** Haversine meters between two lon/lat points (QuaternaryExpression
+    * gives null-safe codegen for free). */
+  case class MetersBetween(children: Seq[Expression]) extends Expression
+      with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = children.exists(_.nullable)
+    override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+      val vs = children.map(_.eval(input))
+      if (vs.contains(null)) null
+      else Mercator.metersBetween(
+        vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+    }
+    override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]) = copy(cs)
+  }
+
+  /** DP-simplify a WKB geometry (tolerance in input units). */
+  case class SimplifyDp(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(wkb: Any, tol: Any): Any = {
+      val g = Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])
+      Geo.toWkb(Simplify.dp(g, tol.asInstanceOf[Double]))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** st_* style geometry ops over WKB, one expression each. */
+  abstract class WkbUnary extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+  }
+
+  case class StCentroid(child: Expression) extends WkbUnary {
+    override protected def nullSafeEval(wkb: Any): Any =
+      Geo.toWkb(GeomOps.centroid(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  case class StPointOnSurface(child: Expression) extends WkbUnary {
+    override protected def nullSafeEval(wkb: Any): Any =
+      Geo.toWkb(GeomOps.pointOnSurface(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  case class StInnermostPoint(child: Expression) extends WkbUnary {
+    override protected def nullSafeEval(wkb: Any): Any =
+      Geo.toWkb(GeomOps.innermostPoint(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  case class StLineInterpolate(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(wkb: Any, ratio: Any): Any =
+      Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]) match {
+        case l: LineString => Geo.toWkb(GeomOps.pointAlongLine(l, ratio.asInstanceOf[Double]))
+        case other => Geo.toWkb(other.getCentroid)
+      }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+  case class StAreaMeters(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(wkb: Any): Any =
+      GeomOps.areaMeters(Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  case class StLengthMeters(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(wkb: Any): Any =
+      Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]) match {
+        case l: LineString => GeomOps.lineLengthMeters(l)
+        case _ => 0.0
+      }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+  case class StGeomFromText(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(wkt: Any): Any = {
+      val g = Geo.fromWktOrNull(wkt.toString)
+      if (g == null) null else Geo.toWkb(g)
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  // construction-time casts (AbstractDataType/ImplicitCastInputTypes are
+  // private[sql] in Spark 4, so coerce children explicitly)
+  private def d(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def i(e: Expression): Expression =
+    if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+
+  // Column wrappers
+  def world_x(lon: Column): Column = SqlBridge.col(WorldX(d(SqlBridge.expr(lon))))
+  def world_y(lat: Column): Column = SqlBridge.col(WorldY(d(SqlBridge.expr(lat))))
+  def tile_id(lon: Column, lat: Column, zoom: Column): Column =
+    SqlBridge.col(TileIdExpr(d(SqlBridge.expr(lon)), d(SqlBridge.expr(lat)), i(SqlBridge.expr(zoom))))
+  def hilbert_index(order: Column, x: Column, y: Column): Column =
+    SqlBridge.col(HilbertIndex(i(SqlBridge.expr(order)), i(SqlBridge.expr(x)), i(SqlBridge.expr(y))))
+  def meters_between(lon0: Column, lat0: Column, lon1: Column, lat1: Column): Column =
+    SqlBridge.col(MetersBetween(Seq(lon0, lat0, lon1, lat1).map(c => d(SqlBridge.expr(c)))))
+  def simplify_dp(wkb: Column, tol: Column): Column = SqlBridge.col(SimplifyDp(SqlBridge.expr(wkb), SqlBridge.expr(tol)))
+  def st_geomfromtext(wkt: Column): Column = SqlBridge.col(StGeomFromText(SqlBridge.expr(wkt)))
+  def st_centroid(wkb: Column): Column = SqlBridge.col(StCentroid(SqlBridge.expr(wkb)))
+  def st_point_on_surface(wkb: Column): Column = SqlBridge.col(StPointOnSurface(SqlBridge.expr(wkb)))
+  def st_innermost_point(wkb: Column): Column = SqlBridge.col(StInnermostPoint(SqlBridge.expr(wkb)))
+  def st_line_interpolate(wkb: Column, ratio: Column): Column =
+    SqlBridge.col(StLineInterpolate(SqlBridge.expr(wkb), SqlBridge.expr(ratio)))
+  def st_area_meters(wkb: Column): Column = SqlBridge.col(StAreaMeters(SqlBridge.expr(wkb)))
+  def st_length_meters(wkb: Column): Column = SqlBridge.col(StLengthMeters(SqlBridge.expr(wkb)))
+
+  /** Register all functions for SQL use. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("world_x", es => WorldX(d(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("world_y", es => WorldY(d(es.head)), "built-in")
+    reg.createOrReplaceTempFunction("tile_id", es => TileIdExpr(d(es(0)), d(es(1)), i(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("hilbert_index", es => HilbertIndex(i(es(0)), i(es(1)), i(es(2))), "built-in")
+    reg.createOrReplaceTempFunction("meters_between", es => MetersBetween(es.map(d)), "built-in")
+    reg.createOrReplaceTempFunction("simplify_dp", es => SimplifyDp(es(0), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("st_geomfromtext", es => StGeomFromText(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_centroid", es => StCentroid(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_point_on_surface", es => StPointOnSurface(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_innermost_point", es => StInnermostPoint(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_line_interpolate", es => StLineInterpolate(es(0), d(es(1))), "built-in")
+    reg.createOrReplaceTempFunction("st_area_meters", es => StAreaMeters(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_length_meters", es => StLengthMeters(es.head), "built-in")
+  }
+}
