@@ -31,15 +31,15 @@ object Profiler {
     time("sourceFeatures.count")(sf.count())
     val specs = sf.flatMap(profile.processFeature _)
     time("specs.count")(specs.count())
-    val rendered = Render.render(specs)
+    val rendered = Render.renderKv(specs, profile.layers)
     time("rendered.count")(println("rendered rows: " + rendered.count()))
     val cached = rendered.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     time("rendered.cache")(cached.count())
     val pre = TileAssembler.partialLabelGridLimit(cached)
     time("partialLimit.count")(pre.count())
     import org.apache.spark.sql.functions.col
-    val shuffled = pre.repartitionByRange(cpus, col("tile_id"))
-      .sortWithinPartitions(col("tile_id"), col("layer"), col("sort_key"), col("feature_id"))
+    val shuffled = pre.repartitionByRange(cpus, col("key"))
+      .sortWithinPartitions(col("key"), col("meta"), col("value"))
     time("rangeSort.count")(shuffled.count())
     val tiles = TileAssembler.assemble(cached, profile, cpus, gzipTiles = true, persistBeforeShuffle = false)
     time("assemble(total)")(println("tiles: " + tiles.count()))

@@ -30,6 +30,7 @@ object Pipeline {
     * the small-SF test runtime. */
   class GraftProfile(pointMaxZoom: Int = 8, lineMaxZoom: Int = 8, polyMaxZoom: Int = 7)
       extends Profile {
+    override val layers: IndexedSeq[String] = Vector("admin", "lines", "points")
     override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
       val geom = Geo.fromWkb(sf.geom)
       val world = Geo.latLonToWorld(geom)
@@ -64,13 +65,13 @@ object Pipeline {
    * arrives in thousands of splits and the extra shuffle is skipped.
    */
   def renderedFromDocs(docs: DataFrame, profile: Profile,
-                       rebalance: Int = 0): Dataset[Rendered] = {
+                       rebalance: Int = 0): Dataset[Kv] = {
     val spark = docs.sparkSession
     import spark.implicits._
     val balanced = if (rebalance > 0) docs.repartition(rebalance) else docs
     val sf = Docs.sourceFeatures(balanced)
     val specs = sf.flatMap(profile.processFeature _)
-    Render.render(specs)
+    Render.renderKv(specs, profile.layers)
   }
 
   /** Full pipeline: docs -> encoded tiles dataset. */

@@ -14,6 +14,10 @@ import org.locationtech.jts.geom.{Geometry, Point => JtsPoint, MultiPoint}
  */
 trait Profile extends Serializable {
   def processFeature(sf: SourceFeature): Iterator[FeatureSpec]
+  /** Declared output layers, in per-tile encode order. Layer ids pack
+    * into the shuffled row's meta long (<=255 layers, like the
+    * reference's one-byte layer interning `FeatureGroup.java:65`). */
+  def layers: IndexedSeq[String]
   /** Per-tile-layer post-process hook (merge, limit...), pure function. */
   def postProcessLayer(layer: String, zoom: Int,
                        features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] = features
@@ -35,6 +39,19 @@ object Render {
     val spark = specs.sparkSession
     import spark.implicits._
     specs.flatMap(renderOne _)
+  }
+
+  /** Render straight to the packed shuffle rows (no intermediate
+    * Rendered dataset — the flatMap emits `(key, meta, value)`). */
+  def renderKv(specs: Dataset[FeatureSpec], layers: IndexedSeq[String]): Dataset[Kv] = {
+    val spark = specs.sparkSession
+    import spark.implicits._
+    val layerIdx: Map[String, Int] = layers.zipWithIndex.toMap
+    specs.flatMap { spec =>
+      val id = layerIdx.getOrElse(spec.layer,
+        throw new IllegalArgumentException(s"undeclared layer ${spec.layer}"))
+      renderOne(spec).map(KvCodec.encode(_, id))
+    }
   }
 
   def renderOne(spec: FeatureSpec): Iterator[Rendered] = {

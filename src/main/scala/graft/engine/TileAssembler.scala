@@ -13,48 +13,42 @@ import scala.collection.mutable.ArrayBuffer
  * Spark shape (reference analog: external merge sort
  * `ExternalMergeSort.java` + tile writer `TileArchiveWriter.java`):
  *
- *   rendered
- *     .repartitionByRange($"tile_id")        // range shuffle on the
- *                                            // Hilbert id = the ONLY
- *                                            // global barrier
- *     .sortWithinPartitions(tile_id, layer, sort_key, feature_id)
- *     .mapPartitions(run-group consecutive tile_id -> encode tile)
+ *   kv rows (key=Hilbert tile id, meta=layer|sortKey|id, value=bytes)
+ *     .repartitionByRange($"key")          // THE shuffle
+ *     .sortWithinPartitions(key, meta, value)
+ *     .mapPartitions(run-group consecutive key -> encode tile)
  *
- * Every partition holds a contiguous, spatially-compact Hilbert range;
- * grouping is a streaming single-pass run-group (no hash shuffle —
- * reference does the same single-pass grouping on its sorted stream,
- * `FeatureGroup.java:339-378`). Partition index order == tile order, so
- * an ordered archive drain (mbtiles-style) is `toLocalIterator` over
- * already-sorted partitions, and a parallel files archive needs no
- * order at all.
+ * Sorting touches two longs (plus byte tie-break, mirroring the
+ * reference's `SortableFeature` unsigned-byte tie-break); every
+ * partition holds a contiguous, spatially-compact Hilbert range, so
+ * grouping is a streaming single-pass run-group (reference
+ * `FeatureGroup.java:339-378`) and partition order == tile order for
+ * the ordered archive drain.
  *
  * Skew: the label-grid limit is applied map-side BEFORE the shuffle as
- * a partial top-K (each input partition keeps at most `limit` rows per
- * (tile, layer, group) — keeping the first `limit` of a monotone
- * stream is a correct partial aggregation), then exactly after the
- * sort. Fill tiles arrive canonicalized (one identical row per tile)
- * from the slicer, so ocean-scale polygons cannot create hot keys.
+ * a partial top-K (bounded per-group heaps — keeping each group's K
+ * smallest sort keys per map partition is a correct partial
+ * aggregation), then exactly within the sorted run. Fill tiles arrive
+ * canonicalized from the slicer, so ocean-scale polygons cannot create
+ * hot keys.
  */
 object TileAssembler {
 
-  /** Map-side partial label-grid limit (safe pre-aggregation: the final
-    * per-group top-K only needs each group's K smallest sort keys, and
-    * each map partition independently keeps its K smallest). */
-  def partialLabelGridLimit(rendered: Dataset[Rendered]): Dataset[Rendered] = {
-    val spark = rendered.sparkSession
+  /** Map-side partial label-grid limit over the packed rows. */
+  def partialLabelGridLimit(kv: Dataset[Kv]): Dataset[Kv] = {
+    val spark = kv.sparkSession
     import spark.implicits._
-    rendered.mapPartitions { it =>
-      // STREAM rows without a group straight through (no buffering);
-      // hold bounded per-group heaps only for label-gridded rows.
-      val heaps = mutable.HashMap.empty[(Long, String, Long), mutable.PriorityQueue[Rendered]]
+    kv.mapPartitions { it =>
+      val heaps = mutable.HashMap.empty[(Long, Int, Long), mutable.PriorityQueue[Kv]]
       val grouped = it.filter { r =>
-        if (r.group == 0 || r.group_limit <= 0) true
+        val (group, limit) = KvCodec.peekGroup(r.value)
+        if (group == 0 || limit <= 0) true
         else {
-          val key = (r.tile_id, r.layer, r.group)
-          val heap = heaps.getOrElseUpdate(key,
-            mutable.PriorityQueue.empty[Rendered](Ordering.by(_.sort_key)))
+          val k = (r.key, KvCodec.layerId(r.meta), group)
+          val heap = heaps.getOrElseUpdate(k,
+            mutable.PriorityQueue.empty[Kv](Ordering.by(x => KvCodec.sortKey(x.meta))))
           heap += r
-          if (heap.size > r.group_limit) heap.dequeue() // drop largest sort_key
+          if (heap.size > limit) heap.dequeue() // drop largest sort_key
           false
         }
       }
@@ -62,28 +56,27 @@ object TileAssembler {
     }
   }
 
-  def assemble(rendered: Dataset[Rendered],
+  def assemble(kv: Dataset[Kv],
                profile: Profile,
                numPartitions: Int,
                gzipTiles: Boolean = true,
                lineage: Option[CollectionAccumulator[PartitionLineage]] = None,
-               persistBeforeShuffle: Boolean = true): Dataset[TileBytes] = {
-    val spark = rendered.sparkSession
+               persistBeforeShuffle: Boolean = false): Dataset[TileBytes] = {
+    val spark = kv.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
 
-    val pre0 = partialLabelGridLimit(rendered)
-    // repartitionByRange runs a SAMPLING job over its child to pick
-    // range bounds — without a persist that job re-executes the whole
-    // upstream render fan-out a second time. Persist the rendered rows
-    // once (serialized, spillable); at real scale this slot is the
-    // stage-boundary snapshot table instead.
+    val pre0 = partialLabelGridLimit(kv)
+    // repartitionByRange samples its child to pick bounds; persisting
+    // here trades memory for skipping one recompute of the render
+    // fan-out (at real scale this slot is the snapshot table).
     val pre = if (persistBeforeShuffle)
       pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     else pre0
     val sorted = pre
-      .repartitionByRange(numPartitions, col("tile_id"))
-      .sortWithinPartitions(col("tile_id"), col("layer"), col("sort_key"), col("feature_id"))
+      .repartitionByRange(numPartitions, col("key"))
+      .sortWithinPartitions(col("key"), col("meta"), col("value"))
+    val layers = profile.layers
 
     sorted.mapPartitions { it =>
       new Iterator[TileBytes] {
@@ -106,10 +99,10 @@ object TileAssembler {
         }
 
         override def next(): TileBytes = {
-          val tileId = peeked.head.tile_id
+          val tileId = peeked.head.key
           val feats = ArrayBuffer.empty[Rendered]
-          while (peeked.hasNext && peeked.head.tile_id == tileId) {
-            feats += peeked.next()
+          while (peeked.hasNext && peeked.head.key == tileId) {
+            feats += KvCodec.decode(peeked.next(), layers)
             partitionRows += 1
           }
           if (tileId < minKey) minKey = tileId
@@ -165,8 +158,8 @@ object TileAssembler {
   /**
    * Parallel files-archive sink: {out}/{z}/{x}/{y}.pbf (the reference's
    * `files/WriteableFilesArchive` is the one archive that declares
-   * concurrent-write support — the natural Spark sink; mbtiles/pmtiles
-   * ordered drains use `toLocalIterator` over the range-sorted result).
+   * concurrent-write support — the natural Spark sink; the ordered
+   * single-file drain is `ClusteredArchive`).
    */
   def writeFilesArchive(tiles: Dataset[TileBytes], outDir: String): Long = {
     tiles.mapPartitions { it =>
