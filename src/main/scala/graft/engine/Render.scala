@@ -60,9 +60,23 @@ object Render {
       catch { case _: Exception => null }
     if (geom == null || geom.isEmpty) Iterator.empty
     else {
-      // pack attrs ONCE; every emitted row shares the same byte array
-      val attrs = Attrs.pack(spec.attrs)
-      (spec.minzoom to spec.maxzoom).iterator.flatMap { z => renderAtZoom(spec, geom, z, attrs) }
+      // pack attrs ONCE per distinct zoom range (ZoomFunction unwrap:
+      // overrides merge in at their minzoom thresholds); every emitted
+      // row of a range shares the same byte array
+      val packedAt: Int => Array[Byte] =
+        if (spec.zoomAttrs.isEmpty) {
+          val base = Attrs.pack(spec.attrs)
+          _ => base
+        } else {
+          val cache = scala.collection.mutable.HashMap.empty[Int, Array[Byte]]
+          z => cache.getOrElseUpdate(
+            spec.zoomAttrs.takeWhile(_._1 <= z).length, // range index
+            Attrs.pack(spec.zoomAttrs.takeWhile(_._1 <= z)
+              .foldLeft(spec.attrs)((acc, o) => acc ++ o._2)))
+        }
+      (spec.minzoom to spec.maxzoom).iterator.flatMap { z =>
+        renderAtZoom(spec, geom, z, packedAt(z))
+      }
     }
   }
 

@@ -41,6 +41,10 @@ case class FeatureSpec(
     minzoom: Int,
     maxzoom: Int,
     attrs: Map[String, String],
+    /** Per-zoom attr overrides: (minzoom threshold -> attrs merged in
+      * from that zoom up), ascending — the ZoomFunction analog
+      * (reference `util/ZoomFunction.java`). */
+    zoomAttrs: Seq[(Int, Map[String, String])] = Seq.empty,
     bufferPx: Double = 4.0,
     minPixelSize: Double = 1.0,
     simplifyTolerancePx: Double = 0.0625, // 1/16 px default, like the reference

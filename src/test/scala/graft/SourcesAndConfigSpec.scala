@@ -1,0 +1,111 @@
+package graft
+
+import graft.dsl.ConfigProfile
+import graft.engine.{Docs, Mvt, Pipeline, WaySplitter}
+import graft.sources.GeoJson
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesAndConfigSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("geojson: all geometry types parse to JTS") {
+    val cases = Seq(
+      ("""{"type":"Point","coordinates":[1.5,2.5]}""", "Point"),
+      ("""{"type":"MultiPoint","coordinates":[[1,2],[3,4]]}""", "MultiPoint"),
+      ("""{"type":"LineString","coordinates":[[0,0],[1,1]]}""", "LineString"),
+      ("""{"type":"MultiLineString","coordinates":[[[0,0],[1,1]],[[2,2],[3,3]]]}""", "MultiLineString"),
+      ("""{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[2,1],[2,2],[1,2],[1,1]]]}""", "Polygon"),
+      ("""{"type":"MultiPolygon","coordinates":[[[[0,0],[1,0],[1,1],[0,0]]]]}""", "MultiPolygon"),
+      ("""{"type":"GeometryCollection","geometries":[{"type":"Point","coordinates":[0,0]}]}""", "GeometryCollection"))
+    cases.foreach { case (json, expected) =>
+      val g = GeoJson.parseGeometryJson(json)
+      assert(g.getGeometryType == expected, json)
+    }
+    val poly = GeoJson.parseGeometryJson(
+      """{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]],[[1,1],[2,1],[2,2],[1,2],[1,1]]]}""")
+    assert(math.abs(poly.getArea - 15.0) < 1e-9) // 16 - 1 hole
+  }
+
+  test("geojson reader: features -> docs -> full pipeline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gj").toString
+    val lines = Seq(
+      """{"type":"Feature","id":"a","geometry":{"type":"Point","coordinates":[10,20]},"properties":{"name":"alpha","kind":"poi"}}""",
+      """{"type":"FeatureCollection","features":[{"type":"Feature","geometry":{"type":"LineString","coordinates":[[0,0],[5,5]]},"properties":{"kind":"road"}}]}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in.jsonl"),
+      lines.mkString("\n").getBytes)
+    val docs = GeoJson.readFeatures(spark, s"$dir/in.jsonl")
+    val collected = docs.collect()
+    assert(collected.length == 2)
+    val a = collected.find(_.doc_id == "gj_a").get
+    assert(a.spans.exists(s => s.kind == "text" && s.text == "name=alpha"))
+    assert(a.spans.last.kind == "geom" && a.spans.last.text.startsWith("POINT"))
+    // run the standard pipeline over the geojson-sourced docs
+    val tiles = Pipeline.tiles(docs.toDF(), new Pipeline.GraftProfile(2, 2, 2), 2, gzipTiles = false)
+    assert(tiles.count() > 0)
+  }
+
+  test("config profile: filters, attr mappings, per-zoom attrs") {
+    val config =
+      """{
+        "layers": [
+          {"name": "pois", "geometry": "point", "minzoom": 2, "maxzoom": 6,
+           "filter": {"matchAny": {"field": "kind", "values": ["poi", "%shop%"]}},
+           "attrs": [{"key": "class", "tag": "kind"},
+                     {"key": "nm", "tag": "name", "minzoom": 5},
+                     {"key": "static", "value": "yes"}]},
+          {"name": "rest", "geometry": "any", "minzoom": 0, "maxzoom": 3,
+           "filter": {"not": {"matchField": "kind"}}}
+        ]
+      }"""
+    val profile = ConfigProfile.compile(config)
+    assert(profile.layers == Vector("pois", "rest"))
+
+    import graft.model.{Doc, Span}
+    val docs = Seq(
+      Doc("d1", Seq(Span("text", "name=cafe", null, 0), Span("text", "kind=poi", null, 1),
+        Span("geom", "POINT (10 10)", null, 2))),
+      Doc("d2", Seq(Span("geom", "POINT (20 20)", null, 0)))).toDF("doc_id", "spans")
+
+    // docs' tags come from the generic extraction (first text span), so
+    // build SourceFeatures manually for the config semantics
+    val sf1 = graft.model.SourceFeature("d1", "d",
+      graft.geo.Geo.toWkb(graft.geo.Geo.point(10, 10)),
+      Map("kind" -> "poi", "name" -> "cafe"), 1L)
+    val sf2 = graft.model.SourceFeature("d2", "d",
+      graft.geo.Geo.toWkb(graft.geo.Geo.point(20, 20)), Map.empty, 2L)
+
+    val specs1 = profile.processFeature(sf1).toSeq
+    assert(specs1.size == 1)
+    assert(specs1.head.layer == "pois")
+    assert(specs1.head.attrs == Map("class" -> "poi", "static" -> "yes"))
+    assert(specs1.head.zoomAttrs == Seq((5, Map("nm" -> "cafe"))))
+    val specs2 = profile.processFeature(sf2).toSeq
+    assert(specs2.map(_.layer) == Seq("rest"))
+
+    // per-zoom attrs materialize at the right zooms through render
+    val rendered = graft.engine.Render.renderOne(specs1.head
+      .copy(geom = graft.engine.Render.worldWkb(graft.geo.Geo.point(10, 10)))).toSeq
+    val z4 = rendered.filter(r => graft.geo.TileCoord.decodeHilbert(r.tile_id)._3 == 4)
+    val z5 = rendered.filter(r => graft.geo.TileCoord.decodeHilbert(r.tile_id)._3 == 5)
+    assert(z4.forall(r => !graft.engine.Attrs.unpack(r.attrs).contains("nm")))
+    assert(z5.forall(r => graft.engine.Attrs.unpack(r.attrs)("nm") == "cafe"))
+  }
+
+  test("way splitter: splits at shared interior nodes only") {
+    val ways = Seq(
+      (1L, Seq(10L, 11L, 12L, 13L)), // 12 shared with way 2 (interior)
+      (2L, Seq(20L, 12L, 21L)),
+      (3L, Seq(10L, 30L, 31L))) // 10 shared but only as ENDPOINT of 1 & 3
+      .toDF("way_id", "nodes")
+    val segs = WaySplitter.splitAtSharedNodes(ways)
+      .as[(Long, Int, Seq[Long])].collect().groupBy(_._1)
+    // way 1: split at node 12 -> [10,11,12], [12,13]
+    assert(segs(1L).map(_._3).toSeq == Seq(Seq(10L, 11L, 12L), Seq(12L, 13L)))
+    // way 2: split at its interior node 12 -> [20,12],[12,21]
+    assert(segs(2L).map(_._3).toSeq == Seq(Seq(20L, 12L), Seq(12L, 21L)))
+    // way 3: node 10 is an endpoint -> no split
+    assert(segs(3L).map(_._3).toSeq == Seq(Seq(10L, 30L, 31L)))
+  }
+}
