@@ -383,6 +383,44 @@ object SparkEntry {
         .orderBy(col("kind"))
     }),
 
+    "q33_tile_stats" -> ((s, dir) => {
+      // tileset summary statistics over the real pipeline output
+      // (rows-only: byte sizes are engine-specific)
+      val tiles = Pipeline.tiles(Docs.polygonDocs(s, dir),
+        new Pipeline.GraftProfile(6, 6, 6), 8, gzipTiles = false)
+      TileStats.perZoom(tiles)
+    }),
+
+    "q34_config_profile" -> ((s, dir) => {
+      // declarative JSON profile -> full pipeline (custommap analog)
+      val config =
+        """{"layers": [
+             {"name": "f_orders", "geometry": "point", "minzoom": 0, "maxzoom": 5,
+              "filter": {"matchAny": {"field": "text", "values": ["order F%"]}},
+              "attrs": [{"key": "t", "tag": "text"}]},
+             {"name": "routes", "geometry": "line", "minzoom": 4, "maxzoom": 5,
+              "filter": true}
+           ]}"""
+      val profile = graft.dsl.ConfigProfile.compile(config)
+      val tiles = Pipeline.tiles(Docs.docs(s, dir), profile, 8, gzipTiles = false)
+      tiles.groupBy(col("z"))
+        .agg(count(lit(1)).as("tiles"), sum(col("feature_count")).as("features"))
+        .orderBy(col("z"))
+    }),
+
+    "q35_parse_functions" -> ((s, dir) => {
+      // forgiving tag parsers (direction / meters / bool)
+      import graft.functions.Parse
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          Parse.direction(when(col("s_suppkey") % 3 === 0, "backward")
+            .when(col("s_suppkey") % 3 === 1, "yes").otherwise("none")).as("dir"),
+          Parse.meters(concat((col("s_suppkey") % 7).cast("string"),
+            when(col("s_suppkey") % 2 === 0, lit(" km")).otherwise(lit(" m")))).as("m"),
+          Parse.bool(when(col("s_suppkey") % 2 === 0, "yes").otherwise("0")).as("b"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---------- events: sessionization / windows ----------
 
     "q30_tumbling_window" -> ((s, dir) => {
@@ -584,6 +622,13 @@ object SparkEntry {
          SELECT CAST(FLOOR(distinct_tokens * 10.0 / tokens) AS BIGINT) AS uniq_decile,
                 COUNT(*) AS docs
          FROM d GROUP BY 1 ORDER BY 1""",
+
+    "q35_parse_functions" ->
+      """SELECT s_suppkey,
+           CAST(CASE s_suppkey % 3 WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS INT) AS dir,
+           CAST(s_suppkey % 7 AS DOUBLE) * (CASE WHEN s_suppkey % 2 = 0 THEN 1000 ELSE 1 END) AS m,
+           (s_suppkey % 2 = 0) AS b
+         FROM supplier ORDER BY s_suppkey""",
 
     "q30_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
