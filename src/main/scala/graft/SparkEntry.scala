@@ -593,7 +593,12 @@ object SparkEntry {
          FROM v GROUP BY 1 ORDER BY 1""",
 
     "q23_ngram_jaccard" ->
-      """WITH tok AS (SELECT doc_id AS id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t FROM documents),
+      """WITH tok AS (
+           SELECT id, UNNEST(sh) AS t FROM (
+             SELECT doc_id AS id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1] || ' ' || STRING_SPLIT(text, ' ')[i+2])) AS sh
+             FROM documents)),
          sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
          inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS c
            FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2)

@@ -35,13 +35,16 @@ object Dedup {
       .where(col("copies") > 1)
 
   /**
-   * Exact n-gram (token-set) Jaccard join: pairs with
-   * jaccard >= num/den (integer-exact comparison, no FP).
+   * Exact n-gram Jaccard join over `shingleN`-gram shingle sets: pairs
+   * with jaccard >= num/den (integer-exact comparison, no FP).
+   * Shingles (not unigrams) keep the posting lists selective — a
+   * small-vocabulary corpus would otherwise make the candidate join
+   * quadratic.
    */
-  def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int,
+  def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-        explode(array_distinct(Text.tokens(col(textCol)))).as("t"))
+        explode(Text.shingles(col(textCol), shingleN)).as("t"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))

@@ -52,13 +52,14 @@ object FeatureMerge {
   def mergeLineStrings(feats: Seq[Mvt.LayerFeature],
                        minLengthPx: Double = 0.0,
                        tolerancePx: Double = -1,
-                       stubMinPx: Double = 0.0): Seq[Mvt.LayerFeature] = {
+                       stubMinPx: Double = 0.0,
+                       mergeStrokes: Boolean = false): Seq[Mvt.LayerFeature] = {
     val pxToLocal = Mvt.Extent / 256.0 // 1 px = 16 extent units
     val (groups, rest) = groupByAttrs(feats, 2)
     rest ++ groups.flatMap { case (attrs, fs) =>
       val lines = fs.flatMap(f => Mvt.decodeCommands(2, f.commands).map(_._2))
         .filter(_.length >= 2)
-      val merged = stitch(lines, stubMinPx * pxToLocal)
+      val merged = stitch(lines, stubMinPx * pxToLocal, mergeStrokes)
         .filter(l => minLengthPx <= 0 || lineLength(l) >= minLengthPx * pxToLocal)
         .map { l =>
           if (tolerancePx < 0) l
@@ -87,8 +88,12 @@ object FeatureMerge {
   }
 
   /** Endpoint-graph stitching: join lines at shared endpoints where
-    * exactly two lines meet; then strip short stubs and re-join. */
-  private def stitch(lines0: Seq[Array[(Int, Int)]], stubMin: Double): Seq[Array[(Int, Int)]] = {
+    * exactly two lines meet; then strip short stubs and re-join; with
+    * `mergeStrokes`, additionally connect the straightest pairs at
+    * 3+-way junctions, largest angle first (reference
+    * `util/LoopLineMerger.java:121-225`, opt-in there too). */
+  private def stitch(lines0: Seq[Array[(Int, Int)]], stubMin: Double,
+                     mergeStrokes: Boolean = false): Seq[Array[(Int, Int)]] = {
     var lines = lines0.map(_.clone).toBuffer
     var changed = true
     def endpoints(l: Array[(Int, Int)]) = (l.head, l.last)
@@ -143,7 +148,62 @@ object FeatureMerge {
         joinPass()
       }
     }
+    if (mergeStrokes) {
+      // straightest-continuation pairs at 3+-degree junctions: compute
+      // the angle between each incident pair, sort descending (closest
+      // to a straight line first), greedily join disjoint pairs
+      var changedStrokes = true
+      while (changedStrokes) {
+        changedStrokes = false
+        val byEnd = mutable.HashMap.empty[(Int, Int), ArrayBuffer[Int]]
+        lines.indices.foreach { i =>
+          val l = lines(i)
+          byEnd.getOrElseUpdate(l.head, ArrayBuffer.empty) += i
+          if (l.last != l.head) byEnd.getOrElseUpdate(l.last, ArrayBuffer.empty) += i
+        }
+        val dead = mutable.HashSet.empty[Int]
+        byEnd.toSeq.filter(_._2.length >= 3).foreach { case (node, idxs0) =>
+          val idxs = idxs0.filterNot(dead).distinct
+          if (idxs.length >= 3) {
+            def dirInto(i: Int): Double = {
+              val l = lines(i)
+              val (a, b) = if (l.head == node) (l(1), l(0)) else (l(l.length - 2), l(l.length - 1))
+              math.atan2((b._2 - a._2).toDouble, (b._1 - a._1).toDouble)
+            }
+            val pairs = for {
+              ii <- idxs.indices; jj <- (ii + 1) until idxs.length
+            } yield {
+              val turn = math.abs(normAngle(dirInto(idxs(ii)) - dirInto(idxs(jj)) - math.Pi))
+              (idxs(ii), idxs(jj), turn)
+            }
+            val taken = mutable.HashSet.empty[Int]
+            pairs.sortBy(_._3).foreach { case (i, j, _) =>
+              if (!taken(i) && !taken(j) && !dead(i) && !dead(j) && i != j) {
+                var a = lines(i); var b = lines(j)
+                if (a.head == node) a = a.reverse
+                if (b.last == node) b = b.reverse
+                if (a.last == node && b.head == node) {
+                  lines(i) = a ++ b.drop(1)
+                  dead += j
+                  taken += i; taken += j
+                  changedStrokes = true
+                }
+              }
+            }
+          }
+        }
+        if (dead.nonEmpty) lines = lines.indices.filterNot(dead).map(lines).toBuffer
+        if (changedStrokes) joinPass()
+      }
+    }
     lines.toSeq
+  }
+
+  @inline private def normAngle(a0: Double): Double = {
+    var a = a0
+    while (a > math.Pi) a -= 2 * math.Pi
+    while (a < -math.Pi) a += 2 * math.Pi
+    a
   }
 
   /**

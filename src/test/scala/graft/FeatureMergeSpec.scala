@@ -47,6 +47,19 @@ class FeatureMergeSpec extends AnyFunSuite {
     assert(decodedLines(out.head).size == 3)
   }
 
+  test("opt-in stroke merging joins the straightest pair at a junction") {
+    val a = Map("k" -> "v")
+    val out = FeatureMerge.mergeLineStrings(Seq(
+      line(1, a, (0, 100), (100, 100)), // west arm
+      line(2, a, (100, 100), (200, 100)), // east arm (straight continuation)
+      line(3, a, (100, 100), (100, 0))), // south arm (perpendicular)
+      mergeStrokes = true)
+    val parts = decodedLines(out.head)
+    assert(parts.size == 2)
+    assert(parts.exists(p => p == Seq((0, 100), (100, 100), (200, 100)) ||
+      p == Seq((200, 100), (100, 100), (0, 100))), s"got $parts")
+  }
+
   test("simplification happens after merge (collinear join point dropped)") {
     val a = Map("k" -> "v")
     val out = FeatureMerge.mergeLineStrings(Seq(

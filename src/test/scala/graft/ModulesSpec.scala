@@ -22,14 +22,14 @@ class ModulesSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("canonical") == 1)
   }
 
-  test("ngram jaccard pairs: exact threshold") {
+  test("ngram jaccard pairs: exact threshold over 3-gram shingles") {
     val d = docs(
-      1L -> "a b c d e",
-      2L -> "a b c d f", // jaccard 4/6 = 0.667
+      1L -> "a b c d e", // shingles {abc, bcd, cde}
+      2L -> "a b c d f", // shingles {abc, bcd, cdf} -> jaccard 2/4 = 0.5
       3L -> "p q r s t")
-    val hi = Dedup.ngramJaccardPairs(d, 7, 10).collect() // >= 0.7: none
+    val hi = Dedup.ngramJaccardPairs(d, 6, 10).collect() // >= 0.6: none
     assert(hi.isEmpty)
-    val lo = Dedup.ngramJaccardPairs(d, 6, 10).collect() // >= 0.6: (1,2)
+    val lo = Dedup.ngramJaccardPairs(d, 5, 10).collect() // >= 0.5: (1,2)
     assert(lo.map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet == Set((1L, 2L)))
   }
 
