@@ -27,8 +27,11 @@ object Pipeline {
 
   /** Default profile: one layer per geometry family, zoom ranges sized
     * so the synthetic world renders a full pyramid without exploding
-    * the small-SF test runtime. */
-  class GraftProfile(pointMaxZoom: Int = 8, lineMaxZoom: Int = 8, polyMaxZoom: Int = 7)
+    * the small-SF test runtime. With `pip` set, every point feature is
+    * assigned its containing admin polygon (broadcast STRtree probe) —
+    * the north-star metric path is encode -> PIP join -> tile write. */
+  class GraftProfile(pointMaxZoom: Int = 8, lineMaxZoom: Int = 8, polyMaxZoom: Int = 7,
+                     pip: Option[SpatialJoin.PolygonIndex] = None)
       extends Profile {
     override val layers: IndexedSeq[String] = Vector("admin", "lines", "points")
     override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
@@ -36,7 +39,16 @@ object Pipeline {
       val world = Geo.latLonToWorld(geom)
       val id = math.abs(sf.doc_id.hashCode).toLong
       geom match {
-        case _: JtsPoint | _: MultiPoint =>
+        case p: JtsPoint =>
+          val c = p.getCoordinate
+          val adm = pip.flatMap(_.firstContaining(c.x, c.y)).map(_.id)
+          Iterator.single(FeatureSpec(
+            layer = "points", geom = Geo.toWkb(world), id = id,
+            sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = pointMaxZoom,
+            attrs = Map("text" -> sf.tags.getOrElse("text", "")) ++
+              adm.map("adm" -> _),
+            labelGridPixelSize = 64, labelGridLimit = 16))
+        case _: MultiPoint =>
           Iterator.single(FeatureSpec(
             layer = "points", geom = Geo.toWkb(world), id = id,
             sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = pointMaxZoom,
