@@ -1,0 +1,55 @@
+package graft
+
+import graft.engine.{Docs, Pipeline, Relations}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.util.concurrent.ConcurrentHashMap
+
+object ResilienceSpec {
+  // cross-task registry of partitions we already crashed once
+  val crashed = new ConcurrentHashMap[Int, Boolean]()
+}
+
+class ResilienceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("pipeline survives a task failure (executor-loss analog, lineage retry)") {
+    ResilienceSpec.crashed.clear()
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val profile = new Pipeline.GraftProfile(3, 3, 3)
+    val kv = Pipeline.renderedFromDocs(docs, profile, rebalance = 4)
+    // inject one crash per partition attempt 0 downstream of the render
+    val flaky = kv.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      if (TaskContext.get().attemptNumber() == 0 && pid == 1 &&
+        ResilienceSpec.crashed.putIfAbsent(pid, true) == null) {
+        throw new RuntimeException("injected task failure")
+      }
+      it
+    }
+    val tiles = graft.engine.TileAssembler.assemble(flaky, profile, 4, gzipTiles = false)
+    val n = tiles.count() // must succeed via task retry
+    // identical result to the non-flaky run
+    val clean = Pipeline.tiles(docs, profile, 4, gzipTiles = false).count()
+    assert(n == clean)
+  }
+
+  test("relation transitive closure with super-relations and a cycle") {
+    val memberships = Seq(
+      (10L, 100L), // way 10 in relation 100
+      (11L, 100L),
+      (100L, 200L), // relation 100 in super-relation 200
+      (200L, 300L), // and deeper
+      (300L, 200L)) // CYCLE 200 <-> 300
+      .toDF("member_id", "relation_id")
+    val closure = Relations.transitiveClosure(memberships, maxDepth = 10)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    // way 10 reaches 100, 200, 300
+    assert(closure.filter(_._1 == 10L).map(_._2) == Set(100L, 200L, 300L))
+    // cycle terminates: 200 reaches 300 and (via cycle) itself exactly once
+    assert(closure.filter(_._1 == 200L).map(_._2) == Set(300L, 200L))
+    assert(closure.filter(_._1 == 300L).map(_._2) == Set(200L, 300L))
+  }
+}
