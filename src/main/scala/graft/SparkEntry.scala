@@ -192,7 +192,7 @@ object SparkEntry {
       val sites = (0 until 25).map { i =>
         SpatialJoin.Site(f"site_$i%02d", (i % 5) * 72.0 - 144.0, (i / 5) * 34.0 - 68.0)
       }.toArray
-      SpatialJoin.nearestSite(pts, sites)
+      SpatialJoin.nearestSite(pts, sites, startRadius = 40.0)
         .groupBy(col("site_id"))
         .agg(count(lit(1)).as("points"))
         .orderBy(col("site_id"))

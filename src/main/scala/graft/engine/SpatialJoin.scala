@@ -153,7 +153,7 @@ object SpatialJoin {
   /** Nearest-site join: broadcast STRtree of sites, probe per partition. */
   def nearestSite(points: DataFrame, sites: Array[Site],
                   lonCol: String = "lon", latCol: String = "lat",
-                  maxRadius: Double = 360.0): DataFrame = {
+                  maxRadius: Double = 360.0, startRadius: Double = 8.0): DataFrame = {
     val spark = points.sparkSession
     val bcast = spark.sparkContext.broadcast(new SiteIndex(sites))
     val schema = org.apache.spark.sql.types.StructType(points.schema.fields :+
@@ -164,7 +164,7 @@ object SpatialJoin {
     points.mapPartitions { it =>
       val idx = bcast.value
       it.map { row =>
-        val hit = idx.nearest(row.getDouble(lonIdx), row.getDouble(latIdx), 1.0, maxRadius)
+        val hit = idx.nearest(row.getDouble(lonIdx), row.getDouble(latIdx), startRadius, maxRadius)
         org.apache.spark.sql.Row.fromSeq(row.toSeq :+ hit.map(_.id).orNull)
       }
     }(enc)
