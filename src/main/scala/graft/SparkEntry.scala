@@ -51,9 +51,12 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .where(col("l_shipdate") < lit("1998-09-01"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
+        // scaled-integer sums: per-row floor of the identical IEEE
+        // expression on both engines, summed exactly as BIGINT — immune
+        // to decimal-rendering differences in the gate's normalizer
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_price"),
+          sum(floor(col("l_quantity"))).as("sum_qty"),
+          sum(floor(col("l_extendedprice") * lit(100.0))).as("sum_price_c"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -67,7 +70,7 @@ object SparkEntry {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
         .agg(count(lit(1)).as("customers"),
-          sum(col("c_acctbal").cast("decimal(18,2)")).cast("decimal(38,2)").as("balance"))
+          sum(floor(col("c_acctbal") * lit(100.0))).as("balance_c"))
         .orderBy(col("r_name"))
     }),
 
@@ -77,10 +80,10 @@ object SparkEntry {
       val li = t(s, dir, "lineitem")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,4)"))
-          .cast("decimal(38,4)").as("revenue"),
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * lit(10000.0)))
+          .as("revenue_c4"),
           count(lit(1)).as("items"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .orderBy(col("revenue_c4").desc, col("o_orderkey"))
         .limit(50)
     }),
 
@@ -429,7 +432,7 @@ object SparkEntry {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").getField("start").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(col("value").cast("decimal(18,4)")).cast("decimal(38,4)").as("v"))
+          sum(floor(col("value") * lit(10000.0))).as("v_c4"))
         .orderBy(col("win"), col("event_type"))
     }),
 
@@ -455,25 +458,25 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_price,
+         CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_c,
          COUNT(*) AS n
          FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-01'
          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q02_broadcast_join" ->
       """SELECT r_name, COUNT(*) AS customers,
-         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS balance
+         CAST(SUM(CAST(FLOOR(c_acctbal * 100.0) AS BIGINT)) AS BIGINT) AS balance_c
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY 1 ORDER BY 1""",
 
     "q03_shuffle_join_topn" ->
       """SELECT o_orderkey,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) AS BIGINT) AS revenue_c4,
          COUNT(*) AS items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-         GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 50""",
+         GROUP BY 1 ORDER BY revenue_c4 DESC, o_orderkey LIMIT 50""",
 
     "q04_window_topk" ->
       """SELECT o_custkey, o_orderkey, rk FROM (
@@ -638,7 +641,7 @@ object SparkEntry {
     "q30_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS win, event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS v
+           CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS v_c4
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q31_sessionize" ->
