@@ -14,7 +14,6 @@ run / fork := true
 // Pass forked program output through UNPREFIXED: the bench/verify
 // mains print machine-readable JSON lines that downstream parsers read
 // from stdout; sbt's default logger would prepend "[info] ".
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

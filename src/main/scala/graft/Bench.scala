@@ -183,14 +183,23 @@ object Bench {
     // (the reference excludes download time the same way); a small
     // warmup run pays the JIT/codegen ramp, then best-of-2 timed runs
     // measure steady-state scan->render->shuffle->encode throughput.
-    tileJob(spark, "/root/testdata/sf0.001", cpus)
-    val (tiles, tileSec) = (1 to 2).map { _ =>
-      spark.sharedState.cacheManager.clearCache()
-      tileJob(spark, sfDir, cpus, preSplit = true)
-    }.minBy(_._2)
-    results += ("tiles_pipeline" -> tileSec)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val (tiles, tileSec) =
+      if (only.exists(!_.contains("tiles_pipeline"))) (0L, 1.0)
+      else {
+        tileJob(spark, "/root/testdata/sf0.001", cpus)
+        (1 to 2).map { _ =>
+          spark.sharedState.cacheManager.clearCache()
+          tileJob(spark, sfDir, cpus, preSplit = true)
+        }.minBy(_._2)
+      }
+    if (tiles > 0) results += ("tiles_pipeline" -> tileSec)
 
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q24_minhash_lsh,q25_simhash filters the query
+    // list (quick per-operator perf iteration)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch {

@@ -277,9 +277,10 @@ object SparkEntry {
     }),
 
     "q18_ann_lsh" -> ((s, dir) => {
-      // LSH-bucketed ANN (rows-only check: recall tradeoff is not
-      // SQL-expressible; determinism guaranteed by hash-based planes)
-      graft.ann.Ann.lshTopK(t(s, dir, "embeddings"), 0L to 9L, 5, planes = 4)
+      // multi-probe LSH ANN over deterministic literal hyperplanes —
+      // the oracle recomputes the same signatures from the same plane
+      // constants, so the approximate result is exactly checkable
+      graft.ann.Ann.lshTopK(t(s, dir, "embeddings"), 0L to 9L, 5, planes = 6)
         .orderBy(col("qid"), col("rank"))
     }),
 
@@ -332,41 +333,53 @@ object SparkEntry {
     }),
 
     "q24_minhash_lsh" -> ((s, dir) => {
-      // MinHash+LSH near-dup pairs, verified at jaccard >= 0.5 over
-      // 3-gram shingles (rows-only check: banding not SQL-expressible)
+      // MinHash+LSH near-dup pairs at jaccard >= 0.5 over 3-gram
+      // shingles. 32 bands x 2 rows: every qualifying pair in the
+      // corpus (all j >= 0.8) collides with p > 1 - 1e-14, so the
+      // LSH output equals the oracle's exact brute-force join.
       graft.dedup.Dedup.minhashLshPairs(t(s, dir, "documents"),
-          shingleN = 3, k = 64, bands = 16, num = 1, den = 2)
+          shingleN = 3, k = 64, bands = 32, num = 1, den = 2)
         .orderBy(col("da"), col("db"))
     }),
 
     "q25_simhash" -> ((s, dir) => {
-      // SimHash near-dups at hamming <= 6 via 4x16-bit pigeonhole
+      // SimHash near-dups at hamming <= 6: 7-block pigeonhole over the
+      // portable 60-bit signature — exact recall by construction, so
+      // the DuckDB brute-force oracle must match bit for bit
       graft.dedup.Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 6)
         .orderBy(col("da"), col("db"))
     }),
 
     "q26_embedding_dedup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs >= 0.95 via hyperplane buckets
-      graft.dedup.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), 0.95, planes = 4)
+      // embedding-cosine near-dup pairs >= 0.95 via 16x4 banded
+      // hyperplane LSH (miss probability < 1e-7 at the threshold);
+      // oracle is the exact all-pairs cosine join
+      graft.dedup.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), 0.95,
+          bands = 16, rowsPerBand = 4)
         .orderBy(col("da"), col("db"))
     }),
 
     "q27_lang_quality" -> ((s, dir) => {
-      // language-ID heuristic + quality score (model-ish heuristics:
-      // rows-only check)
+      // language-ID heuristic + quality deciles: tokenize ONCE, reuse
+      // the token array across every heuristic; decile computed from
+      // the raw (un-rounded) score so both engines floor the identical
+      // IEEE double
+      import graft.text.Text
       t(s, dir, "documents")
-        .select(graft.text.Text.langId(col("text")).as("lang_pred"),
-          floor(graft.text.Text.qualityScore(col("text")) * 10).cast("long").as("q_decile"))
+        .withColumn("toks", Text.tokens(col("text")))
+        .select(Text.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
+          floor(Text.qualityScoreRaw(col("text"), col("toks")) * 10).cast("long").as("q_decile"))
         .groupBy(col("lang_pred"), col("q_decile"))
         .agg(count(lit(1)).as("docs"))
         .orderBy(col("lang_pred"), col("q_decile"))
     }),
 
     "q28_fingerprint" -> ((s, dir) => {
-      // order-sensitive rolling-hash fingerprints: identical docs share
+      // order-sensitive rolling fingerprints (portable md5 chain —
+      // mirrored 1:1 by DuckDB list_reduce): identical docs share
       // fingerprints; distinct-count per source proves order sensitivity
       t(s, dir, "documents")
-        .select(col("source"), graft.text.Text.fingerprint(col("text")).as("fp"))
+        .select(col("source"), graft.text.Text.fingerprintPortable(col("text")).as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
         .orderBy(col("source"))
@@ -454,6 +467,16 @@ object SparkEntry {
         .orderBy(col("user_id"))
     })
   )
+
+  /** SQL literal for a double array (Double.toString round-trips). */
+  private def sqlArr(a: Array[Double]): String = a.mkString("[", ", ", "]")
+
+  /** Portable 60-bit token hash in DuckDB (mirror of Text.tokenHash60). */
+  private val tokenHash60Sql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split(substr(md5(t), 1, 15), ''),
+           c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+       (a, b) -> a * 16 + b)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -609,6 +632,148 @@ object SparkEntry {
          FROM inter JOIN sz sa ON sa.id = da JOIN sz sb ON sb.id = db
          WHERE c * 5 >= (sa.n + sb.n - c) * 4
          ORDER BY da, db""",
+
+    "q18_ann_lsh" -> {
+      // mirror Ann.lshTopK exactly: same literal planes, same sign
+      // signature, same hamming<=1 multi-probe, same rounded re-rank
+      val pm = graft.ann.Ann.planeMatrix(6, 64)
+      val sigSql = (0 until 6).map { i =>
+        s"(CASE WHEN list_dot_product(embedding::DOUBLE[], ${sqlArr(pm(i))}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e,
+              CAST($sigSql AS BIGINT) AS sig FROM embeddings),
+          q AS (SELECT id AS qid, e AS qe, sig AS qsig FROM v WHERE id < 10),
+          probes AS (SELECT qid, qe,
+              UNNEST([qsig, xor(qsig, 1), xor(qsig, 2), xor(qsig, 4),
+                      xor(qsig, 8), xor(qsig, 16), xor(qsig, 32)]) AS psig FROM q),
+          scored AS (SELECT qid, v.id AS neighbor,
+              ROUND(list_dot_product(qe, e) /
+                (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(e, e))), 6) AS cos
+            FROM probes JOIN v ON v.sig = probes.psig AND v.id != probes.qid),
+          r AS (SELECT qid, neighbor, cos,
+              CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS INT) AS rank
+            FROM scored)
+          SELECT qid, rank, neighbor, cos FROM r WHERE rank <= 5 ORDER BY qid, rank"""
+    },
+
+    "q19_ann_ivf" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+         cents AS (SELECT id AS cid, e AS ce FROM v
+                   ORDER BY (id * 2654435761) % 4294967296, id LIMIT 8),
+         dists AS (SELECT v.id, v.e, cid,
+             list_reduce(list_transform(generate_series(1, len(e)),
+               i -> (e[i] - ce[i]) * (e[i] - ce[i])), (a, b) -> a + b) AS d
+           FROM v CROSS JOIN cents),
+         asg AS (SELECT id, e, cid FROM (
+             SELECT id, e, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM dists) WHERE rn = 1),
+         probes AS (SELECT id AS qid, e AS qe, cid AS pcid FROM (
+             SELECT id, e, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM dists WHERE id < 10) WHERE rn <= 2),
+         scored AS (SELECT qid, asg.id AS neighbor,
+             ROUND(list_dot_product(qe, e) /
+               (SQRT(list_dot_product(qe, qe)) * SQRT(list_dot_product(e, e))), 6) AS cos
+           FROM probes JOIN asg ON asg.cid = probes.pcid AND asg.id != probes.qid),
+         r AS (SELECT qid, neighbor, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, neighbor) AS INT) AS rank
+           FROM scored)
+         SELECT qid, rank, neighbor, cos FROM r WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "q24_minhash_lsh" ->
+      """WITH tok AS (
+           SELECT id, UNNEST(sh) AS t FROM (
+             SELECT doc_id AS id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1] || ' ' || STRING_SPLIT(text, ' ')[i+2])) AS sh
+             FROM documents)),
+         sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2)
+         SELECT da, db, c, sa.n + sb.n - c AS u
+         FROM inter JOIN sz sa ON sa.id = da JOIN sz sb ON sb.id = db
+         WHERE c * 2 >= (sa.n + sb.n - c) * 1
+         ORDER BY da, db""",
+
+    "q25_simhash" ->
+      s"""WITH toks AS (
+            SELECT doc_id AS id, UNNEST(string_split_regex(text, '\\s+')) AS t
+            FROM documents),
+          th AS (SELECT id, $tokenHash60Sql AS h FROM toks),
+          bits AS (SELECT id, i, SUM((h >> i) & 1) AS cnt, COUNT(*) AS n
+            FROM th CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, 59)) AS i)
+            GROUP BY 1, 2),
+          sig AS (SELECT id,
+              CAST(SUM(CASE WHEN cnt * 2 > n THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS h
+            FROM bits GROUP BY 1)
+          SELECT a.id AS da, b.id AS db,
+                 CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+          FROM sig a JOIN sig b ON a.id < b.id
+          WHERE bit_count(xor(a.h, b.h)) <= 6
+          ORDER BY da, db""",
+
+    "q26_embedding_dedup" ->
+      """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
+         p AS (SELECT a.id AS da, b.id AS db,
+             ROUND(list_dot_product(a.e, b.e) /
+               (SQRT(list_dot_product(a.e, a.e)) * SQRT(list_dot_product(b.e, b.e))), 6) AS cos
+           FROM v a JOIN v b ON a.id < b.id)
+         SELECT da, db, cos FROM p WHERE cos >= 0.95 ORDER BY da, db""",
+
+    "q27_lang_quality" ->
+      """WITH d AS (SELECT text, string_split_regex(text, '\s+') AS toks FROM documents),
+         h AS (SELECT text, toks,
+             len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist','von','mit','für','auf','ein'))) AS h_de,
+             len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','in','is','that','for','with','a'))) AS h_en,
+             len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y','en','un','por','con','los'))) AS h_es,
+             len(list_filter(toks, x -> lower(x) IN ('le','la','et','les','des','en','un','du','une','est'))) AS h_fr
+           FROM d),
+         lp AS (SELECT text, toks,
+             GREATEST(h_de, h_en, h_es, h_fr) AS best_hits,
+             CASE WHEN h_fr = GREATEST(h_de, h_en, h_es, h_fr) THEN 'fr'
+                  WHEN h_es = GREATEST(h_de, h_en, h_es, h_fr) THEN 'es'
+                  WHEN h_en = GREATEST(h_de, h_en, h_es, h_fr) THEN 'en'
+                  ELSE 'de' END AS best_lang
+           FROM h),
+         scored AS (SELECT
+             CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+                  WHEN best_hits > 0 THEN best_lang
+                  ELSE 'und' END AS lang_pred,
+             CAST(FLOOR((
+               LEAST(CAST(len(toks) AS DOUBLE) / 64.0, 1.0) * 0.25 +
+               CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0) * 0.25 +
+               (CAST(LENGTH(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS DOUBLE) + 1.0) /
+                 (CAST(LENGTH(text) AS DOUBLE) + 1.0) * 0.25 +
+               (CASE WHEN (CAST(LENGTH(text) AS DOUBLE) + 1.0) / GREATEST(CAST(len(toks) AS DOUBLE), 1.0)
+                     BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.5 END) * 0.25
+             ) * 10) AS BIGINT) AS q_decile
+           FROM lp)
+         SELECT lang_pred, q_decile, COUNT(*) AS docs
+         FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q28_fingerprint" ->
+      """SELECT source, COUNT(*) AS docs,
+           COUNT(DISTINCT list_reduce(string_split_regex(text, '\s+'),
+             (a, b) -> md5(a || '|' || b))) AS distinct_fp
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "q29_media_features" ->
+      """WITH refs AS (
+           SELECT DISTINCT 'media://img/' || CAST(o_orderkey % 97 AS VARCHAR) AS ref FROM orders
+           UNION
+           SELECT DISTINCT 'media://trk/' || CAST(k % 89 AS VARCHAR)
+             FROM (SELECT l_orderkey AS k FROM lineitem GROUP BY 1 HAVING COUNT(*) >= 2)
+           UNION
+           SELECT DISTINCT 'media://adm/' || CAST(n_nationkey AS VARCHAR) FROM nation),
+         hc AS (SELECT ref,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(ref, ''), c -> CAST(unicode(c) AS BIGINT))),
+               (a, c) -> (((a * 31 + c + 2147483648) % 4294967296 + 4294967296) % 4294967296) - 2147483648) AS h
+           FROM refs),
+         k AS (SELECT ref,
+             CASE ABS(h | 1) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+           FROM hc)
+         SELECT kind, COUNT(*) AS n, CAST(16 AS INT) AS dim
+         FROM k GROUP BY 1 ORDER BY 1""",
 
     "q20_exact_dedup" ->
       """SELECT md5(text) AS h, COUNT(*) AS copies, MIN(doc_id) AS canonical

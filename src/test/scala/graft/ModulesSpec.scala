@@ -76,6 +76,64 @@ class ModulesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("neighbor") < 25))
   }
 
+  test("simhash pairs equal exact brute force (pigeonhole recall is total)") {
+    // docs engineered so some qualifying pairs differ in bits spread
+    // across many blocks — the r1 4-block scheme missed these
+    val d = docs((1L to 30L).map { i =>
+      val toks = (1 to 20).map(j => if (j % (i % 7 + 2) == 0) s"v${i}_$j" else s"base$j")
+      i -> toks.mkString(" ")
+    }: _*)
+    val lsh = Dedup.simhashPairs(d, maxHamming = 6).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    val sigs = Dedup.simhashSignatures(d).collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 6
+    } yield (ia, ib)).toSet
+    assert(lsh == brute)
+    assert(brute.nonEmpty, "fixture should produce at least one qualifying pair")
+  }
+
+  test("embedding cosine LSH finds planted near-dups (banded recall)") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val rows = (0 until 40).map { i =>
+      val v =
+        if (i < 10) base.map(x => x + 0.02f * rnd.nextGaussian().toFloat) // near-dups of each other
+        else Array.fill(16)(rnd.nextGaussian().toFloat)
+      (i.toLong, v.toSeq, 0)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Dedup.embeddingCosinePairs(emb, 0.95, bands = 16, rowsPerBand = 4).collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db"))).toSet
+    // exact brute force over the same fixture
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) * math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val brute = (for {
+      (ia, va, _) <- rows; (ib, vb, _) <- rows
+      if ia < ib && (math.rint(cos(va, vb) * 1e6) / 1e6) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty)
+    assert(got == brute)
+  }
+
+  test("TopKAggregator: partial heaps match global sort") {
+    val scored = (0 until 200).map(i => (i % 3L, i.toLong, (i * 37 % 100) / 100.0))
+      .toDF("qid", "neighbor", "cos")
+    val agg = org.apache.spark.sql.functions.udaf(new graft.ann.TopKAggregator(4))
+    val got = scored.repartition(8).groupBy(col("qid"))
+      .agg(agg(col("neighbor"), col("cos")).as("top")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getLong(0), x.getDouble(1)))).toMap
+    val exact = (0 until 200).map(i => (i % 3L, i.toLong, (i * 37 % 100) / 100.0))
+      .groupBy(_._1).map { case (q, xs) =>
+        q -> xs.map(x => (x._2, x._3)).sortBy { case (n, c) => (-c, n) }.take(4)
+      }
+    assert(got == exact)
+  }
+
   test("language id: stopword heuristic picks the right profile") {
     val d = Seq(
       (1L, "the cat and the dog ran to the house with a friend"),
