@@ -83,8 +83,8 @@ object Bench {
     val mz = if (maxZoom > 0) maxZoom else sys.env.getOrElse("SPARK_GRAFT_MAXZOOM", "11").toInt
     // the north-star metric path is encode -> PIP join -> tile write:
     // every point is assigned its admin polygon via the broadcast index
-    val polys = Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).collect()
-      .map(f => SpatialJoin.Poly(f.doc_id, f.geom, f.tags))
+    val polys = SpatialJoin.collectPolys(
+      Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF())
     val profile = new Pipeline.GraftProfile(pointMaxZoom = mz, lineMaxZoom = mz,
       polyMaxZoom = math.min(7, mz),
       pip = Some(new SpatialJoin.PolygonIndex(polys)))

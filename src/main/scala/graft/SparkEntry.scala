@@ -174,9 +174,8 @@ object SparkEntry {
         val c = Geo.fromWkb(f.geom).getCoordinate
         (f.doc_id, c.x, c.y)
       }.toDF("doc_id", "lon", "lat")
-      val polys = Docs.sourceFeatures(Docs.polygonDocs(s, dir)).collect().map { f =>
-        SpatialJoin.Poly(f.doc_id, f.geom, f.tags)
-      }
+      val polys = SpatialJoin.collectPolys(
+        Docs.sourceFeatures(Docs.polygonDocs(s, dir)).toDF())
       SpatialJoin.pointInPolygon(pts, polys, left = true)
         .groupBy(col("poly_id"))
         .agg(count(lit(1)).as("points"))

@@ -26,7 +26,11 @@ object KvCodec {
   val SortKeyBias = 1 << 21 // sortKey in [-2^21, 2^21)
 
   def packMeta(layerId: Int, sortKey: Int, featureId: Long): Long = {
-    val sk = (sortKey + SortKeyBias) & 0x3fffff
+    // clamp to the representable range (the reference clamps to
+    // SORT_KEY_MIN/MAX the same way) — without it an out-of-range key
+    // silently wraps and inverts in-layer ordering
+    val clamped = math.min(math.max(sortKey, -SortKeyBias), SortKeyBias - 1)
+    val sk = (clamped + SortKeyBias) & 0x3fffff
     (layerId.toLong & 0xff) << 54 | sk.toLong << 32 | (featureId & 0xffffffffL)
   }
 

@@ -100,8 +100,13 @@ object Pipeline {
    */
   def checkpoint[T](ds: Dataset[T], dir: String)(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val spark = ds.sparkSession
-    val marker = new java.io.File(dir, "_SUCCESS")
-    if (!marker.exists()) {
+    // probe through the Hadoop FileSystem API so the _SUCCESS marker
+    // check honors the path's scheme (hdfs://, s3a://, ...) — a
+    // java.io.File probe always reports false off the local FS and the
+    // snapshot would be recomputed on every resume
+    val path = new org.apache.hadoop.fs.Path(dir, "_SUCCESS")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
       ds.write.mode("overwrite").parquet(dir)
     }
     spark.read.parquet(dir).as[T]

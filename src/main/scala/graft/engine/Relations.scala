@@ -35,8 +35,8 @@ object Relations {
           col("member_id") === col("km") && col("ancestor_id") === col("ka"), "left_anti")
         .distinct()
         .localCheckpoint(eager = true) // truncate the growing lineage
-      val n = next.count()
-      if (n == 0) done = true
+      // emptiness probe, not a full count — one row decides the fixpoint
+      if (next.isEmpty) done = true
       else {
         closure = closure.unionByName(next)
         frontier = next

@@ -104,7 +104,11 @@ object Render {
         val cells = pxPerWorld / spec.labelGridPixelSize
         val gx = math.floor(c.x * cells).toLong
         val gy = math.floor(c.y * cells).toLong
-        (gx << 32) ^ (gy & 0xffffffffL) | 1L // never 0 so "has group" is group != 0
+        // lossless pack: gx/gy fit 30 bits at any zoom<=22 with >=64px
+        // cells; bit 0 is a constant 1 so "has group" is group != 0
+        // (the previous `| 1L` over gy's low bit merged vertically
+        // adjacent cells into one group)
+        (gx << 33) | ((gy & 0xffffffffL) << 1) | 1L
       } else 0L
 
     TileSlicer.slice(simplified, z, spec.bufferPx).map { s =>

@@ -83,6 +83,26 @@ object SpatialJoin {
    * Returns probe columns + polygon id/attrs. Inner join (unmatched
    * probes dropped) or left (poly_id null).
    */
+  /** Cap on the broadcast polygon side: like any broadcast join, the
+    * build side must fit in executor memory. Callers with a bigger
+    * polygon layer should tile-partition it first. */
+  val MaxBroadcastPolys = 2000000
+
+  /** Collect a polygon DataFrame (doc_id, geom WKB, tags) into the
+    * broadcastable form, refusing unboundedly large sides — keeps the
+    * `collect()` behind one guarded door instead of in every caller. */
+  def collectPolys(polysDf: DataFrame,
+                   idCol: String = "doc_id", geomCol: String = "geom",
+                   tagsCol: String = "tags"): Array[Poly] = {
+    val rows = polysDf.select(col(idCol), col(geomCol), col(tagsCol))
+      .limit(MaxBroadcastPolys + 1).collect()
+    require(rows.length <= MaxBroadcastPolys,
+      s"polygon side exceeds $MaxBroadcastPolys rows — too large to broadcast; " +
+        "tile-partition the polygon layer and use a partitioned join instead")
+    rows.map(r => Poly(r.getString(0), r.getAs[Array[Byte]](1),
+      r.getAs[Map[String, String]](2)))
+  }
+
   def pointInPolygon(points: DataFrame, polys: Array[Poly],
                      lonCol: String = "lon", latCol: String = "lat",
                      left: Boolean = false): DataFrame = {

@@ -85,11 +85,18 @@ object TileGeom {
       case mp: MultiPolygon =>
         fromPolys((0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon]))
       case gc: GeometryCollection =>
-        // keep the highest-dimension parts (matches reference behavior
-        // of extracting the relevant geometry type after overlay ops)
-        val polys = (0 until gc.getNumGeometries).map(gc.getGeometryN)
-          .collect { case p: Polygon => p; case mp: MultiPolygon =>
-            return fromJts(mp) }
+        // keep ALL polygonal members (recursively) and encode them
+        // together — returning just the first MultiPolygon member would
+        // silently drop sibling Polygons after overlay ops
+        def collectPolys(g: Geometry): Seq[Polygon] = g match {
+          case p: Polygon => Seq(p)
+          case mp: MultiPolygon =>
+            (0 until mp.getNumGeometries).map(mp.getGeometryN(_).asInstanceOf[Polygon])
+          case c: GeometryCollection =>
+            (0 until c.getNumGeometries).flatMap(i => collectPolys(c.getGeometryN(i)))
+          case _ => Seq.empty
+        }
+        val polys = collectPolys(gc)
         if (polys.nonEmpty) fromPolys(polys) else None
       case _ => None
     }
