@@ -399,11 +399,16 @@ object SparkEntry {
     }),
 
     "q33_tile_stats" -> ((s, dir) => {
-      // tileset summary statistics over the real pipeline output
-      // (rows-only: byte sizes are engine-specific)
+      // per-zoom tile/feature counts over the REAL pipeline output
+      // (slice -> shuffle -> assemble); the oracle re-derives the same
+      // counts arithmetically from the admin-rectangle tile cover with
+      // the engine's buffered-clip + extent-4096 quantization rule.
+      // (Byte-size stats stay in TileStats.perZoom — engine-specific.)
       val tiles = Pipeline.tiles(Docs.polygonDocs(s, dir),
         new Pipeline.GraftProfile(6, 6, 6), 8, gzipTiles = false)
-      TileStats.perZoom(tiles)
+      tiles.groupBy(col("z"))
+        .agg(count(lit(1)).as("tiles"), sum(col("feature_count")).as("features"))
+        .orderBy(col("z"))
     }),
 
     "q34_config_profile" -> ((s, dir) => {
@@ -413,7 +418,7 @@ object SparkEntry {
              {"name": "f_orders", "geometry": "point", "minzoom": 0, "maxzoom": 5,
               "filter": {"matchAny": {"field": "text", "values": ["order F%"]}},
               "attrs": [{"key": "t", "tag": "text"}]},
-             {"name": "routes", "geometry": "line", "minzoom": 4, "maxzoom": 5,
+             {"name": "routes", "geometry": "line", "minzoom": 2, "maxzoom": 3,
               "filter": true}
            ]}"""
       val profile = graft.dsl.ConfigProfile.compile(config)
@@ -807,6 +812,59 @@ object SparkEntry {
            COUNT(*) AS n,
            CAST(SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS v_c4
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q33: the admin layer is a 5x5 grid of rectangles; a tile at zoom z
+    // carries a feature iff the rect clipped to the tile's buffered box
+    // (buf = 4px/256 = 0.015625 tiles) has nonzero area after rounding
+    // to extent-4096 ints (math.round == FLOOR(x+0.5)); x wraps, y clamps.
+    "q33_tile_stats" -> {
+      val wy = (latSql: String) =>
+        s"(0.5 - 0.25 * ln((1 + sin(radians($latSql))) / (1 - sin(radians($latSql)))) / pi())"
+      s"""WITH zs AS (SELECT UNNEST(GENERATE_SERIES(0, 6)) AS z),
+          rect AS (SELECT n_nationkey AS pid,
+            (((n_nationkey % 5) * 72.0 - 180.0) + 180.0) / 360.0 AS wx0,
+            ((((n_nationkey % 5) * 72.0 - 180.0) + 72.0) + 180.0) / 360.0 AS wx1,
+            ${wy("(FLOOR(n_nationkey / 5) * 34.0 - 85.0) + 34.0")} AS wy0,
+            ${wy("FLOOR(n_nationkey / 5) * 34.0 - 85.0")} AS wy1
+           FROM nation),
+          txs AS (SELECT UNNEST(GENERATE_SERIES(-1, 64)) AS tx),
+          tys AS (SELECT UNNEST(GENERATE_SERIES(0, 63)) AS ty),
+          cov AS (
+           SELECT z, pid, ((tx % (1 << z)) + (1 << z)) % (1 << z) AS wx, ty
+           FROM rect, zs, txs, tys
+           WHERE tx >= FLOOR(wx0 * (1 << z) - 0.015625)
+             AND tx <= FLOOR(wx1 * (1 << z) + 0.015625)
+             AND ty >= GREATEST(0, FLOOR(wy0 * (1 << z) - 0.015625))
+             AND ty <= LEAST((1 << z) - 1, FLOOR(wy1 * (1 << z) + 0.015625))
+             AND FLOOR((LEAST(wx1 * (1 << z), tx + 1 + 0.015625) - tx) * 4096 + 0.5)
+               > FLOOR((GREATEST(wx0 * (1 << z), tx - 0.015625) - tx) * 4096 + 0.5)
+             AND FLOOR((LEAST(wy1 * (1 << z), ty + 1 + 0.015625) - ty) * 4096 + 0.5)
+               > FLOOR((GREATEST(wy0 * (1 << z), ty - 0.015625) - ty) * 4096 + 0.5))
+          SELECT CAST(z AS INT) AS z,
+                 COUNT(DISTINCT (wx, ty)) AS tiles,
+                 CAST(COUNT(DISTINCT (pid, wx, ty)) AS BIGINT) AS features
+          FROM cov GROUP BY 1 ORDER BY 1"""
+    },
+
+    // q34: the config profile keeps point docs matching 'order F%' at
+    // z0-5; the routes layer (z2-3) is provably gated out by the 1px
+    // min-size rule (max line span incl. mercator y-stretch < 0.6px at
+    // z3), so the cover is the buffered point fan-out alone.
+    "q34_config_profile" ->
+      s"""WITH zs AS (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS z),
+          pts AS (SELECT o_orderkey AS k, ${worldXSql(lonSql)} AS wx, ${worldYSql(latSql)} AS wy
+                  FROM orders
+                  WHERE 'order ' || o_orderstatus || ' ' || o_orderpriority LIKE 'order F%'),
+          cand AS (
+           SELECT DISTINCT z, k,
+             ((tx % (1 << z)) + (1 << z)) % (1 << z) AS gx, ty
+           FROM pts, zs,
+             UNNEST([FLOOR(wx * (1 << z) - 0.015625), FLOOR(wx * (1 << z) + 0.015625)]) AS t1(tx),
+             UNNEST([FLOOR(wy * (1 << z) - 0.015625), FLOOR(wy * (1 << z) + 0.015625)]) AS t2(ty)
+           WHERE ty >= 0 AND ty <= (1 << z) - 1)
+          SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
+                 CAST(COUNT(*) AS BIGINT) AS features
+          FROM cand GROUP BY 1 ORDER BY 1""",
 
     "q31_sessionize" ->
       """WITH e AS (
