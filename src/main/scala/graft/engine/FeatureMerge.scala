@@ -1,6 +1,5 @@
 package graft.engine
 
-import graft.geo.Simplify
 import org.locationtech.jts.geom._
 import org.locationtech.jts.operation.buffer.BufferOp
 import scala.collection.mutable
@@ -14,11 +13,10 @@ import scala.collection.mutable.ArrayBuffer
  *
  * - mergeMultiPoint: same-attrs points -> one multipoint
  *   (`FeatureMerge.java:116-118`)
- * - mergeLineStrings: same-attrs lines -> stitched strokes via an
- *   endpoint-node graph (grid snap, degree-2 joins, stub stripping,
- *   min-length drop, DP simplify) — the LoopLineMerger behavior
- *   (`util/LoopLineMerger.java`) minus loop-breaking, which only
- *   affects degenerate ring roads at low zoom
+ * - mergeLineStrings: same-attrs lines -> merged strokes via the noded
+ *   edge graph in [[LineMerger]] (midpoint noding, degree-2 joins,
+ *   loop breaking, stub stripping, pinned-junction simplify, stroke
+ *   merge, min-length drop — full `util/LoopLineMerger.java` behavior)
  * - mergeNearbyPolygons: same-attrs polygons -> buffer(+d) ∪ union ∪
  *   buffer(-d) with JTS-failure fallbacks, min-area / min-hole-area
  *   filters (`FeatureMerge.java:291-513`)
@@ -43,167 +41,38 @@ object FeatureMerge {
   }
 
   /**
-   * Stitch connected same-attrs linestrings.
+   * Stitch connected same-attrs linestrings through the graph merger
+   * (noding at midpoint intersections, degree-2 chain merge, loop
+   * breaking, stub removal, pinned-junction simplify, optional stroke
+   * merge — the LoopLineMerger semantics).
    *
    * @param minLengthPx   drop merged strokes shorter than this (px)
-   * @param tolerancePx   DP simplify tolerance after merge (px)
+   * @param tolerancePx   DP simplify tolerance after merge (px); < 0 off
    * @param stubMinPx     strip dangling stubs shorter than this (px)
+   * @param loopMinPx     break loops shorter than this, keeping the
+   *                      shortest path between the loop endpoints (px)
    */
   def mergeLineStrings(feats: Seq[Mvt.LayerFeature],
                        minLengthPx: Double = 0.0,
                        tolerancePx: Double = -1,
                        stubMinPx: Double = 0.0,
+                       loopMinPx: Double = 0.0,
                        mergeStrokes: Boolean = false): Seq[Mvt.LayerFeature] = {
     val pxToLocal = Mvt.Extent / 256.0 // 1 px = 16 extent units
+    val params = LineMerger.Params(
+      minLength = minLengthPx * pxToLocal,
+      loopMinLength = loopMinPx * pxToLocal,
+      stubMinLength = stubMinPx * pxToLocal,
+      tolerance = if (tolerancePx < 0) -1 else tolerancePx * pxToLocal,
+      mergeStrokes = mergeStrokes)
     val (groups, rest) = groupByAttrs(feats, 2)
     rest ++ groups.flatMap { case (attrs, fs) =>
       val lines = fs.flatMap(f => Mvt.decodeCommands(2, f.commands).map(_._2))
         .filter(_.length >= 2)
-      val merged = stitch(lines, stubMinPx * pxToLocal, mergeStrokes)
-        .filter(l => minLengthPx <= 0 || lineLength(l) >= minLengthPx * pxToLocal)
-        .map { l =>
-          if (tolerancePx < 0) l
-          else {
-            val cs = l.map { case (x, y) => new Coordinate(x.toDouble, y.toDouble) }
-            Simplify.douglasPeucker(cs, tolerancePx * pxToLocal, ring = false)
-              .map(c => (math.round(c.x).toInt, math.round(c.y).toInt))
-          }
-        }
-        .filter(_.length >= 2)
+      val merged = LineMerger.merge(lines, params).filter(_.length >= 2)
       if (merged.isEmpty) None
       else Some(Mvt.LayerFeature(fs.head.id, 2, Mvt.encodeLines(merged), attrs))
     }
-  }
-
-  private def lineLength(pts: Array[(Int, Int)]): Double = {
-    var len = 0.0
-    var i = 0
-    while (i < pts.length - 1) {
-      val dx = (pts(i + 1)._1 - pts(i)._1).toDouble
-      val dy = (pts(i + 1)._2 - pts(i)._2).toDouble
-      len += math.sqrt(dx * dx + dy * dy)
-      i += 1
-    }
-    len
-  }
-
-  /** Endpoint-graph stitching: join lines at shared endpoints where
-    * exactly two lines meet; then strip short stubs and re-join; with
-    * `mergeStrokes`, additionally connect the straightest pairs at
-    * 3+-way junctions, largest angle first (reference
-    * `util/LoopLineMerger.java:121-225`, opt-in there too). */
-  private def stitch(lines0: Seq[Array[(Int, Int)]], stubMin: Double,
-                     mergeStrokes: Boolean = false): Seq[Array[(Int, Int)]] = {
-    var lines = lines0.map(_.clone).toBuffer
-    var changed = true
-    def endpoints(l: Array[(Int, Int)]) = (l.head, l.last)
-
-    def joinPass(): Unit = {
-      changed = true
-      while (changed) {
-        changed = false
-        val byEnd = mutable.HashMap.empty[(Int, Int), ArrayBuffer[Int]]
-        lines.indices.foreach { i =>
-          val (a, b) = endpoints(lines(i))
-          byEnd.getOrElseUpdate(a, ArrayBuffer.empty) += i
-          if (b != a) byEnd.getOrElseUpdate(b, ArrayBuffer.empty) += i
-        }
-        val dead = mutable.HashSet.empty[Int]
-        byEnd.foreach { case (node, idxs0) =>
-          val idxs = idxs0.filterNot(dead)
-          if (idxs.length == 2 && idxs(0) != idxs(1)) {
-            val i = idxs(0); val j = idxs(1)
-            var a = lines(i); var b = lines(j)
-            // orient a to END at node, b to START at node
-            if (a.head == node) a = a.reverse
-            if (b.last == node) b = b.reverse
-            if (a.last == node && b.head == node) {
-              lines(i) = a ++ b.drop(1)
-              dead += j
-              changed = true
-            }
-          }
-        }
-        if (dead.nonEmpty) {
-          lines = lines.indices.filterNot(dead).map(lines).toBuffer
-        }
-      }
-    }
-
-    joinPass()
-    if (stubMin > 0) {
-      // strip short dangling stubs (free endpoint on a short line) and
-      // re-join — mirrors the reference's stub removal iteration
-      val degree = mutable.HashMap.empty[(Int, Int), Int]
-      lines.foreach { l =>
-        degree(l.head) = degree.getOrElse(l.head, 0) + 1
-        degree(l.last) = degree.getOrElse(l.last, 0) + 1
-      }
-      val kept = lines.filterNot { l =>
-        lineLength(l) < stubMin &&
-          (degree(l.head) == 1 || degree(l.last) == 1)
-      }
-      if (kept.length != lines.length) {
-        lines = kept
-        joinPass()
-      }
-    }
-    if (mergeStrokes) {
-      // straightest-continuation pairs at 3+-degree junctions: compute
-      // the angle between each incident pair, sort descending (closest
-      // to a straight line first), greedily join disjoint pairs
-      var changedStrokes = true
-      while (changedStrokes) {
-        changedStrokes = false
-        val byEnd = mutable.HashMap.empty[(Int, Int), ArrayBuffer[Int]]
-        lines.indices.foreach { i =>
-          val l = lines(i)
-          byEnd.getOrElseUpdate(l.head, ArrayBuffer.empty) += i
-          if (l.last != l.head) byEnd.getOrElseUpdate(l.last, ArrayBuffer.empty) += i
-        }
-        val dead = mutable.HashSet.empty[Int]
-        byEnd.toSeq.filter(_._2.length >= 3).foreach { case (node, idxs0) =>
-          val idxs = idxs0.filterNot(dead).distinct
-          if (idxs.length >= 3) {
-            def dirInto(i: Int): Double = {
-              val l = lines(i)
-              val (a, b) = if (l.head == node) (l(1), l(0)) else (l(l.length - 2), l(l.length - 1))
-              math.atan2((b._2 - a._2).toDouble, (b._1 - a._1).toDouble)
-            }
-            val pairs = for {
-              ii <- idxs.indices; jj <- (ii + 1) until idxs.length
-            } yield {
-              val turn = math.abs(normAngle(dirInto(idxs(ii)) - dirInto(idxs(jj)) - math.Pi))
-              (idxs(ii), idxs(jj), turn)
-            }
-            val taken = mutable.HashSet.empty[Int]
-            pairs.sortBy(_._3).foreach { case (i, j, _) =>
-              if (!taken(i) && !taken(j) && !dead(i) && !dead(j) && i != j) {
-                var a = lines(i); var b = lines(j)
-                if (a.head == node) a = a.reverse
-                if (b.last == node) b = b.reverse
-                if (a.last == node && b.head == node) {
-                  lines(i) = a ++ b.drop(1)
-                  dead += j
-                  taken += i; taken += j
-                  changedStrokes = true
-                }
-              }
-            }
-          }
-        }
-        if (dead.nonEmpty) lines = lines.indices.filterNot(dead).map(lines).toBuffer
-        if (changedStrokes) joinPass()
-      }
-    }
-    lines.toSeq
-  }
-
-  @inline private def normAngle(a0: Double): Double = {
-    var a = a0
-    while (a > math.Pi) a -= 2 * math.Pi
-    while (a < -math.Pi) a += 2 * math.Pi
-    a
   }
 
   /**

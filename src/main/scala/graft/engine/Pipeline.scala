@@ -83,7 +83,13 @@ object Pipeline {
     val balanced = if (rebalance > 0) docs.repartition(rebalance) else docs
     val sf = Docs.sourceFeatures(balanced)
     val specs = sf.flatMap(profile.processFeature _)
-    Render.renderKv(specs, profile.layers)
+    // end-of-source flush (Profile.finish, reference Profile.java:226):
+    // extra features emitted once per declared source join the stream
+    val withFinish =
+      if (profile.sources.isEmpty) specs
+      else specs.unionByName(
+        spark.createDataset(profile.sources.flatMap(profile.finish).toSeq))
+    Render.renderKv(withFinish, profile.layers)
   }
 
   /** Full pipeline: docs -> encoded tiles dataset. */

@@ -21,6 +21,25 @@ trait Profile extends Serializable {
   /** Per-tile-layer post-process hook (merge, limit...), pure function. */
   def postProcessLayer(layer: String, zoom: Int,
                        features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] = features
+
+  /** Cross-layer tile post-process hook, dispatched BEFORE the
+    * per-layer pass (reference `Profile.java:148`, ordering
+    * `collection/FeatureGroup.java:558-571`): sees every layer of one
+    * tile at once and may move/merge/drop features across layers.
+    * Return the new layer map (missing layers are dropped). */
+  def postProcessTile(zoom: Int, x: Int, y: Int,
+                      tileLayers: Map[String, Seq[Mvt.LayerFeature]]): Map[String, Seq[Mvt.LayerFeature]] =
+    tileLayers
+
+  /** Declared input sources, used to dispatch [[finish]] once per
+    * source after its elements are processed (reference
+    * `Profile.java:226`). Empty = no finish dispatch. */
+  def sources: Seq[String] = Seq.empty
+
+  /** End-of-source flush: emit extra features after every element of
+    * `source` has been processed (the reference passes a feature
+    * consumer; here the returned specs join the render stream). */
+  def finish(source: String): Iterator[FeatureSpec] = Iterator.empty
 }
 
 /**

@@ -119,15 +119,14 @@ object TileAssembler {
   def encodeTile(tileId: Long, feats: Seq[Rendered], profile: Profile,
                  gzipTiles: Boolean): TileBytes = {
     val (x, y, z) = TileCoord.decodeHilbert(tileId)
-    val layers = ArrayBuffer.empty[(String, Seq[Mvt.LayerFeature])]
+    val rawLayers = ArrayBuffer.empty[(String, Seq[Mvt.LayerFeature])]
     var curLayer: String = null
     var curFeats: ArrayBuffer[Mvt.LayerFeature] = null
     // exact label-grid limit within the sorted run (streaming counters,
     // reference: `FeatureGroup.java:616-637`)
     var counters: mutable.HashMap[Long, Int] = null
-    var kept = 0
     def flush(): Unit = if (curLayer != null) {
-      layers += ((curLayer, profile.postProcessLayer(curLayer, z, curFeats.toSeq)))
+      rawLayers += ((curLayer, curFeats.toSeq))
     }
     feats.foreach { r =>
       if (r.layer != curLayer) {
@@ -144,13 +143,22 @@ object TileAssembler {
           counters(r.group) = c
           c <= r.group_limit
         }
-      if (keep) {
-        curFeats += Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs)
-        kept += 1
-      }
+      if (keep) curFeats += Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs)
     }
     flush()
-    val bytes0 = Mvt.encodeTile(layers.toSeq)
+    // cross-layer tile hook FIRST (may move features between layers),
+    // then the per-layer hook — same order as the reference
+    val afterTile = profile.postProcessTile(z, x, y, rawLayers.toMap)
+    // keep the profile's declared layer order; any new layers the hook
+    // introduced append in declaration-independent name order
+    val ordered =
+      profile.layers.filter(afterTile.contains) ++
+        afterTile.keys.filterNot(profile.layers.contains).toSeq.sorted
+    val layers = ordered.map { name =>
+      (name, profile.postProcessLayer(name, z, afterTile(name)))
+    }.filter(_._2.nonEmpty)
+    val kept = layers.map(_._2.size).sum
+    val bytes0 = Mvt.encodeTile(layers)
     val bytes = if (gzipTiles) Mvt.gzip(bytes0) else bytes0
     TileBytes(tileId, z, x, y, bytes, kept, Mvt.fnv1a64(bytes0))
   }

@@ -118,6 +118,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids.distinct.length == ids.length, "one output row per tile")
   }
 
+  test("postProcessTile moves features across layers before the per-layer pass") {
+    val docs = docsOf(
+      "doc_1" -> Seq(textSpan("a", 0), geomSpan("POINT (1 1)", 1)),
+      "adm_1" -> Seq(textSpan("b", 0), geomSpan("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))", 1)))
+    val profile = new Pipeline.GraftProfile(2, 2, 2) {
+      // move every point feature into the admin layer, tile-wide
+      override def postProcessTile(zoom: Int, x: Int, y: Int,
+          tl: Map[String, Seq[Mvt.LayerFeature]]): Map[String, Seq[Mvt.LayerFeature]] = {
+        val pts = tl.getOrElse("points", Nil)
+        val adm = tl.getOrElse("admin", Nil)
+        (tl - "points") + ("admin" -> (adm ++ pts))
+      }
+      // per-layer hook runs AFTER the tile hook: drop any point that is
+      // still in the points layer — if ordering were wrong, the moved
+      // point would be deleted and the geomType==1 assert below fails
+      override def postProcessLayer(layer: String, zoom: Int,
+          features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] =
+        if (layer == "points") Seq.empty else features
+    }
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    val decoded = tiles.flatMap(t => Mvt.decodeTile(t.bytes))
+    assert(decoded.nonEmpty)
+    assert(decoded.forall(_.layer == "admin"), "points layer should be gone")
+    assert(decoded.exists(_.geomType == 1), "moved point feature must survive")
+  }
+
+  test("Profile.finish emits end-of-source features into the stream") {
+    val docs = docsOf("doc_1" -> Seq(textSpan("a", 0), geomSpan("POINT (1 1)", 1)))
+    val profile = new Pipeline.GraftProfile(2, 2, 2) {
+      override def sources: Seq[String] = Seq("doc")
+      override def finish(source: String): Iterator[FeatureSpec] = {
+        // one synthetic marker point per finished source at lon/lat 0
+        val world = Render.worldWkb(Geo.fromWktOrNull("POINT (0 0)"))
+        Iterator.single(FeatureSpec(
+          layer = "points", geom = world, id = 999L, sortKey = 0,
+          minzoom = 0, maxzoom = 0, attrs = Map("text" -> s"finish:$source")))
+      }
+    }
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = 2, gzipTiles = false).collect()
+    val z0 = tiles.filter(_.z == 0).flatMap(t => Mvt.decodeTile(t.bytes))
+    assert(z0.exists(_.attrs.get("text").contains("finish:doc")),
+      s"finish feature missing; z0 attrs = ${z0.map(_.attrs).toSeq}")
+  }
+
   test("checkpoint resume: snapshot read-back equals computed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString + "/stage1"
