@@ -105,8 +105,10 @@ object FeatureMerge {
             shrunk
           } catch {
             case _: Exception =>
-              // JTS failure fallback chain like the reference: buffer(0)
-              try union(geoms.map(_.buffer(0)))
+              // escalation chain like the reference: snapAndFix each
+              // input (buffer(0) -> precision reduce -> GeometryFixer),
+              // then union; final fallback keeps the biggest input
+              try union(geoms.map(g => graft.geo.PolygonFixer.snapAndFix(g)))
               catch { case _: Exception => geoms.maxBy(_.getArea) }
           }
         val polys = extractPolygons(merged)

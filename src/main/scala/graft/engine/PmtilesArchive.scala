@@ -1,0 +1,288 @@
+package graft.engine
+
+import graft.model.TileBytes
+import org.apache.spark.sql.Dataset
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * PMTiles v3 archive — BYTE-COMPATIBLE with the published spec
+ * (https://github.com/protomaps/PMTiles, spec/v3; reference writer:
+ * `pmtiles/Pmtiles.java:29`, `pmtiles/WriteablePmtiles.java`), so the
+ * output opens in standard tooling.
+ *
+ * Layout: `[header 127B][gzipped root dir][zeros to 16384][tile data]
+ * [gzipped json metadata][gzipped leaf dirs]`.
+ *
+ * Spark shape: tiles arrive globally Hilbert-ordered from the range
+ * shuffle (our tile id scheme — cumulative 4^z zoom offsets + the
+ * rawrunprotected-variant Hilbert curve — is verified identical to the
+ * PMTiles tileId addressing), so the drain is a sequential
+ * `toLocalIterator` append: one writer, zero re-sort, `clustered=1`.
+ * Identical consecutive tiles coalesce into run-length entries;
+ * identical non-consecutive tiles (ocean fills) dedup via content hash.
+ */
+object PmtilesArchive {
+
+  val HeaderLen = 127
+  val InitSection = 16384
+  val Magic = "PMTiles"
+
+  /** Directory entry; `runLength` consecutive tile ids share one blob.
+    * `runLength == 0` marks a root entry pointing at a leaf directory. */
+  case class Entry(tileId: Long, offset: Long, length: Int, runLength: Int)
+
+  case class Header(
+      rootDirOffset: Long, rootDirLength: Long,
+      jsonMetadataOffset: Long, jsonMetadataLength: Long,
+      leafDirectoriesOffset: Long, leafDirectoriesLength: Long,
+      tileDataOffset: Long, tileDataLength: Long,
+      numAddressedTiles: Long, numTileEntries: Long, numTileContents: Long,
+      clustered: Boolean,
+      internalCompression: Byte, tileCompression: Byte, tileType: Byte,
+      minZoom: Byte, maxZoom: Byte,
+      minLonE7: Int, minLatE7: Int, maxLonE7: Int, maxLatE7: Int,
+      centerZoom: Byte, centerLonE7: Int, centerLatE7: Int) {
+
+    def toBytes: Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(HeaderLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(Magic.getBytes("UTF-8")) // 7 bytes
+      buf.put(3.toByte) // spec version
+      buf.putLong(rootDirOffset).putLong(rootDirLength)
+      buf.putLong(jsonMetadataOffset).putLong(jsonMetadataLength)
+      buf.putLong(leafDirectoriesOffset).putLong(leafDirectoriesLength)
+      buf.putLong(tileDataOffset).putLong(tileDataLength)
+      buf.putLong(numAddressedTiles).putLong(numTileEntries).putLong(numTileContents)
+      buf.put(if (clustered) 1.toByte else 0.toByte)
+      buf.put(internalCompression).put(tileCompression).put(tileType)
+      buf.put(minZoom).put(maxZoom)
+      buf.putInt(minLonE7).putInt(minLatE7).putInt(maxLonE7).putInt(maxLatE7)
+      buf.put(centerZoom).putInt(centerLonE7).putInt(centerLatE7)
+      buf.array()
+    }
+  }
+
+  object Header {
+    def fromBytes(b: Array[Byte]): Header = {
+      val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val magic = new Array[Byte](7)
+      buf.get(magic)
+      require(new String(magic, "UTF-8") == Magic, "not a PMTiles archive")
+      val version = buf.get()
+      require(version == 3, s"unsupported PMTiles version $version")
+      Header(
+        rootDirOffset = buf.getLong, rootDirLength = buf.getLong,
+        jsonMetadataOffset = buf.getLong, jsonMetadataLength = buf.getLong,
+        leafDirectoriesOffset = buf.getLong, leafDirectoriesLength = buf.getLong,
+        tileDataOffset = buf.getLong, tileDataLength = buf.getLong,
+        numAddressedTiles = buf.getLong, numTileEntries = buf.getLong,
+        numTileContents = buf.getLong,
+        clustered = buf.get() == 1,
+        internalCompression = buf.get(), tileCompression = buf.get(), tileType = buf.get(),
+        minZoom = buf.get(), maxZoom = buf.get(),
+        minLonE7 = buf.getInt, minLatE7 = buf.getInt,
+        maxLonE7 = buf.getInt, maxLatE7 = buf.getInt,
+        centerZoom = buf.get(), centerLonE7 = buf.getInt, centerLatE7 = buf.getInt)
+    }
+  }
+
+  // ---- directory codec (spec: count, delta ids, run lengths, lengths,
+  // offsets with 0 = contiguous-with-previous, else offset+1) ----
+
+  def directoryToBytes(entries: Seq[Entry]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(entries.length * 8 + 8)
+    def varint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      out.write(v.toInt)
+    }
+    varint(entries.length.toLong)
+    var lastId = 0L
+    entries.foreach { e => varint(e.tileId - lastId); lastId = e.tileId }
+    entries.foreach(e => varint(e.runLength.toLong))
+    entries.foreach(e => varint(e.length.toLong))
+    var last: Entry = null
+    entries.foreach { e =>
+      if (last != null && e.offset == last.offset + last.length) varint(0)
+      else varint(e.offset + 1)
+      last = e
+    }
+    out.toByteArray
+  }
+
+  def directoryFromBytes(bytes: Array[Byte]): Array[Entry] = {
+    var pos = 0
+    def varint(): Long = {
+      var v = 0L; var shift = 0; var more = true
+      while (more) {
+        val x = bytes(pos) & 0xff; pos += 1
+        v |= (x & 0x7fL) << shift; shift += 7; more = (x & 0x80) != 0
+      }
+      v
+    }
+    val n = varint().toInt
+    val ids = new Array[Long](n)
+    var acc = 0L
+    for (i <- 0 until n) { acc += varint(); ids(i) = acc }
+    val runs = Array.fill(n)(varint().toInt)
+    val lens = Array.fill(n)(varint().toInt)
+    val entries = new Array[Entry](n)
+    var lastOffset = 0L
+    var lastLen = 0
+    for (i <- 0 until n) {
+      val v = varint()
+      val off = if (v == 0) lastOffset + lastLen else v - 1
+      entries(i) = Entry(ids(i), off, lens(i), runs(i))
+      lastOffset = off; lastLen = lens(i)
+    }
+    entries
+  }
+
+  /** Root-only if it fits the init section, else split into gzipped
+    * leaves (same policy as the reference writer). */
+  private[graft] def makeDirectories(entries: Seq[Entry]): (Array[Byte], Array[Byte]) = {
+    if (entries.length < 16384) {
+      val rootOnly = Mvt.gzip(directoryToBytes(entries))
+      if (rootOnly.length < InitSection - HeaderLen) return (rootOnly, Array.emptyByteArray)
+    }
+    var leafSize = math.max(entries.length / 3500, 4096)
+    while (true) {
+      val rootEntries = ArrayBuffer.empty[Entry]
+      val leaves = new java.io.ByteArrayOutputStream()
+      var i = 0
+      while (i < entries.length) {
+        val end = math.min(i + leafSize, entries.length)
+        val leafBytes = Mvt.gzip(directoryToBytes(entries.slice(i, end)))
+        rootEntries += Entry(entries(i).tileId, leaves.size().toLong, leafBytes.length, 0)
+        leaves.write(leafBytes)
+        i = end
+      }
+      val root = Mvt.gzip(directoryToBytes(rootEntries.toSeq))
+      if (root.length < InitSection - HeaderLen) return (root, leaves.toByteArray)
+      leafSize = (leafSize * 1.2).toInt + 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /**
+   * Ordered single-writer drain: requires Hilbert-ordered input (the
+   * assembler's range shuffle provides it). Returns
+   * (addressedTiles, tileEntries, tileContents).
+   */
+  def write(tiles: Dataset[TileBytes], path: String,
+            metadataJson: String = """{"vector_layers":[]}""",
+            minZoom: Int = 0, maxZoom: Int = 15,
+            bounds: (Double, Double, Double, Double) = (-180, -85.05113, 180, 85.05113),
+            tilesGzipped: Boolean = true): (Long, Long, Long) = {
+    val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(0)
+    raf.seek(InitSection.toLong)
+
+    val entries = ArrayBuffer.empty[Entry]
+    val byHash = mutable.HashMap.empty[Long, (Long, Int)] // hash -> (offset, len)
+    var dataLen = 0L
+    var addressed = 0L
+    var contents = 0L
+    var lastId = Long.MinValue
+
+    tiles.toLocalIterator().forEachRemaining { t =>
+      require(t.tile_id > lastId, s"archive drain out of order: ${t.tile_id} after $lastId")
+      lastId = t.tile_id
+      addressed += 1
+      val last = entries.lastOption.orNull
+      byHash.get(t.content_hash) match {
+        case Some((off, len)) if len == t.bytes.length =>
+          if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id) {
+            entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
+          } else {
+            entries += Entry(t.tile_id, off, len, 1)
+          }
+        case _ =>
+          raf.write(t.bytes)
+          byHash(t.content_hash) = (dataLen, t.bytes.length)
+          entries += Entry(t.tile_id, dataLen, t.bytes.length, 1)
+          dataLen += t.bytes.length
+          contents += 1
+      }
+    }
+
+    val (root, leaves) = makeDirectories(entries.toSeq)
+    val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
+    raf.write(json)
+    raf.write(leaves)
+
+    val header = Header(
+      rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
+      jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
+      leafDirectoriesOffset = InitSection + dataLen + json.length,
+      leafDirectoriesLength = leaves.length.toLong,
+      tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
+      numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
+      numTileContents = contents,
+      clustered = true,
+      internalCompression = 2, // gzip
+      tileCompression = if (tilesGzipped) 2 else 1,
+      tileType = 1, // MVT
+      minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
+      minLonE7 = (bounds._1 * 1e7).toInt, minLatE7 = (bounds._2 * 1e7).toInt,
+      maxLonE7 = (bounds._3 * 1e7).toInt, maxLatE7 = (bounds._4 * 1e7).toInt,
+      centerZoom = minZoom.toByte,
+      centerLonE7 = (((bounds._1 + bounds._3) / 2) * 1e7).toInt,
+      centerLatE7 = (((bounds._2 + bounds._4) / 2) * 1e7).toInt)
+
+    raf.seek(0)
+    raf.write(header.toBytes)
+    raf.write(root)
+    raf.close()
+    (addressed, entries.length.toLong, contents)
+  }
+
+  /** Random-access reader over the v3 layout (root + optional leaves). */
+  final class Reader(path: String) extends AutoCloseable {
+    private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
+    val header: Header = Header.fromBytes(readAt(0, HeaderLen))
+    private val root: Array[Entry] =
+      directoryFromBytes(Mvt.gunzip(readAt(header.rootDirOffset, header.rootDirLength.toInt)))
+
+    private def readAt(offset: Long, len: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(len)
+      var read = 0
+      while (read < len) {
+        val k = ch.read(buf, offset + read)
+        require(k > 0, "short read")
+        read += k
+      }
+      buf.array()
+    }
+
+    def metadata: String =
+      new String(Mvt.gunzip(readAt(header.jsonMetadataOffset, header.jsonMetadataLength.toInt)), "UTF-8")
+
+    /** Find the last entry with tileId <= id (spec search order). */
+    private def find(entries: Array[Entry], id: Long): Option[Entry] = {
+      var lo = 0
+      var hi = entries.length - 1
+      var best: Entry = null
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (entries(mid).tileId <= id) { best = entries(mid); lo = mid + 1 }
+        else hi = mid - 1
+      }
+      Option(best)
+    }
+
+    def tile(id: Long): Option[Array[Byte]] =
+      find(root, id).flatMap { e =>
+        if (e.runLength == 0) { // leaf pointer
+          val leaf = directoryFromBytes(
+            Mvt.gunzip(readAt(header.leafDirectoriesOffset + e.offset, e.length)))
+          find(leaf, id).filter(l => id < l.tileId + l.runLength)
+            .map(l => readAt(header.tileDataOffset + l.offset, l.length))
+        } else if (id < e.tileId + e.runLength) {
+          Some(readAt(header.tileDataOffset + e.offset, e.length))
+        } else None
+      }
+
+    override def close(): Unit = ch.close()
+  }
+}

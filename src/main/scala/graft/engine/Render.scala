@@ -109,9 +109,21 @@ object Render {
       val spanPx = math.max(env.getWidth, env.getHeight) * pxPerWorld
       if (spanPx < spec.minPixelSize) return Iterator.empty
     }
-    val simplified =
+    val simplified0 =
       if (isPoint || spec.simplifyTolerancePx <= 0) geom
       else Simplify.dp(geom, spec.simplifyTolerancePx / pxPerWorld)
+    if (simplified0 == null || simplified0.isEmpty) return Iterator.empty
+    // polygons invalidated by simplification/source data go through the
+    // snapAndFixPolygon escalation chain at this zoom's grid resolution
+    // (reference `GeoUtils.java:315-399`); valid shapes pass untouched
+    val simplified =
+      if ((simplified0.isInstanceOf[org.locationtech.jts.geom.Polygon] ||
+           simplified0.isInstanceOf[org.locationtech.jts.geom.MultiPolygon]) &&
+          !simplified0.isValid) {
+        try graft.geo.PolygonFixer.snapAndFix(simplified0,
+          new org.locationtech.jts.geom.PrecisionModel(4096.0 * (1 << z)))
+        catch { case _: Exception => return Iterator.empty } // unrecoverable: drop
+      } else simplified0
     if (simplified == null || simplified.isEmpty) return Iterator.empty
 
     // label grid: quantize the feature's first point into a grid cell at

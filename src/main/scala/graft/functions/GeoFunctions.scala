@@ -139,6 +139,19 @@ object GeoFunctions {
       }
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
+  /** snapAndFixPolygon at a given precision scale (units per coord). */
+  case class StSnapFixPolygon(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(wkb: Any, scale: Any): Any = {
+      val g = Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])
+      try Geo.toWkb(graft.geo.PolygonFixer.snapAndFix(g,
+        new org.locationtech.jts.geom.PrecisionModel(scale.asInstanceOf[Double])))
+      catch { case _: Exception => null }
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
   case class StGeomFromText(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(wkt: Any): Any = {
@@ -172,6 +185,8 @@ object GeoFunctions {
   def st_line_interpolate(wkb: Column, ratio: Column): Column =
     SqlBridge.col(StLineInterpolate(SqlBridge.expr(wkb), SqlBridge.expr(ratio)))
   def st_area_meters(wkb: Column): Column = SqlBridge.col(StAreaMeters(SqlBridge.expr(wkb)))
+  def st_snap_fix_polygon(wkb: Column, scale: Column): Column =
+    SqlBridge.col(StSnapFixPolygon(SqlBridge.expr(wkb), d(SqlBridge.expr(scale))))
   def st_length_meters(wkb: Column): Column = SqlBridge.col(StLengthMeters(SqlBridge.expr(wkb)))
 
   /** Register all functions for SQL use. */
@@ -189,6 +204,7 @@ object GeoFunctions {
     reg.createOrReplaceTempFunction("st_innermost_point", es => StInnermostPoint(es.head), "built-in")
     reg.createOrReplaceTempFunction("st_line_interpolate", es => StLineInterpolate(es(0), d(es(1))), "built-in")
     reg.createOrReplaceTempFunction("st_area_meters", es => StAreaMeters(es.head), "built-in")
+    reg.createOrReplaceTempFunction("st_snap_fix_polygon", es => StSnapFixPolygon(es(0), d(es(1))), "built-in")
     reg.createOrReplaceTempFunction("st_length_meters", es => StLengthMeters(es.head), "built-in")
   }
 }

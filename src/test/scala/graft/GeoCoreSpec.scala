@@ -6,6 +6,46 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class GeoCoreSpec extends AnyFunSuite {
 
+  test("snapAndFixPolygon: valid input snaps and orients, stays valid") {
+    val g = Geo.fromWktOrNull(
+      "POLYGON ((0 0, 10.0001 0.00004, 10 10, 0 10.00003, 0 0))")
+    val fixed = PolygonFixer.snapAndFix(g, new org.locationtech.jts.geom.PrecisionModel(16.0))
+    assert(fixed.isValid)
+    assert(math.abs(fixed.getArea - 100.0) < 0.5)
+    // all coords on the 1/16 grid
+    assert(fixed.getCoordinates.forall(c =>
+      c.x * 16 == math.rint(c.x * 16) && c.y * 16 == math.rint(c.y * 16)))
+  }
+
+  test("snapAndFixPolygon: bowtie self-intersection becomes valid") {
+    // classic figure-eight: buffer(0) keeps the winding-consistent lobe
+    // (area 25) — same semantic as the reference's fixPolygon
+    val bowtie = Geo.fromWktOrNull("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    assert(!bowtie.isValid)
+    val fixed = PolygonFixer.snapAndFix(bowtie)
+    assert(fixed.isValid)
+    assert(math.abs(fixed.getArea - 25.0) < 1.0)
+  }
+
+  test("snapAndFixPolygon: duplicate/near-duplicate points collapse") {
+    val g = Geo.fromWktOrNull(
+      "POLYGON ((0 0, 0.001 0.001, 10 0, 10 10, 10 10, 0 10, 0 0))")
+    val fixed = PolygonFixer.snapAndFix(g, new org.locationtech.jts.geom.PrecisionModel(16.0))
+    assert(fixed.isValid)
+    val cs = fixed.getCoordinates
+    assert(cs.sliding(2).forall(p => p.length < 2 || !p(0).equals2D(p(1))))
+  }
+
+  test("snapAndFixPolygon: spike that collapses under snapping is repaired") {
+    // a sliver spike thinner than the grid: naive snap makes it
+    // degenerate, the reducer path must still produce a valid polygon
+    val g = Geo.fromWktOrNull(
+      "POLYGON ((0 0, 10 0, 10 10, 5.00001 10, 5 30, 4.99999 10, 0 10, 0 0))")
+    val fixed = PolygonFixer.snapAndFix(g, new org.locationtech.jts.geom.PrecisionModel(0.1))
+    assert(fixed.isValid)
+    assert(fixed.getArea > 50)
+  }
+
   test("mercator world coords roundtrip") {
     for (lon <- Seq(-179.9, -42.0, 0.0, 13.37, 179.9); lat <- Seq(-84.0, -45.0, 0.0, 43.7, 84.0)) {
       assert(math.abs(Mercator.lon(Mercator.worldX(lon)) - lon) < 1e-9)
