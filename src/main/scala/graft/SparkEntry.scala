@@ -441,6 +441,22 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q36_cel_attrs" -> ((s, dir) => {
+      // CEL-style inline computed attributes (the custommap `${...}`
+      // analog) evaluated as a Catalyst expression: string methods,
+      // arithmetic, ternary/coalesce, and compile-time constant folding
+      import graft.functions.ScriptFunctions.cel_eval
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          cel_eval(lit("${ feature.tags.name.replace('Supplier#', 'S') + '/' + string(feature.id % 7) }"),
+            map(lit("name"), col("s_name")), col("s_suppkey"), lit("supplier")).as("computed"),
+          cel_eval(lit("${ feature.id % 2 == 0 ? 'even' : coalesce(feature.tags.missing, 'odd') }"),
+            map(lit("name"), col("s_name")), col("s_suppkey"), lit("supplier")).as("branchy"),
+          cel_eval(lit("${ 8 * 24 - 2 }"),
+            map(lit("name"), col("s_name")), col("s_suppkey"), lit("supplier")).as("folded"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // ---------- events: sessionization / windows ----------
 
     "q30_tumbling_window" -> ((s, dir) => {
@@ -865,6 +881,13 @@ object SparkEntry {
           SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
                  CAST(COUNT(*) AS BIGINT) AS features
           FROM cand GROUP BY 1 ORDER BY 1""",
+
+    "q36_cel_attrs" ->
+      """SELECT s_suppkey,
+           REPLACE(s_name, 'Supplier#', 'S') || '/' || CAST(s_suppkey % 7 AS VARCHAR) AS computed,
+           CASE WHEN s_suppkey % 2 = 0 THEN 'even' ELSE 'odd' END AS branchy,
+           '190' AS folded
+         FROM supplier ORDER BY s_suppkey""",
 
     "q31_sessionize" ->
       """WITH e AS (

@@ -34,7 +34,12 @@ import org.locationtech.jts.geom.{LineString, MultiLineString, MultiPoint, Multi
  */
 object ConfigProfile {
 
-  case class AttrMapping(key: String, tag: Option[String], value: Option[String], minzoom: Int)
+  /** `value` starting with `${` compiles to an inline script (CEL
+    * analog, see [[Script]]); constants fold at parse time. */
+  case class AttrMapping(key: String, tag: Option[String], value: Option[String], minzoom: Int) {
+    val script: Option[Script.Compiled] =
+      value.filter(Script.isScript).map(Script.compile)
+  }
   case class LayerConfig(name: String, geometry: String, minzoom: Int, maxzoom: Int,
                          filter: Expr, attrs: Seq[AttrMapping],
                          labelGridSize: Double, labelGridLimit: Int)
@@ -119,7 +124,13 @@ object ConfigProfile {
     }
 
     private def resolve(sf: SourceFeature)(a: AttrMapping): Option[(String, String)] =
-      a.value.map(v => a.key -> v)
-        .orElse(a.tag.flatMap(t => sf.tags.get(t)).filter(_.nonEmpty).map(v => a.key -> v))
+      a.script match {
+        case Some(sc) =>
+          Option(sc.evalString(sf.tags, math.abs(sf.doc_id.hashCode).toLong, sf.source))
+            .map(v => a.key -> v)
+        case None =>
+          a.value.map(v => a.key -> v)
+            .orElse(a.tag.flatMap(t => sf.tags.get(t)).filter(_.nonEmpty).map(v => a.key -> v))
+      }
   }
 }

@@ -93,6 +93,51 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     assert(z5.forall(r => graft.engine.Attrs.unpack(r.attrs)("nm") == "cafe"))
   }
 
+  test("inline scripts: parse, eval, null propagation, constant fold") {
+    import graft.dsl.Script
+    def ev(s: String, tags: Map[String, String] = Map.empty, id: Long = 7, src: String = "osm") =
+      Script.compile(s).eval(tags, id, src)
+    assert(ev("${ 8 * 24 - 2 }") == 190L)
+    assert(ev("${ feature.tags.highway.replace('_link', '') }",
+      Map("highway" -> "motorway_link")) == "motorway")
+    assert(ev("${ feature.tags.missing }") == null)
+    assert(ev("${ coalesce(feature.tags.a, feature.tags.b, 'dflt') }", Map("b" -> "x")) == "x")
+    assert(ev("${ feature.id % 2 == 0 ? 'even' : 'odd' }", id = 4) == "even")
+    assert(ev("${ double(feature.tags.voltage) > 1000 }", Map("voltage" -> "1500")) == true)
+    assert(ev("${ feature.tags[\"weird key\"] }", Map("weird key" -> "v")) == "v")
+    assert(ev("${ has(feature.tags.x) }", Map("x" -> "1")) == true)
+    assert(ev("${ has(feature.tags.x) }") == false)
+    assert(ev("${ feature.source + ':' + string(feature.id) }") == "osm:7")
+    assert(ev("${ -3 + 2 * 5 }") == 7L)
+    assert(ev("${ (1 + 2) * 3.5 }") == 10.5)
+    // constant folding: node reduces to a literal at compile time
+    assert(Script.compile("${ 'a' + 'b' + 'c' }").node == Script.Lit("abc"))
+    assert(Script.compile("${ min(3, 1, 2) }").node == Script.Lit(1L))
+  }
+
+  test("config profile: computed attr scripts per feature") {
+    val config =
+      """{"layers": [
+           {"name": "pts", "geometry": "point", "minzoom": 0, "maxzoom": 2,
+            "filter": true,
+            "attrs": [
+              {"key": "norm", "value": "${ feature.tags.text.replace('order ', '') }"},
+              {"key": "konst", "value": "${ 2 + 3 }"},
+              {"key": "plain", "value": "static"}]}
+         ]}"""
+    val profile = ConfigProfile.compile(config)
+    val docs = Seq(
+      ("doc_1", Seq(graft.model.Span("text", "order F high", null, 0),
+        graft.model.Span("geom", "POINT (1 1)", null, 1)))
+    ).toDF("doc_id", "spans")
+    val tiles = Pipeline.tiles(docs, profile, 2, gzipTiles = false).collect()
+    val feats = tiles.flatMap(t => Mvt.decodeTile(t.bytes))
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.attrs("norm") == "F high"))
+    assert(feats.forall(_.attrs("konst") == "5"))
+    assert(feats.forall(_.attrs("plain") == "static"))
+  }
+
   test("way splitter: splits at shared interior nodes only") {
     val ways = Seq(
       (1L, Seq(10L, 11L, 12L, 13L)), // 12 shared with way 2 (interior)
