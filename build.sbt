@@ -1,4 +1,6 @@
 ThisBuild / scalaVersion := "2.13.17"
+ThisBuild / scalacOptions += "-encoding"
+ThisBuild / scalacOptions += "UTF-8"
 ThisBuild / version := "0.1.0"
 name := "planetilerspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

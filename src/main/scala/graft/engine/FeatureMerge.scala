@@ -76,6 +76,31 @@ object FeatureMerge {
   }
 
   /**
+   * Drop points farther than `maxBufferPx` outside the tile clip box —
+   * the reference's `maxPointBuffer` option (`FeatureMerge.java:678-695`,
+   * applied `FeatureGroup.java:422-442`): buffered copies of labels are
+   * kept for cross-tile rendering, but only within the renderer's real
+   * buffer need. Multipoints keep their surviving points; features with
+   * none left vanish.
+   */
+  def removePointsOutsideBuffer(feats: Seq[Mvt.LayerFeature],
+                                maxBufferPx: Double): Seq[Mvt.LayerFeature] = {
+    if (maxBufferPx < 0) return feats
+    val buf = maxBufferPx * (Mvt.Extent / 256.0)
+    val lo = -buf
+    val hi = Mvt.Extent + buf
+    feats.flatMap { f =>
+      if (f.geomType != 1) Some(f)
+      else {
+        val pts = Mvt.decodeCommands(1, f.commands).flatMap(_._2)
+          .filter { case (x, y) => x >= lo && x <= hi && y >= lo && y <= hi }
+        if (pts.isEmpty) None
+        else Some(f.copy(commands = Mvt.encodePoints(pts.toArray)))
+      }
+    }
+  }
+
+  /**
    * Merge overlapping/nearby same-attrs polygons.
    *
    * @param minDistPx     polygons closer than this merge (buffer +d/-d)

@@ -37,6 +37,15 @@ object KvCodec {
   def layerId(meta: Long): Int = ((meta >>> 54) & 0xff).toInt
   def sortKey(meta: Long): Int = (((meta >>> 32) & 0x3fffff) - SortKeyBias).toInt
 
+  /** Descending sort-key semantics (reference `setSortKeyDescending`):
+    * reflect the key inside the valid range so larger values order
+    * FIRST within a layer. Reflection (not negation) keeps the mapping
+    * a bijection over [-bias, bias). */
+  def descendingSortKey(sortKey: Int): Int = {
+    val clamped = math.min(math.max(sortKey, -SortKeyBias), SortKeyBias - 1)
+    -1 - clamped
+  }
+
   def encode(r: Rendered, layerId: Int): Kv = {
     val out = new java.io.ByteArrayOutputStream(
       16 + r.commands.length * 2 + r.attrs.length)

@@ -47,6 +47,41 @@ object TileStats {
       .withColumn("dedup_ratio", round(col("unique") / col("tiles"), 4))
       .orderBy(col("z"))
 
+  /**
+   * Per-layer attribute statistics from the feature specs (reference
+   * `util/LayerAttrStats.java`): every attr key's inferred MVT type and
+   * the zoom range it appears in. One partial-aggregating groupBy;
+   * conflicting types collapse to "String" like the reference.
+   */
+  def layerAttrStats(specs: Dataset[graft.model.FeatureSpec]): DataFrame = {
+    val typed = specs.toDF()
+      .select(col("layer"), col("minzoom"), col("maxzoom"), explode(col("attrs")))
+      .withColumn("typ",
+        when(col("value").rlike("^(true|false)$"), "Boolean")
+          .when(col("value").rlike("^-?\\d+(\\.\\d+)?$"), "Number")
+          .otherwise("String"))
+    typed.groupBy(col("layer"), col("key"))
+      .agg(
+        when(countDistinct(col("typ")) > 1, "String").otherwise(min(col("typ"))).as("type"),
+        min(col("minzoom")).as("minzoom"),
+        max(col("maxzoom")).as("maxzoom"))
+      .orderBy(col("layer"), col("key"))
+  }
+
+  /** tilejson `vector_layers` with per-attr fields + zoom ranges. */
+  def vectorLayersJson(attrStats: DataFrame): String = {
+    val rows = attrStats.collect()
+    val byLayer = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
+    byLayer.map { case (layer, rs) =>
+      val fields = rs.sortBy(_.getString(1)).map { r =>
+        s""""${r.getString(1)}":"${r.getString(2)}""""
+      }.mkString(",")
+      val mz = rs.map(_.getInt(3)).min
+      val xz = rs.map(_.getInt(4)).max
+      s"""{"id":"$layer","minzoom":$mz,"maxzoom":$xz,"fields":{$fields}}"""
+    }.mkString("[", ",", "]")
+  }
+
   /** Archive metadata JSON (tilejson-flavored). */
   def metadataJson(tiles: Dataset[TileBytes], name: String, layers: Seq[String]): String = {
     val zooms = tiles.agg(min(col("z")), max(col("z")), count(lit(1))).collect()(0)

@@ -178,6 +178,66 @@ object Simplify {
     else transform(geom, (c, ring) => visvalingamWhyatt(c, tolerance, weight, ring))
 
   /**
+   * Dual-midpoint (Chaikin) smoothing — reference
+   * `geo/DualMidpointSmoother.java:24-64`: each vertex is "cut" by
+   * replacing the segments around it with points at ratios `a` and `b`
+   * along each segment (0.25/0.75 = classic Chaikin corner cutting),
+   * repeated `iters` times. Rings stay closed; open lines keep their
+   * endpoints. `minOffset` stops early once no remaining vertex
+   * deviates more than that distance from the line between its
+   * neighbors (the chaikinToTolerance variant).
+   */
+  def dualMidpointSmooth(coords: Array[Coordinate], iters: Int,
+                         a: Double = 0.25, b: Double = 0.75,
+                         minOffset: Double = 0.0): Array[Coordinate] = {
+    var cur = coords
+    val minSq = minOffset * minOffset
+    var it = 0
+    var done = false
+    while (it < iters && !done && cur.length > 2) {
+      val closed = cur.head.equals2D(cur.last)
+      val last = cur.length - 1
+      val out = new ArrayBuffer[Coordinate](cur.length * 2)
+      // each interior VERTEX is "squashed" into the b-point of the
+      // incoming segment + the a-point of the outgoing one (unless it
+      // is already within the tolerance); endpoints stay (lines) or the
+      // closing vertex squashes too (rings)
+      def squash(p: Coordinate, v: Coordinate, n: Coordinate): Unit = {
+        if (minOffset > 0 && offsetSq(p, v, n) < minSq) out += v
+        else {
+          out += new Coordinate(p.x + (v.x - p.x) * b, p.y + (v.y - p.y) * b)
+          out += new Coordinate(v.x + (n.x - v.x) * a, v.y + (n.y - v.y) * a)
+        }
+      }
+      out += cur(0) // placeholder for rings, real start for lines
+      var i = 1
+      while (i < last) { squash(cur(i - 1), cur(i), cur(i + 1)); i += 1 }
+      if (closed) {
+        squash(cur(last - 1), cur(0), cur(1))
+        out(0) = out.last
+      } else out += cur(last)
+      if (out.length == cur.length) done = true // nothing squashed
+      cur = out.toArray
+      it += 1
+    }
+    cur
+  }
+
+  def chaikin(geom: Geometry, iters: Int): Geometry =
+    transform(geom, (c, _) => dualMidpointSmooth(c, iters))
+
+  /** squared distance of b from segment a-c. */
+  private def offsetSq(a: Coordinate, b: Coordinate, c: Coordinate): Double = {
+    val dx = c.x - a.x; val dy = c.y - a.y
+    val len2 = dx * dx + dy * dy
+    if (len2 == 0) { val ex = b.x - a.x; val ey = b.y - a.y; ex * ex + ey * ey }
+    else {
+      val cross = (b.x - a.x) * dy - (b.y - a.y) * dx
+      cross * cross / len2
+    }
+  }
+
+  /**
    * Midpoint smoothing (planetiler `geo/MidpointSmoother.java`): replace
    * each segment with its midpoint, iteratively.
    */

@@ -1,0 +1,172 @@
+package graft.sources
+
+import graft.geo.{Geo, RingAssembler}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.locationtech.jts.geom._
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * ESRI Shapefile reader (reference: `reader/ShapefileReader.java:44`,
+ * which delegates to GeoTools; this is a from-scratch parser of the
+ * PUBLIC shapefile spec — .shp geometry records + .dbf attributes —
+ * since the sandbox ships no GeoTools).
+ *
+ * Supported shapes: Null(0), Point(1), PolyLine(3), Polygon(5),
+ * MultiPoint(8) and their Z/M variants (Z/M ordinates skipped).
+ * Polygon rings nest by containment (outermost shells, odd-depth
+ * holes) via [[RingAssembler.polygonize]].
+ *
+ * Spark shape: one task per .shp file (the format caps a file at 2 GB,
+ * so per-file parallelism is the natural split — real datasets arrive
+ * as many shapefiles); bytes stream through the Hadoop FileSystem API
+ * so any scheme (file://, hdfs://, s3a://) works.
+ */
+object Shapefile {
+
+  case class ShpRow(path: String, record: Int, geom: Array[Byte], attrs: Map[String, String])
+  case class DbfField(name: String, typ: Char, length: Int)
+
+  /** Read one shapefile (or every .shp under a directory) into
+    * (path, record, geom WKB, attrs). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val shpPaths = listShp(spark, path)
+    require(shpPaths.nonEmpty, s"no .shp files under $path")
+    spark.createDataset(shpPaths)
+      .repartition(math.min(shpPaths.length, 64))
+      .flatMap { shp =>
+        val fs = new org.apache.hadoop.fs.Path(shp).getFileSystem(conf.value)
+        def slurp(p: String): Array[Byte] = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(hp)) Array.emptyByteArray
+          else {
+            val in = fs.open(hp)
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](1 << 16)
+              var n = in.read(buf)
+              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+              out.toByteArray
+            } finally in.close()
+          }
+        }
+        val geoms = parseShp(slurp(shp))
+        val base = shp.stripSuffix(".shp")
+        val (fields, records) = parseDbf(slurp(base + ".dbf"))
+        geoms.zipWithIndex.map { case ((recNo, g), i) =>
+          val attrs: Map[String, String] =
+            if (i < records.length) fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
+            else Map.empty
+          ShpRow(shp, recNo, if (g == null) Array.emptyByteArray else Geo.toWkb(g), attrs)
+        }
+      }.toDF()
+  }
+
+  private def listShp(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq(path)
+    else {
+      val it = fs.listStatus(p)
+      it.toSeq.map(_.getPath.toString).filter(_.endsWith(".shp")).sorted
+    }
+  }
+
+  // ---------------- .shp geometry records ----------------
+
+  /** Parse the .shp main file: Seq of (recordNumber, geometry|null). */
+  def parseShp(bytes: Array[Byte]): Seq[(Int, Geometry)] = {
+    require(bytes.length >= 100, "shp too short")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    require(bb.order(java.nio.ByteOrder.BIG_ENDIAN).getInt(0) == 9994, "bad .shp file code")
+    val fileLenBytes = bb.getInt(24).toLong * 2
+    val out = ArrayBuffer.empty[(Int, Geometry)]
+    var pos = 100
+    while (pos + 8 <= math.min(fileLenBytes, bytes.length)) {
+      bb.order(java.nio.ByteOrder.BIG_ENDIAN)
+      val recNo = bb.getInt(pos)
+      val contentLen = bb.getInt(pos + 4) * 2
+      val start = pos + 8
+      bb.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val shapeType = bb.getInt(start)
+      out += ((recNo, parseShape(bb, start, shapeType)))
+      pos = start + contentLen
+    }
+    out.toSeq
+  }
+
+  private def parseShape(bb: java.nio.ByteBuffer, start: Int, shapeType: Int): Geometry = {
+    val gf = Geo.factory
+    def d(off: Int) = bb.getDouble(start + off)
+    def i(off: Int) = bb.getInt(start + off)
+    shapeType match {
+      case 0 => null // null shape
+      case 1 | 11 | 21 => // Point / PointZ / PointM
+        gf.createPoint(new Coordinate(d(4), d(12)))
+      case 8 | 18 | 28 => // MultiPoint (+Z/M)
+        val n = i(36)
+        val pts = Array.tabulate(n)(k => new Coordinate(d(40 + 16 * k), d(48 + 16 * k)))
+        if (n == 1) gf.createPoint(pts(0)) else gf.createMultiPointFromCoords(pts)
+      case 3 | 13 | 23 | 5 | 15 | 25 => // PolyLine / Polygon (+Z/M)
+        val numParts = i(36)
+        val numPoints = i(40)
+        val partsOff = 44
+        val pointsOff = partsOff + 4 * numParts
+        val parts = Array.tabulate(numParts)(k => i(partsOff + 4 * k))
+        def part(k: Int): Array[Coordinate] = {
+          val from = parts(k)
+          val until = if (k + 1 < numParts) parts(k + 1) else numPoints
+          Array.tabulate(until - from)(j =>
+            new Coordinate(d(pointsOff + 16 * (from + j)), d(pointsOff + 16 * (from + j) + 8)))
+        }
+        val rings = (0 until numParts).map(part)
+        if (shapeType % 10 == 3) { // polyline family
+          val lines = rings.filter(_.length >= 2).map(gf.createLineString)
+          if (lines.length == 1) lines.head else gf.createMultiLineString(lines.toArray)
+        } else { // polygon family: nest rings by containment
+          RingAssembler.polygonize(rings.filter(_.length >= 4), gf)
+        }
+      case other => throw new IllegalArgumentException(s"unsupported shape type $other")
+    }
+  }
+
+  // ---------------- .dbf attribute records ----------------
+
+  /** Parse a dBase III .dbf: (fields, records as trimmed strings). */
+  def parseDbf(bytes: Array[Byte]): (Seq[DbfField], Seq[Array[String]]) = {
+    if (bytes.length < 32) return (Seq.empty, Seq.empty)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val numRecords = bb.getInt(4)
+    val headerSize = bb.getShort(8) & 0xffff
+    val recordSize = bb.getShort(10) & 0xffff
+    val fields = ArrayBuffer.empty[DbfField]
+    var off = 32
+    while (off < headerSize - 1 && bytes(off) != 0x0d) {
+      val nameEnd = (off until off + 11).find(bytes(_) == 0).getOrElse(off + 11)
+      val name = new String(bytes, off, nameEnd - off, "ISO-8859-1")
+      fields += DbfField(name, bytes(off + 11).toChar, bytes(off + 16) & 0xff)
+      off += 32
+    }
+    val records = ArrayBuffer.empty[Array[String]]
+    var pos = headerSize
+    var r = 0
+    while (r < numRecords && pos + recordSize <= bytes.length) {
+      if (bytes(pos) != 0x2a) { // skip deleted rows
+        val vals = new Array[String](fields.length)
+        var fo = pos + 1
+        fields.indices.foreach { fi =>
+          val f = fields(fi)
+          vals(fi) = new String(bytes, fo, f.length, "ISO-8859-1").trim
+          fo += f.length
+        }
+        records += vals
+      }
+      pos += recordSize
+      r += 1
+    }
+    (fields.toSeq, records.toSeq)
+  }
+}

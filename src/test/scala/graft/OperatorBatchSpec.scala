@@ -1,0 +1,131 @@
+package graft
+
+import graft.engine._
+import graft.geo.Simplify
+import graft.text.Language
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Coordinate
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-2 operator batch: i18n utilities, Chaikin
+  * smoothing, point-buffer filter, descending sort keys, layer attr
+  * stats, wikidata translations join. */
+class OperatorBatchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // non-ASCII fixtures via \u escapes (keeps the source file pure ASCII)
+  private val Aland = "\u00c5land" // A-ring
+  private val Oesterreich = "\u00d6sterreich" // O-umlaut
+  private val Zuerich = "Z\u00fcrich" // u-umlaut
+  private val Most = "\u043c\u043e\u0441\u0442" // cyrillic "most"
+  private val Moskva = "\u041c\u043e\u0441\u043a\u0432\u0430" // cyrillic "Moskva"
+  private val Tokyo = "\u6771\u4eac" // CJK "Tokyo"
+  private val Berlin_ru = "\u0411\u0435\u0440\u043b\u0438\u043d" // cyrillic "Berlin"
+
+  test("language: latin detection and latin/non-latin splitting") {
+    assert(Language.containsOnlyLatinCharacters("Zurich 1. Teil"))
+    assert(Language.containsOnlyLatinCharacters(s"$Aland $Oesterreich"))
+    assert(!Language.containsOnlyLatinCharacters(s"$Most $Moskva"))
+    assert(!Language.containsOnlyLatinCharacters(s"$Tokyo (Tokyo)"))
+    assert(Language.removeLatinCharacters(s"$Tokyo (Tokyo)") == Tokyo)
+    val nonLatinStripped = Language.removeNonLatinCharacters(s"$Tokyo (Tokyo)")
+    assert(nonLatinStripped == "(Tokyo)" || nonLatinStripped == "Tokyo")
+    // all-latin input leaves nothing -> null (reference isBlank -> null)
+    assert(Language.removeLatinCharacters("only latin") == null)
+    // no latin letters at all -> input passes through trimmed
+    assert(Language.removeLatinCharacters(" 12 34 ") == "12 34")
+  }
+
+  test("language: osm name tag validation and latin-name fallback") {
+    assert(Language.isValidOsmNameTag("name:en"))
+    assert(Language.isValidOsmNameTag("name:zh-Hant"))
+    assert(!Language.isValidOsmNameTag("name:left")) // 4-letter pseudo-lang
+    assert(!Language.isValidOsmNameTag("name:UN")) // capitalized qualifier
+    assert(!Language.isValidOsmNameTag("short_name"))
+    assert(Language.latinName(Map("name" -> "Berlin")).contains("Berlin"))
+    assert(Language.latinName(Map("name" -> Most, "name:en" -> "bridge")).contains("bridge"))
+    assert(Language.latinName(Map("name" -> Most, "int_name" -> "most")).contains("most"))
+    // latin-extended names are already latin (no transliteration needed)
+    assert(Language.latinName(Map("name" -> Zuerich)).contains(Zuerich))
+    assert(Language.transliterate(s"$Aland $Zuerich") == "Aland Zurich")
+  }
+
+  test("chaikin smoothing: vertex squashing, keeps endpoints") {
+    val line = Array(new Coordinate(0, 0), new Coordinate(10, 0), new Coordinate(10, 10))
+    val out = Simplify.dualMidpointSmooth(line, 1)
+    assert(out.head.equals2D(line.head) && out.last.equals2D(line.last))
+    assert(out.length == 4) // start, b-point, a-point, end
+    assert(out.exists(c => c.x == 7.5 && c.y == 0)) // 0.75 along first segment
+    assert(out.exists(c => c.x == 10 && c.y == 2.5)) // 0.25 along second
+    // tolerance stop: a straight line stops immediately
+    val straight = Array(new Coordinate(0, 0), new Coordinate(5, 0), new Coordinate(10, 0))
+    assert(Simplify.dualMidpointSmooth(straight, 10, minOffset = 0.5).length == 3)
+    // rings stay closed
+    val ring = Array(new Coordinate(0, 0), new Coordinate(10, 0), new Coordinate(10, 10),
+      new Coordinate(0, 10), new Coordinate(0, 0))
+    val rOut = Simplify.dualMidpointSmooth(ring, 2)
+    assert(rOut.head.equals2D(rOut.last))
+    assert(rOut.length > ring.length)
+  }
+
+  test("point-buffer filter drops far-outside points, keeps inner ones") {
+    val inside = Mvt.LayerFeature(1, 1, Mvt.encodePoints(Array((100, 100))), Array.empty)
+    val nearEdge = Mvt.LayerFeature(2, 1, Mvt.encodePoints(Array((-30, 200))), Array.empty) // ~2px out
+    val farOut = Mvt.LayerFeature(3, 1, Mvt.encodePoints(Array((-500, 200))), Array.empty) // >16px out
+    val multi = Mvt.LayerFeature(4, 1, Mvt.encodePoints(Array((50, 50), (-500, -500))), Array.empty)
+    val line = Mvt.LayerFeature(5, 2, Mvt.encodeLines(Seq(Array((-500, 0), (5000, 0)))), Array.empty)
+    val out = FeatureMerge.removePointsOutsideBuffer(
+      Seq(inside, nearEdge, farOut, multi, line), maxBufferPx = 4)
+    val ids = out.map(_.id)
+    assert(ids.contains(1L) && ids.contains(2L) && !ids.contains(3L))
+    assert(ids.contains(5L), "non-points untouched")
+    val m = out.find(_.id == 4L).get
+    assert(Mvt.decodeCommands(1, m.commands).flatMap(_._2) == Seq((50, 50)))
+  }
+
+  test("descending sort keys invert in-layer order and stay bijective") {
+    val keys = Seq(-5, -1, 0, 1, 42, 1000)
+    val metaAsc = keys.map(k => KvCodec.packMeta(1, k, 0L))
+    val metaDesc = keys.map(k => KvCodec.packMeta(1, KvCodec.descendingSortKey(k), 0L))
+    assert(metaAsc == metaAsc.sorted)
+    assert(metaDesc == metaDesc.sorted.reverse)
+    keys.foreach { k =>
+      val m = KvCodec.packMeta(1, KvCodec.descendingSortKey(k), 0L)
+      assert(KvCodec.descendingSortKey(KvCodec.sortKey(m)) == k)
+    }
+  }
+
+  test("layer attr stats: types inferred, conflicts collapse to String") {
+    import graft.model.FeatureSpec
+    val specs = Seq(
+      FeatureSpec("roads", Array.empty, 1, 0, 4, 9, Map("oneway" -> "true", "lanes" -> "2")),
+      FeatureSpec("roads", Array.empty, 2, 0, 6, 12, Map("lanes" -> "wide", "name" -> "A1")),
+      FeatureSpec("water", Array.empty, 3, 0, 0, 5, Map("depth" -> "1.5"))).toDS()
+    val stats = TileStats.layerAttrStats(specs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getString(2), r.getInt(3), r.getInt(4))).toMap
+    assert(stats(("roads", "oneway")) == (("Boolean", 4, 9)))
+    assert(stats(("roads", "lanes")) == (("String", 4, 12))) // Number vs String conflict
+    assert(stats(("roads", "name")) == (("String", 6, 12)))
+    assert(stats(("water", "depth")) == (("Number", 0, 5)))
+    val json = TileStats.vectorLayersJson(TileStats.layerAttrStats(specs))
+    assert(json.contains(""""id":"roads""""))
+    assert(json.contains(""""oneway":"Boolean""""))
+    assert(json.contains(""""minzoom":4"""))
+  }
+
+  test("wikidata translations broadcast-join fills missing name tags") {
+    import graft.model.SourceFeature
+    val feats = Seq(
+      SourceFeature("a", "osm", Array[Byte](1), Map("wikidata" -> "Q64", "name" -> "Berlin"), 1L),
+      SourceFeature("b", "osm", Array[Byte](1), Map("wikidata" -> "Q64", "name:de" -> "keep"), 2L),
+      SourceFeature("c", "osm", Array[Byte](1), Map("name" -> "nowhere"), 3L)).toDS()
+    val wd = Seq(("Q64", Map("de" -> "Berlin", "ru" -> Berlin_ru))).toDF("qid", "names")
+    val out = Wikidata.attachTranslations(feats, wd).collect().map(f => f.doc_id -> f.tags).toMap
+    assert(out("a")("name:de") == "Berlin")
+    assert(out("a")("name:ru") == Berlin_ru)
+    assert(out("b")("name:de") == "keep", "existing tags win")
+    assert(out("b")("name:ru") == Berlin_ru)
+    assert(out("c") == Map("name" -> "nowhere"))
+  }
+}

@@ -138,6 +138,105 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     assert(feats.forall(_.attrs("plain") == "static"))
   }
 
+  test("shapefile reader: points, polylines, polygons with holes, dbf attrs") {
+    import graft.sources.Shapefile
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    // ---- build a tiny .shp by hand (spec: 100B header + records) ----
+    def pointContent(x: Double, y: Double): Array[Byte] = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1).putDouble(x).putDouble(y).array()
+    }
+    def polyContent(shapeType: Int, parts: Seq[Array[(Double, Double)]]): Array[Byte] = {
+      val numPoints = parts.map(_.length).sum
+      val b = ByteBuffer.allocate(44 + 4 * parts.length + 16 * numPoints)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(shapeType)
+      b.putDouble(0).putDouble(0).putDouble(100).putDouble(100) // bbox (unused)
+      b.putInt(parts.length).putInt(numPoints)
+      var acc = 0
+      parts.foreach { p => b.putInt(acc); acc += p.length }
+      parts.foreach(_.foreach { case (x, y) => b.putDouble(x).putDouble(y) })
+      b.array()
+    }
+    def shpBytes(shapeType: Int, contents: Seq[Array[Byte]]): Array[Byte] = {
+      val total = 100 + contents.map(8 + _.length).sum
+      val b = ByteBuffer.allocate(total)
+      b.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994)
+      b.putInt(24, total / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, shapeType)
+      var pos = 100
+      contents.zipWithIndex.foreach { case (c, i) =>
+        b.order(ByteOrder.BIG_ENDIAN).putInt(pos, i + 1).putInt(pos + 4, c.length / 2)
+        var j = 0
+        while (j < c.length) { b.put(pos + 8 + j, c(j)); j += 1 }
+        pos += 8 + c.length
+      }
+      b.array()
+    }
+    def dbfBytes(fields: Seq[(String, Int)], rows: Seq[Seq[String]]): Array[Byte] = {
+      val recordSize = 1 + fields.map(_._2).sum
+      val headerSize = 32 + 32 * fields.length + 1
+      val b = ByteBuffer.allocate(headerSize + recordSize * rows.length + 1)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0, 3.toByte)
+      b.putInt(4, rows.length)
+      b.putShort(8, headerSize.toShort)
+      b.putShort(10, recordSize.toShort)
+      fields.zipWithIndex.foreach { case ((name, len), i) =>
+        val off = 32 + 32 * i
+        name.getBytes("ISO-8859-1").take(10).zipWithIndex.foreach { case (c, j) => b.put(off + j, c) }
+        b.put(off + 11, 'C'.toByte)
+        b.put(off + 16, len.toByte)
+      }
+      b.put(headerSize - 1, 0x0d.toByte)
+      rows.zipWithIndex.foreach { case (row, r) =>
+        val off = headerSize + r * recordSize
+        b.put(off, 0x20.toByte)
+        var fo = off + 1
+        fields.zip(row).foreach { case ((_, len), v) =>
+          val padded = v.padTo(len, ' ').take(len)
+          padded.getBytes("ISO-8859-1").zipWithIndex.foreach { case (c, j) => b.put(fo + j, c) }
+          fo += len
+        }
+      }
+      b.array()
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp")
+    // polygons: a 10x10 square with a 2x2 hole (shapefile: shell CW, hole CCW)
+    val shell = Array((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val hole = Array((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))
+    java.nio.file.Files.write(dir.resolve("polys.shp"),
+      shpBytes(5, Seq(polyContent(5, Seq(shell, hole)))))
+    java.nio.file.Files.write(dir.resolve("polys.dbf"),
+      dbfBytes(Seq(("name", 12)), Seq(Seq("big square"))))
+    java.nio.file.Files.write(dir.resolve("pts.shp"),
+      shpBytes(1, Seq(pointContent(1.5, 2.5), pointContent(-3.0, 4.0))))
+    java.nio.file.Files.write(dir.resolve("pts.dbf"),
+      dbfBytes(Seq(("kind", 8)), Seq(Seq("alpha"), Seq("beta"))))
+    java.nio.file.Files.write(dir.resolve("lines.shp"),
+      shpBytes(3, Seq(polyContent(3, Seq(Array((0.0, 0.0), (5.0, 5.0), (9.0, 5.0)))))))
+
+    val df = Shapefile.read(spark, dir.toString).collect()
+    assert(df.length == 4)
+    val rows = df.map { r =>
+      (r.getAs[String]("path").split('/').last,
+        graft.geo.Geo.fromWkb(r.getAs[Array[Byte]]("geom")),
+        r.getAs[Map[String, String]]("attrs"))
+    }
+    val poly = rows.find(_._1 == "polys.shp").get
+    assert(poly._2.isInstanceOf[org.locationtech.jts.geom.Polygon])
+    assert(math.abs(poly._2.getArea - (100 - 4)) < 1e-9, "hole subtracted")
+    assert(poly._3("name") == "big square")
+    val pts = rows.filter(_._1 == "pts.shp")
+    assert(pts.map(_._3("kind")).toSet == Set("alpha", "beta"))
+    assert(pts.exists(p => p._2.getCoordinate.x == 1.5 && p._2.getCoordinate.y == 2.5))
+    val line = rows.find(_._1 == "lines.shp").get
+    assert(line._2.isInstanceOf[org.locationtech.jts.geom.LineString])
+    assert(line._2.getLength > 0)
+  }
+
   test("way splitter: splits at shared interior nodes only") {
     val ways = Seq(
       (1L, Seq(10L, 11L, 12L, 13L)), // 12 shared with way 2 (interior)
