@@ -73,24 +73,14 @@ object Ann {
     Array.tabulate(planes)(p =>
       Array.tabulate(dim)(i => splitmix64(p.toLong * 100003L + i).toDouble / Long.MaxValue))
 
-  /** cosine(a.v, b.v) over array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** cosine(a.v, b.v) — native loop, fold-order-identical to the
+    * zip_with/aggregate form (and DuckDB's list_dot_product). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.cosineSim(a, b)
 
-  /** dot(v, plane) with the plane as an array literal. */
-  def planeDot(v: Column, plane: Array[Double]): Column =
-    aggregate(zip_with(v, typedlit(plane.toSeq), (x, w) => x * w),
-      lit(0.0d), (acc, x) => acc + x)
-
-  /** Sign-pattern signature over literal hyperplanes. */
+  /** Sign-pattern signature over literal hyperplanes (native loop). */
   def lshSignature(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(planeDot(v, p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorExprs.planeSig(v, planes)
 
   /** Scored candidates -> per-query top-k rows (qid, rank, neighbor, cos)
     * via the partial-aggregating TopKAggregator. */

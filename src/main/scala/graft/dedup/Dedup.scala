@@ -173,30 +173,19 @@ object Dedup {
   def embeddingCosinePairs(emb: DataFrame, threshold: Double,
                            bands: Int = 16, rowsPerBand: Int = 4,
                            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorExprs
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val planes = graft.ann.Ann.planeMatrix(bands * rowsPerBand, dim)
-    def planeDot(p: Int): Column =
-      aggregate(zip_with(col("v"), typedlit(planes(p).toSeq), (x, w) => x * w),
-        lit(0.0d), (acc, x) => acc + x)
-    val bandKeys = array((0 until bands).map { b =>
-      val key = (0 until rowsPerBand).map { j =>
-        when(planeDot(b * rowsPerBand + j) >= 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce((a, c) => a.bitwiseOR(c))
-      struct(lit(b).as("band"), key.as("key"))
-    }: _*)
-    val bandRows = v.select(col("id"), explode(bandKeys).as("bk"))
+    // native one-loop signature (the zip_with/aggregate form interprets
+    // bands·rows·dim lambdas per row)
+    val bandRows = v.select(col("id"),
+      explode(VectorExprs.bandedPlaneSig(col("v"), planes, bands, rowsPerBand)).as("bk"))
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
-    val cosine = {
-      val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
-      val na = sqrt(aggregate(col("va"), lit(0.0d), (acc, x) => acc + x * x))
-      val nb = sqrt(aggregate(col("vb"), lit(0.0d), (acc, x) => acc + x * x))
-      dot / (na * nb)
-    }
+    val cosine = VectorExprs.cosineSim(col("va"), col("vb"))
     cand
       .join(v.select(col("id").as("da"), col("v").as("va")), "da")
       .join(v.select(col("id").as("db"), col("v").as("vb")), "db")
