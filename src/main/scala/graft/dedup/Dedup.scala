@@ -108,26 +108,15 @@ object Dedup {
   }
 
   /**
-   * Distributed SimHash signatures: explode tokens, hash each with the
-   * portable 60-bit md5 hash, then ONE partial-aggregating groupBy
-   * computes all per-bit counts (map-side combined — a single pass over
-   * the token stream, no per-bit array re-traversals).
+   * SimHash signatures: one native pass per document (tokenize, md5
+   * each token to the portable 60-bit hash, per-bit majority) — a pure
+   * projection, no explode, no shuffle. Bit-identical to the DuckDB
+   * oracle's per-token md5 derivation.
    */
   def simhashSignatures(docs: DataFrame, textCol: String = "text",
-                        idCol: String = "doc_id"): DataFrame = {
-    val bits = Text.SimhashBits
-    val th = docs.select(col(idCol).as("id"),
-        explode(Text.tokens(col(textCol))).as("t"))
-      .select(col("id"), Text.tokenHash60(col("t")).as("h"))
-    val bitSums = (0 until bits).map(i =>
-      sum(shiftright(col("h"), i).bitwiseAND(lit(1L))).as(s"b$i"))
-    val agg = th.groupBy(col("id"))
-      .agg(count(lit(1)).as("n"), bitSums: _*)
-    val sig = (0 until bits).map(i =>
-      when(col(s"b$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    agg.select(col("id"), sig.as("h"))
-  }
+                        idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.TextExprs.simhash60(col(textCol)).as("h"))
 
   /**
    * SimHash near-dups: hamming(simhash) <= maxHamming. Candidates via
@@ -152,8 +141,12 @@ object Dedup {
         col("a.b") === col("b.b") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         Text.hamming(col("a.h"), col("b.h")).as("hamming"))
-      .dropDuplicates("da", "db")
+      // filter BEFORE deduping: the hamming test is a per-row bit_count
+      // (no shuffle) while dropDuplicates shuffles — on low-entropy
+      // corpora block collisions make the raw candidate set large, so
+      // order matters (~10x here)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("da", "db")
   }
 
   /**

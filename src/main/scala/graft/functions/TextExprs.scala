@@ -120,8 +120,45 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): LshBandKeysExpr = copy(child = c)
   }
 
+  /**
+   * Full 60-bit SimHash of a text in ONE pass per row: whitespace
+   * tokenize, md5 each token (first 15 hex chars = the portable 60-bit
+   * hash, identical to `Text.tokenHash60` and the DuckDB oracle), count
+   * per-bit majorities. Replaces an explode + 61-aggregate groupBy —
+   * no shuffle, one MessageDigest per partition-task invocation.
+   */
+  case class Simhash60Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[UTF8String].toString.split("\\s+", -1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](60)
+      var n = 0
+      toks.foreach { t =>
+        md.reset()
+        val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 15 hex chars = top 7.5 bytes, big-endian hex order
+        var h = 0L
+        var i = 0
+        while (i < 7) { h = (h << 8) | (digest(i) & 0xffL); i += 1 }
+        h = (h << 4) | ((digest(7) >> 4) & 0xfL)
+        var b = 0
+        while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
+        n += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 60) { if (counts(b) * 2 > n) sig |= (1L << b); b += 1 }
+      sig
+    }
+    override protected def withNewChildInternal(c: Expression): Simhash60Expr = copy(child = c)
+  }
+
   def shingles(text: Column, n: Int): Column =
     SqlBridge.col(ShinglesExpr(SqlBridge.expr(text), n))
+  def simhash60(text: Column): Column =
+    SqlBridge.col(Simhash60Expr(SqlBridge.expr(text)))
   def minhashSig(shingleSet: Column, k: Int): Column =
     SqlBridge.col(MinHashSigExpr(SqlBridge.expr(shingleSet), k))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
