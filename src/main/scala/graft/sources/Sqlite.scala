@@ -1,0 +1,211 @@
+package graft.sources
+
+import scala.collection.mutable.ArrayBuffer
+
+/**
+ * Minimal read-only SQLite3 file parser — enough of the PUBLIC file
+ * format (sqlite.org/fileformat2.html) to scan table b-trees: page
+ * header walk, table interior/leaf cells, record serial types, and
+ * overflow-page chains. No SQL, no indexes, no writes.
+ *
+ * This unlocks the reference's SQLite-backed sources without any
+ * SQLite library: GeoPackage (`reader/GeoPackageReader.java`), Natural
+ * Earth (`reader/NaturalEarthReader.java`) and MBTiles archives
+ * (`mbtiles/Mbtiles.java` — incl. the compact map+images schema).
+ */
+object Sqlite {
+
+  /** One table row: rowid + column values (null | Long | Double |
+    * String | Array[Byte]). */
+  type Row = (Long, Array[Any])
+
+  final class Db(bytes: Array[Byte]) {
+    require(bytes.length > 100 &&
+      new String(bytes, 0, 15, "ISO-8859-1") == "SQLite format 3", "not an SQLite file")
+    private val pageSize: Int = {
+      val raw = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+      if (raw == 1) 65536 else raw
+    }
+    private val reserved: Int = bytes(20) & 0xff
+    private val usable: Int = pageSize - reserved
+
+    private def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
+    private def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+
+    private def varint(off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = bytes(off + i)
+        v = (v << 7) | (b & 0x7fL)
+        i += 1
+        if ((b & 0x80) == 0) return (v, i)
+      }
+      ((v << 8) | (bytes(off + 8) & 0xffL), 9)
+    }
+
+    /** Collect full cell payload following the overflow chain. */
+    private def payload(off0: Int, total: Long): Array[Byte] = {
+      val x = usable - 35
+      if (total <= x) java.util.Arrays.copyOfRange(bytes, off0, off0 + total.toInt)
+      else {
+        val m = (usable - 12) * 32 / 255 - 23
+        val k = m + ((total - m) % (usable - 4)).toInt
+        val inline = if (k <= x) k else m
+        val out = new java.io.ByteArrayOutputStream(total.toInt)
+        out.write(bytes, off0, inline)
+        var page = u32(off0 + inline)
+        var remaining = total - inline
+        while (page != 0 && remaining > 0) {
+          val pOff = (page - 1).toInt * pageSize
+          val take = math.min(remaining, (usable - 4).toLong).toInt
+          out.write(bytes, pOff + 4, take)
+          remaining -= take
+          page = u32(pOff)
+        }
+        out.toByteArray
+      }
+    }
+
+    /** Decode a record (header serial types + body). */
+    private def record(p: Array[Byte]): Array[Any] = {
+      val (hdrLen, n0) = varintOf(p, 0)
+      var pos = n0
+      val types = ArrayBuffer.empty[Long]
+      while (pos < hdrLen) {
+        val (t, n) = varintOf(p, pos)
+        types += t
+        pos += n
+      }
+      var body = hdrLen.toInt
+      types.map { t =>
+        val (v, size) = t match {
+          case 0 => (null, 0)
+          case 1 => (p(body).toLong, 1)
+          case 2 => (((p(body).toLong << 8) | (p(body + 1) & 0xffL)), 2)
+          case 3 => ((p(body).toLong << 16) | ((p(body + 1) & 0xffL) << 8) | (p(body + 2) & 0xffL), 3)
+          case 4 => (be(p, body, 4), 4)
+          case 5 => (be(p, body, 6), 6)
+          case 6 => (be(p, body, 8), 8)
+          case 7 => (java.lang.Double.longBitsToDouble(be(p, body, 8)), 8)
+          case 8 => (0L, 0)
+          case 9 => (1L, 0)
+          case b if b >= 12 && b % 2 == 0 =>
+            val len = ((b - 12) / 2).toInt
+            (java.util.Arrays.copyOfRange(p, body, body + len): Any, len)
+          case s if s >= 13 =>
+            val len = ((s - 13) / 2).toInt
+            (new String(p, body, len, "UTF-8"): Any, len)
+          case other => throw new IllegalArgumentException(s"serial type $other")
+        }
+        body += size
+        v
+      }.toArray
+    }
+
+    private def be(p: Array[Byte], off: Int, n: Int): Long = {
+      var v = if ((p(off) & 0x80) != 0) -1L else 0L // sign extend
+      var i = 0
+      while (i < n) { v = (v << 8) | (p(off + i) & 0xffL); i += 1 }
+      v
+    }
+
+    private def varintOf(p: Array[Byte], off: Int): (Long, Int) = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val b = p(off + i)
+        v = (v << 7) | (b & 0x7fL)
+        i += 1
+        if ((b & 0x80) == 0) return (v, i)
+      }
+      ((v << 8) | (p(off + 8) & 0xffL), 9)
+    }
+
+    /** Depth-first scan of a table b-tree rooted at `page` (1-based). */
+    def scanTable(page: Int): Iterator[Row] = {
+      val base = (page - 1) * pageSize
+      val hdr = if (page == 1) base + 100 else base
+      val pageType = bytes(hdr) & 0xff
+      val nCells = u16(hdr + 3)
+      pageType match {
+        case 13 => // table leaf
+          val cellPtrs = (0 until nCells).map(i => base + u16(hdr + 8 + 2 * i))
+          cellPtrs.iterator.map { off =>
+            val (len, n1) = varint(off)
+            val (rowid, n2) = varint(off + n1)
+            (rowid, record(payload(off + n1 + n2, len)))
+          }
+        case 5 => // table interior
+          val children = (0 until nCells).map(i => u32(base + u16(hdr + 12 + 2 * i)).toInt) :+
+            u32(hdr + 8).toInt
+          children.iterator.flatMap(scanTable)
+        case other => throw new IllegalArgumentException(s"unexpected page type $other at page $page")
+      }
+    }
+
+    /** sqlite_master: (type, name, tbl_name, rootpage, sql). */
+    lazy val master: Seq[(String, String, String, Int, String)] =
+      scanTable(1).map { case (_, v) =>
+        (str(v(0)), str(v(1)), str(v(2)),
+          Option(v(3)).map(_.asInstanceOf[Long].toInt).getOrElse(0), str(v(4)))
+      }.toSeq
+
+    private def str(a: Any): String = if (a == null) null else a.toString
+
+    def tableRoot(name: String): Option[Int] =
+      master.collectFirst { case ("table", n, _, root, _) if n == name => root }
+
+    /** Column (name, isIntegerPrimaryKey) from the CREATE TABLE sql
+      * (best-effort: top-level comma split, quoted identifiers
+      * unwrapped). */
+    def columns(name: String): Seq[(String, Boolean)] = {
+      val sql = master.collectFirst { case ("table", n, _, _, s) if n == name => s }
+        .getOrElse(return Seq.empty)
+      val open = sql.indexOf('(')
+      val close = sql.lastIndexOf(')')
+      if (open < 0 || close <= open) return Seq.empty
+      val body = sql.substring(open + 1, close)
+      val cols = ArrayBuffer.empty[String]
+      var depth = 0
+      val cur = new StringBuilder
+      (body + ",").foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 => cols += cur.toString.trim; cur.clear()
+        case c => cur += c
+      }
+      cols.toSeq
+        .filterNot(c => c.toUpperCase.startsWith("PRIMARY ") || c.toUpperCase.startsWith("FOREIGN ") ||
+          c.toUpperCase.startsWith("UNIQUE") || c.toUpperCase.startsWith("CHECK") ||
+          c.toUpperCase.startsWith("CONSTRAINT"))
+        .map { c =>
+          val n = c.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+          (n, c.toUpperCase.matches("(?s).*INTEGER\\s+PRIMARY\\s+KEY.*"))
+        }
+        .filter(_._1.nonEmpty)
+    }
+
+    def columnNames(name: String): Seq[String] = columns(name).map(_._1)
+
+    /** Scan a named table as (columnName -> value) maps. */
+    def rows(table: String): Iterator[(Long, Map[String, Any])] = {
+      val root = tableRoot(table)
+        .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
+      val cols = columns(table)
+      scanTable(root).map { case (rowid, vals) =>
+        val m = cols.zipWithIndex.map { case ((n, isIpk), i) =>
+          // an INTEGER PRIMARY KEY column stores null and aliases rowid
+          val v = if (i < vals.length) vals(i) else null
+          n -> (if (v == null && isIpk) rowid: Any else v)
+        }.toMap
+        (rowid, m)
+      }
+    }
+  }
+
+  def open(path: String): Db = new Db(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+}

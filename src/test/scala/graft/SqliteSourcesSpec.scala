@@ -1,0 +1,69 @@
+package graft
+
+import graft.sources._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** From-scratch SQLite parser + GeoPackage / Natural Earth / MBTiles
+  * readers, against real sqlite3-written fixture files (incl. an
+  * overflow-page chain at 1K pages). */
+class SqliteSourcesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private def res(name: String) = getClass.getResource("/" + name).getPath
+
+  test("sqlite: master table, column names, typed values, overflow pages") {
+    val db = Sqlite.open(res("fixture.gpkg"))
+    assert(db.tableRoot("lakes").isDefined)
+    assert(db.columnNames("lakes") == Seq("fid", "name", "area", "geom"))
+    val rows = db.rows("lakes").toSeq
+    assert(rows.length == 3)
+    val byFid = rows.map { case (_, m) => m("fid").asInstanceOf[Long] -> m }.toMap
+    assert(byFid(1L)("name") == "Alpha")
+    assert(byFid(1L)("area") == 10.5)
+    assert(byFid(2L)("area") == 20.0)
+    // row 3 carries a 5000-char attr -> payload spans overflow pages
+    assert(byFid(3L)("name").asInstanceOf[String] == "X" * 5000)
+  }
+
+  test("geopackage: GP blobs unwrap to WKB, envelope variants handled") {
+    val rows = GeoPackage.read(spark, res("fixture.gpkg")).collect()
+    assert(rows.length == 3)
+    val byFid = rows.map(r => r.getAs[Long]("fid") ->
+      (graft.geo.Geo.fromWkb(r.getAs[Array[Byte]]("geom")), r.getAs[Map[String, String]]("attrs"))).toMap
+    assert(byFid(1L)._1.getCoordinate.x == 1.5 && byFid(1L)._1.getCoordinate.y == 2.5)
+    // fid 2 has an XY envelope in the GP header — must be skipped
+    assert(byFid(2L)._1.getCoordinate.x == -3.0 && byFid(2L)._1.getCoordinate.y == 4.0)
+    assert(byFid(1L)._2("name") == "Alpha")
+    assert(byFid(1L)._2("area") == "10.5")
+    assert(!byFid(1L)._2.contains("geom"))
+  }
+
+  test("mbtiles: compact map+images schema joins tile ids to blobs") {
+    val tiles = MbtilesReader.read(spark, res("fixture_compact.mbtiles")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getAs[Array[Byte]]("bytes").toSeq).toMap
+    assert(tiles.size == 3)
+    assert(tiles((0, 0, 0)) == Seq[Byte](1, 2, 3))
+    assert(tiles((1, 0, 0)) == Seq[Byte](1, 2, 3), "deduped blob shared")
+    assert(tiles((1, 1, 1)) == Seq[Byte](9, 8))
+    assert(MbtilesReader.metadata(res("fixture_compact.mbtiles")) ==
+      Map("name" -> "fixture", "format" -> "pbf"))
+  }
+
+  test("mbtiles: plain tiles table") {
+    val tiles = MbtilesReader.read(spark, res("fixture_plain.mbtiles")).collect()
+    assert(tiles.length == 1)
+    val t = tiles.head
+    assert(t.getInt(0) == 2 && t.getInt(1) == 1 && t.getInt(2) == 3)
+    assert(t.getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](7, 7, 7, 7))
+  }
+
+  test("natural earth: theme table scan with WKB geometry") {
+    val rows = NaturalEarth.read(spark, res("fixture_ne.sqlite"), "ne_110m_lakes").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("fid") == 7L)
+    val g = graft.geo.Geo.fromWkb(r.getAs[Array[Byte]]("geom"))
+    assert(g.getCoordinate.x == 10.0 && g.getCoordinate.y == 20.0)
+    assert(r.getAs[Map[String, String]]("attrs")("name") == "Lake One")
+    assert(r.getAs[Map[String, String]]("attrs")("scalerank") == "2")
+  }
+}
