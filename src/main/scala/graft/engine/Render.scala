@@ -26,10 +26,13 @@ trait Profile extends Serializable {
     * per-layer pass (reference `Profile.java:148`, ordering
     * `collection/FeatureGroup.java:558-571`): sees every layer of one
     * tile at once and may move/merge/drop features across layers.
-    * Return the new layer map (missing layers are dropped). */
+    * Return the new layer map (missing layers are dropped), or null to
+    * leave the tile unchanged — same contract as the reference; the
+    * default null also lets the assembler skip building the per-tile
+    * map entirely when no profile overrides this. */
   def postProcessTile(zoom: Int, x: Int, y: Int,
                       tileLayers: Map[String, Seq[Mvt.LayerFeature]]): Map[String, Seq[Mvt.LayerFeature]] =
-    tileLayers
+    null
 
   /** Declared input sources, used to dispatch [[finish]] once per
     * source after its elements are processed (reference

@@ -147,15 +147,21 @@ object TileAssembler {
     }
     flush()
     // cross-layer tile hook FIRST (may move features between layers),
-    // then the per-layer hook — same order as the reference
+    // then the per-layer hook — same order as the reference. A null
+    // return means "unchanged" (reference contract); profiles that
+    // never override the hook skip the per-tile map build entirely.
     val afterTile = profile.postProcessTile(z, x, y, rawLayers.toMap)
-    // keep the profile's declared layer order; any new layers the hook
-    // introduced append in declaration-independent name order
-    val ordered =
-      profile.layers.filter(afterTile.contains) ++
-        afterTile.keys.filterNot(profile.layers.contains).toSeq.sorted
-    val layers = ordered.map { name =>
-      (name, profile.postProcessLayer(name, z, afterTile(name)))
+    val orderedLayers: Seq[(String, Seq[Mvt.LayerFeature])] =
+      if (afterTile == null) rawLayers.toSeq
+      else {
+        // keep the profile's declared layer order; any new layers the
+        // hook introduced append in name order
+        (profile.layers.filter(afterTile.contains) ++
+          afterTile.keys.filterNot(profile.layers.contains).toSeq.sorted)
+          .map(name => (name, afterTile(name)))
+      }
+    val layers = orderedLayers.map { case (name, fs) =>
+      (name, profile.postProcessLayer(name, z, fs))
     }.filter(_._2.nonEmpty)
     val kept = layers.map(_._2.size).sum
     val bytes0 = Mvt.encodeTile(layers)
