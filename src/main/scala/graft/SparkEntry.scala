@@ -441,6 +441,19 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q37_dup_clusters" -> ((s, dir) => {
+      // near-dup pairs -> connected components -> dedup groups, each
+      // labeled by its smallest member (the canonical survivor). The
+      // oracle recomputes components with a recursive CTE over the
+      // exact jaccard pair list.
+      val pairs = graft.dedup.Dedup.minhashLshPairs(t(s, dir, "documents"),
+        shingleN = 3, k = 64, bands = 32, num = 1, den = 2)
+      graft.dedup.Dedup.duplicateClusters(pairs)
+        .groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("members"), max(col("id")).as("max_member"))
+        .orderBy(col("cluster"))
+    }),
+
     "q36_cel_attrs" -> ((s, dir) => {
       // CEL-style inline computed attributes (the custommap `${...}`
       // analog) evaluated as a Catalyst expression: string methods,
@@ -881,6 +894,29 @@ object SparkEntry {
           SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
                  CAST(COUNT(*) AS BIGINT) AS features
           FROM cand GROUP BY 1 ORDER BY 1""",
+
+    "q37_dup_clusters" ->
+      """WITH RECURSIVE tok AS (
+           SELECT id, UNNEST(sh) AS t FROM (
+             SELECT doc_id AS id,
+               LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1] || ' ' || STRING_SPLIT(text, ' ')[i+2])) AS sh
+             FROM documents)),
+         sz AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+         inter AS (SELECT a.id AS da, b.id AS db, COUNT(*) AS c
+           FROM tok a JOIN tok b ON a.t = b.t AND a.id < b.id GROUP BY 1, 2),
+         pairs AS (SELECT da, db
+           FROM inter JOIN sz sa ON sa.id = da JOIN sz sb ON sb.id = db
+           WHERE c * 2 >= (sa.n + sb.n - c) * 1),
+         edges AS (SELECT da AS u, db AS v FROM pairs UNION SELECT db, da FROM pairs),
+         nodes AS (SELECT DISTINCT u AS id FROM edges),
+         reach(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.id),
+         lab AS (SELECT id, MIN(label) AS label FROM reach GROUP BY 1)
+         SELECT label AS cluster, COUNT(*) AS members, MAX(id) AS max_member
+         FROM lab GROUP BY 1 ORDER BY 1""",
 
     "q36_cel_attrs" ->
       """SELECT s_suppkey,

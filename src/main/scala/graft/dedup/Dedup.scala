@@ -150,6 +150,84 @@ object Dedup {
   }
 
   /**
+   * Connected components over a near-dup pair list: every document
+   * gets the SMALLEST id reachable through dup pairs as its cluster
+   * label (the canonical survivor) — the step that turns pairwise
+   * near-dup output into actual dedup groups.
+   *
+   * Spark shape, two regimes:
+   *  - the pair list (ALREADY the tiny output of LSH verification, not
+   *    the corpus) fits the driver -> one collect + union-find, zero
+   *    iteration overhead (the reference holds whole relation graphs
+   *    in RAM the same way);
+   *  - larger graphs -> min-label propagation: each round joins every
+   *    node's current label against the edge list and adopts the
+   *    minimum neighbor label (equi-join + map-side-combined
+   *    groupBy-min per round, lineage truncated per round), converged
+   *    when no label changes. Rounds = component diameter.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        aCol: String = "da", bCol: String = "db",
+                        localSolveMaxPairs: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one full parallel pass decides the regime (a limit-probe would
+    // re-execute the upstream pipeline under incremental-limit)
+    val edgeCount = edges.count()
+    if (edgeCount <= localSolveMaxPairs) {
+      val sample = edges.collect()
+      edges.unpersist()
+      // small-graph fast path: classic union-find on the driver
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          parent(x) = parent.getOrElse(parent(x), parent(x)) // halve
+          x = parent(x)
+        }
+        x
+      }
+      sample.foreach { r =>
+        val (u, v) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) { val (lo, hi) = (math.min(ru, rv), math.max(ru, rv)); parent(hi) = lo }
+      }
+      val rows = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
+      return spark.createDataset(rows).toDF("id", "label")
+    }
+    // undirected adjacency (large regime; edges stays cached until done)
+    val adj = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = adj.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val next = adj
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), "v")
+        .groupBy(col("u").as("id"))
+        .agg(min(col("vlabel")).as("nbr"))
+        .join(labels, "id")
+        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+        .localCheckpoint(true) // truncate iterative lineage
+      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).isEmpty
+      labels = next
+      it += 1
+    }
+    adj.unpersist()
+    edges.unpersist()
+    labels
+  }
+
+  /**
    * Embedding near-dup pairs: cosine >= threshold. Candidates from
    * BANDED random-hyperplane signatures (OR of bands, mirroring the
    * minhash-LSH structure): `bands` bands of `rowsPerBand` planes each;

@@ -119,6 +119,16 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("duplicate clusters: label propagation finds min-id components") {
+    // chain 1-2-3-4 (one component), 10-11, isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("da", "db")
+    val labels = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("TopKAggregator: partial heaps match global sort") {
     val scored = (0 until 200).map(i => (i % 3L, i.toLong, (i * 37 % 100) / 100.0))
       .toDF("qid", "neighbor", "cos")
