@@ -58,20 +58,23 @@ object FeatureMerge {
                        stubMinPx: Double = 0.0,
                        loopMinPx: Double = 0.0,
                        mergeStrokes: Boolean = false): Seq[Mvt.LayerFeature] = {
-    val pxToLocal = Mvt.Extent / 256.0 // 1 px = 16 extent units
-    val params = LineMerger.Params(
-      minLength = minLengthPx * pxToLocal,
-      loopMinLength = loopMinPx * pxToLocal,
-      stubMinLength = stubMinPx * pxToLocal,
-      tolerance = if (tolerancePx < 0) -1 else tolerancePx * pxToLocal,
-      mergeStrokes = mergeStrokes)
     val (groups, rest) = groupByAttrs(feats, 2)
     rest ++ groups.flatMap { case (attrs, fs) =>
+      // px thresholds convert at the group's (possibly extra-precision)
+      // coordinate resolution
+      val scale = fs.head.scale
+      val pxToLocal = (Mvt.Extent << scale) / 256.0
+      val params = LineMerger.Params(
+        minLength = minLengthPx * pxToLocal,
+        loopMinLength = loopMinPx * pxToLocal,
+        stubMinLength = stubMinPx * pxToLocal,
+        tolerance = if (tolerancePx < 0) -1 else tolerancePx * pxToLocal,
+        mergeStrokes = mergeStrokes)
       val lines = fs.flatMap(f => Mvt.decodeCommands(2, f.commands).map(_._2))
         .filter(_.length >= 2)
       val merged = LineMerger.merge(lines, params).filter(_.length >= 2)
       if (merged.isEmpty) None
-      else Some(Mvt.LayerFeature(fs.head.id, 2, Mvt.encodeLines(merged), attrs))
+      else Some(Mvt.LayerFeature(fs.head.id, 2, Mvt.encodeLines(merged), attrs, scale))
     }
   }
 

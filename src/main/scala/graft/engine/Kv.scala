@@ -56,7 +56,8 @@ object KvCodec {
     }
     out.write(r.geom_type)
     val hasGroup = r.group != 0
-    out.write(if (hasGroup) 1 else 0)
+    // flags byte: bit0 = hasGroup, bits 1..5 = extra-precision scale
+    out.write((if (hasGroup) 1 else 0) | ((r.scale & 0x1f) << 1))
     if (hasGroup) {
       varint((r.group << 1) ^ (r.group >> 63)) // zigzag
       varint(r.group_limit.toLong)
@@ -75,7 +76,7 @@ object KvCodec {
   /** Fast group peek for the map-side label-grid limit: returns
     * (group, limit) or (0, 0). */
   def peekGroup(value: Array[Byte]): (Long, Int) = {
-    if (value(1) == 0) (0L, 0)
+    if ((value(1) & 1) == 0) (0L, 0)
     else {
       val r = new VarReader(value, 2)
       val zz = r.readVarint()
@@ -86,7 +87,8 @@ object KvCodec {
   def decode(kv: Kv, layers: IndexedSeq[String]): Rendered = {
     val v = kv.value
     val geomType = v(0) & 0xff
-    val hasGroup = v(1) != 0
+    val hasGroup = (v(1) & 1) != 0
+    val scale = (v(1) >> 1) & 0x1f
     val r = new VarReader(v, 2)
     var group = 0L
     var limit = 0
@@ -102,7 +104,7 @@ object KvCodec {
     while (i < n) { cmds(i) = r.readVarint().toInt; i += 1 }
     val attrs = java.util.Arrays.copyOfRange(v, r.pos, v.length)
     Rendered(kv.key, layers(layerId(kv.meta)), sortKey(kv.meta), featureId,
-      geomType, cmds, attrs, group, limit)
+      geomType, cmds, attrs, group, limit, scale)
   }
 
   final class VarReader(b: Array[Byte], var pos: Int) {

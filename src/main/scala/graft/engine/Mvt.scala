@@ -170,9 +170,39 @@ object Mvt {
     def toBytes: Array[Byte] = buf.toByteArray
   }
 
+  /**
+   * Scale a command stream down by 2^scale (reference
+   * `VectorTile.java:113-200` "unscale"): lines render into the
+   * feature store at extra precision so rounding cannot create
+   * artificial endpoint intersections before line merging; the final
+   * archive write divides back down, dropping collapsed points and
+   * degenerate parts.
+   */
+  def unscale(geomType: Int, commands: Array[Int], scale: Int): Array[Int] = {
+    if (scale <= 0) return commands
+    val parts = decodeCommands(geomType, commands)
+    def down(pts: Array[(Int, Int)]): Array[(Int, Int)] = {
+      val out = ArrayBuffer.empty[(Int, Int)]
+      pts.foreach { case (x, y) =>
+        val p = (math.round(x.toDouble / (1 << scale)).toInt,
+          math.round(y.toDouble / (1 << scale)).toInt)
+        if (out.isEmpty || out.last != p) out += p
+      }
+      out.toArray
+    }
+    geomType match {
+      case 1 => encodePoints(down(parts.flatMap(_._2).toArray))
+      case 2 => encodeLines(parts.map(p => down(p._2)).filter(_.length >= 2))
+      case _ => encodeRings(parts.map(p => down(p._2)).filter(_.length >= 4))
+    }
+  }
+
   /** One feature inside a layer: pre-encoded geometry commands and
-    * PACKED attrs (graft.engine.Attrs pairs, sorted by key). */
-  case class LayerFeature(id: Long, geomType: Int, commands: Array[Int], attrs: Array[Byte]) {
+    * PACKED attrs (graft.engine.Attrs pairs, sorted by key). `scale` >
+    * 0 means coordinates are at 2^scale extra precision (lines between
+    * render and final write). */
+  case class LayerFeature(id: Long, geomType: Int, commands: Array[Int], attrs: Array[Byte],
+                          scale: Int = 0) {
     def attrsMap: Map[String, String] = Attrs.unpack(attrs)
   }
   object LayerFeature {

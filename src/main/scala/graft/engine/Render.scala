@@ -145,7 +145,17 @@ object Render {
         (gx << 33) | ((gy & 0xffffffffL) << 1) | 1L
       } else 0L
 
-    TileSlicer.slice(simplified, z, spec.bufferPx).map { s =>
+    // extra-precision scale bits for LINES (reference
+    // FeatureRenderer.java:262-269): store at 2^scale resolution so
+    // rounding cannot create artificial endpoint intersections before
+    // line merging; unscaled at final write. 14 bits represent tile
+    // coords (4096 × 2 buffer × 2 zigzag) so scale caps at 31-14.
+    val scale =
+      if (simplified.isInstanceOf[org.locationtech.jts.geom.LineString] ||
+          simplified.isInstanceOf[org.locationtech.jts.geom.MultiLineString])
+        math.min(31 - 14, math.max(spec.maxzoom, 14) - z)
+      else 0
+    TileSlicer.slice(simplified, z, spec.bufferPx, scale).map { s =>
       Rendered(
         tile_id = TileCoord.encodeHilbert(s.x, s.y, z),
         layer = spec.layer,
@@ -155,7 +165,8 @@ object Render {
         commands = s.commands,
         attrs = attrs,
         group = group,
-        group_limit = if (group != 0) spec.labelGridLimit else 0)
+        group_limit = if (group != 0) spec.labelGridLimit else 0,
+        scale = scale)
     }
   }
 

@@ -143,7 +143,7 @@ object TileAssembler {
           counters(r.group) = c
           c <= r.group_limit
         }
-      if (keep) curFeats += Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs)
+      if (keep) curFeats += Mvt.LayerFeature(r.feature_id, r.geom_type, r.commands, r.attrs, r.scale)
     }
     flush()
     // cross-layer tile hook FIRST (may move features between layers),
@@ -161,7 +161,17 @@ object TileAssembler {
           .map(name => (name, afterTile(name)))
       }
     val layers = orderedLayers.map { case (name, fs) =>
-      (name, profile.postProcessLayer(name, z, fs))
+      // unscale extra-precision features AFTER merge post-processing
+      // (reference order: FeatureGroup unscales before the archive
+      // write); collapsed geometries drop out here
+      val processed = profile.postProcessLayer(name, z, fs).flatMap { f =>
+        if (f.scale <= 0) Some(f)
+        else {
+          val cmds = Mvt.unscale(f.geomType, f.commands, f.scale)
+          if (cmds.isEmpty) None else Some(f.copy(commands = cmds, scale = 0))
+        }
+      }
+      (name, processed)
     }.filter(_._2.nonEmpty)
     val kept = layers.map(_._2.size).sum
     val bytes0 = Mvt.encodeTile(layers)

@@ -39,9 +39,17 @@ object TileSlicer {
     Mvt.encodeRings(Seq(Array((b, b), (t, b), (t, t), (b, t), (b, b))))
   }
 
-  /** Slice any WKB/JTS geometry at `z` with `bufferPx` (256px-tile px). */
-  def slice(geom: Geometry, z: Int, bufferPx: Double): Iterator[Sliced] = {
+  /** Slice any WKB/JTS geometry at `z` with `bufferPx` (256px-tile px).
+    * `extentScale` quantizes at 2^scale × extent resolution (the
+    * extra-precision line path — coordinates unscale at tile write). */
+  def slice(geom: Geometry, z: Int, bufferPx: Double, extentScale: Int = 0): Iterator[Sliced] = {
+    val savedExtent = extentScale // threaded through the closures below
+    sliceScaled(geom, z, bufferPx, savedExtent)
+  }
+
+  private def sliceScaled(geom: Geometry, z: Int, bufferPx: Double, extentScale: Int): Iterator[Sliced] = {
     val n = 1 << z
+    val scaledExtent = Extent << extentScale
     val buf = bufferPx / 256.0 // fraction of a tile
     // fast path: geometry strictly inside one tile's unbuffered core
     // (by far the common case at high zoom) -> no stripe machinery,
@@ -54,30 +62,30 @@ object TileSlicer {
       val tyMin = math.floor(env.getMinY * n - buf).toInt
       val tyMax = math.floor(env.getMaxY * n + buf).toInt
       if (txMin == txMax && tyMin == tyMax && txMin >= 0 && txMin < n && tyMin >= 0 && tyMin < n) {
-        return sliceSingleTile(geom, n, txMin, tyMin)
+        return sliceSingleTile(geom, n, txMin, tyMin, scaledExtent)
       }
     }
     geom match {
-      case p: Point => slicePoints(Array(p.getCoordinate), n, buf)
-      case mp: MultiPoint => slicePoints(mp.getCoordinates, n, buf)
-      case l: LineString => sliceLines(Seq(l.getCoordinates), n, buf)
+      case p: Point => slicePoints(Array(p.getCoordinate), n, buf, scaledExtent)
+      case mp: MultiPoint => slicePoints(mp.getCoordinates, n, buf, scaledExtent)
+      case l: LineString => sliceLines(Seq(l.getCoordinates), n, buf, scaledExtent)
       case ml: MultiLineString =>
-        sliceLines((0 until ml.getNumGeometries).map(ml.getGeometryN(_).getCoordinates), n, buf)
-      case poly: Polygon => slicePolygons(Seq(poly), n, buf)
+        sliceLines((0 until ml.getNumGeometries).map(ml.getGeometryN(_).getCoordinates), n, buf, scaledExtent)
+      case poly: Polygon => slicePolygons(Seq(poly), n, buf, scaledExtent)
       case mpoly: MultiPolygon =>
-        slicePolygons((0 until mpoly.getNumGeometries).map(mpoly.getGeometryN(_).asInstanceOf[Polygon]), n, buf)
+        slicePolygons((0 until mpoly.getNumGeometries).map(mpoly.getGeometryN(_).asInstanceOf[Polygon]), n, buf, scaledExtent)
       case gc: GeometryCollection =>
-        (0 until gc.getNumGeometries).iterator.flatMap(i => slice(gc.getGeometryN(i), z, bufferPx))
+        (0 until gc.getNumGeometries).iterator.flatMap(i => sliceScaled(gc.getGeometryN(i), z, bufferPx, extentScale))
       case _ => Iterator.empty
     }
   }
 
-  @inline private def localInt(v: Double, tile: Int): Int =
-    math.round((v - tile) * Extent).toInt
+  @inline private def localInt(v: Double, tile: Int, extent: Int): Int =
+    math.round((v - tile) * extent).toInt
 
   /** No-clip encode of a geometry known to fit inside tile (tx, ty). */
-  private def sliceSingleTile(geom: Geometry, n: Int, tx: Int, ty: Int): Iterator[Sliced] = {
-    @inline def px(c: Coordinate) = (localInt(c.x * n, tx), localInt(c.y * n, ty))
+  private def sliceSingleTile(geom: Geometry, n: Int, tx: Int, ty: Int, extent: Int): Iterator[Sliced] = {
+    @inline def px(c: Coordinate) = (localInt(c.x * n, tx, extent), localInt(c.y * n, ty, extent))
     geom match {
       case p: Point =>
         Iterator.single(Sliced(tx, ty, 1, Mvt.encodePoints(Array(px(p.getCoordinate))), fill = false))
@@ -116,7 +124,7 @@ object TileSlicer {
     if ((a > 0) != positive && a != 0) pts.reverse else pts
   }
 
-  private def slicePoints(coords: Array[Coordinate], n: Int, buf: Double): Iterator[Sliced] = {
+  private def slicePoints(coords: Array[Coordinate], n: Int, buf: Double, extent: Int): Iterator[Sliced] = {
     // group points by tile; a point lands in every tile whose buffered
     // extent contains it (usually 1, up to 4 near corners).
     val byTile = mutable.HashMap.empty[(Int, Int), ArrayBuffer[(Int, Int)]]
@@ -130,7 +138,7 @@ object TileSlicer {
           if (ty >= 0 && ty < n) {
             val wrapX = ((tx % n) + n) % n // world x wrap-around
             byTile.getOrElseUpdate((wrapX, ty), ArrayBuffer.empty) +=
-              ((localInt(wx, tx), localInt(wy, ty)))
+              ((localInt(wx, tx, extent), localInt(wy, ty, extent)))
           }
           ty += 1
         }
@@ -142,7 +150,7 @@ object TileSlicer {
     }
   }
 
-  private def sliceLines(lines: Seq[Array[Coordinate]], n: Int, buf: Double): Iterator[Sliced] = {
+  private def sliceLines(lines: Seq[Array[Coordinate]], n: Int, buf: Double, extent: Int): Iterator[Sliced] = {
     val byTile = mutable.HashMap.empty[(Int, Int), ArrayBuffer[Array[(Int, Int)]]]
     lines.foreach { coords =>
       if (coords.length >= 2) {
@@ -163,7 +171,7 @@ object TileSlicer {
             while (ty <= tyMax) {
               Clip.clipLine(sx, sy, tx - buf, ty - buf, tx + 1 + buf, ty + 1 + buf).foreach {
                 case (cx, cy) =>
-                  val pts = Array.tabulate(cx.length)(i => (localInt(cx(i), tx), localInt(cy(i), ty)))
+                  val pts = Array.tabulate(cx.length)(i => (localInt(cx(i), tx, extent), localInt(cy(i), ty, extent)))
                   val wrapX = ((tx % n) + n) % n
                   byTile.getOrElseUpdate((wrapX, ty), ArrayBuffer.empty) += pts
               }
@@ -180,7 +188,7 @@ object TileSlicer {
     }
   }
 
-  private def slicePolygons(polys: Seq[Polygon], n: Int, buf: Double): Iterator[Sliced] = {
+  private def slicePolygons(polys: Seq[Polygon], n: Int, buf: Double, extent: Int): Iterator[Sliced] = {
     // per tile: collected rings (already tile-local ints)
     val byTile = mutable.HashMap.empty[(Int, Int), ArrayBuffer[Array[(Int, Int)]]]
     val fillTiles = mutable.HashSet.empty[(Int, Int)]
@@ -253,7 +261,7 @@ object TileSlicer {
                 stripeRings.foreach { case (xs, ys) =>
                   val (rx, ry) = Clip.clipRing(xs, ys, x0, y0, x1, y1)
                   if (rx.length >= 4) {
-                    val pts = Array.tabulate(rx.length)(i => (localInt(rx(i), tx), localInt(ry(i), ty)))
+                    val pts = Array.tabulate(rx.length)(i => (localInt(rx(i), tx, extent), localInt(ry(i), ty, extent)))
                     byTile.getOrElseUpdate((wrapX, ty), ArrayBuffer.empty) += pts
                   }
                 }

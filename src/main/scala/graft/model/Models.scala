@@ -69,7 +69,11 @@ case class Rendered(
     commands: Array[Int],
     attrs: Array[Byte],
     group: Long, // label-grid group key (0 = none)
-    group_limit: Int)
+    group_limit: Int,
+    /** Extra-precision bits: commands are at 2^scale × extent-4096
+      * resolution (lines only — unscaled at final tile write, after
+      * merge post-processing; reference FeatureRenderer.java:262-269). */
+    scale: Int = 0)
 
 /** A fully encoded output tile. */
 case class TileBytes(tile_id: Long, z: Int, x: Int, y: Int, bytes: Array[Byte], feature_count: Int, content_hash: Long)

@@ -114,6 +114,39 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(json.contains(""""minzoom":4"""))
   }
 
+  test("extra-precision scale bits: kv roundtrip, unscale, e2e bounds") {
+    import graft.model.Rendered
+    // codec roundtrips the scale field
+    val r = Rendered(42L, "lines", 3, 7L, 2, Mvt.encodeLines(Seq(Array((0, 0), (160, 80)))),
+      Array.empty, 0L, 0, scale = 9)
+    val back = KvCodec.decode(KvCodec.encode(r, 1), IndexedSeq("admin", "lines"))
+    assert(back.scale == 9)
+    // unscale divides, collapses duplicates, drops degenerates
+    val scaled = Mvt.encodeLines(Seq(Array((0, 0), (1024, 0), (1030, 2)), Array((5, 5), (7, 6))))
+    val un = Mvt.unscale(2, scaled, 9)
+    val parts = Mvt.decodeCommands(2, un)
+    assert(parts.length == 1, "sub-quantum line drops, collapsed point dedupes")
+    assert(parts.head._2.toSeq == Seq((0, 0), (2, 0)))
+    // e2e: a line pipeline at low zoom emits tile-extent coordinates
+    // (scale applied during render, unscaled at write)
+    val docs = {
+      import spark.implicits._
+      Seq(("line_1", Seq(
+        graft.model.Span("geom", "LINESTRING (-100 20, 100 25)", null, 0)))).toDF("doc_id", "spans")
+    }
+    val tiles = Pipeline.tiles(docs, new Pipeline.GraftProfile(5, 5, 5), 2, gzipTiles = false).collect()
+    assert(tiles.nonEmpty)
+    tiles.foreach { t =>
+      Mvt.decodeTile(t.bytes).foreach { f =>
+        // decoded coords sit in plain extent space (plus buffer), not 2^scale space
+        val cs = f.parts.flatMap(_._2)
+        assert(cs.forall { case (x, y) =>
+          x >= -600 && x <= Mvt.Extent + 600 && y >= -600 && y <= Mvt.Extent + 600
+        }, s"unscaled coords out of range: ${cs.take(3)}")
+      }
+    }
+  }
+
   test("wikidata translations broadcast-join fills missing name tags") {
     import graft.model.SourceFeature
     val feats = Seq(
