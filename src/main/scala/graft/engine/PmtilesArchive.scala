@@ -237,6 +237,90 @@ object PmtilesArchive {
     (addressed, entries.length.toLong, contents)
   }
 
+  /**
+   * PARALLEL sharded sink: each range partition (already a contiguous,
+   * sorted Hilbert id range after the assembler's shuffle) writes its
+   * own fully valid PMTiles file — the scale path where a single
+   * ordered drain would serialize a planet write. Emits
+   * `part-NNNNN.pmtiles` per non-empty partition plus a `manifest.json`
+   * with each shard's tile-id range, so a serving layer (or a final
+   * concatenation pass) can route lookups by range.
+   *
+   * Returns (shards, tiles).
+   */
+  def writeSharded(tiles: Dataset[TileBytes], dir: String,
+                   metadataJson: String = """{"vector_layers":[]}""",
+                   minZoom: Int = 0, maxZoom: Int = 15,
+                   tilesGzipped: Boolean = true): (Long, Long) = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    val shards = tiles.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = f"$dir/part-$pid%05d.pmtiles"
+        val raf = new java.io.RandomAccessFile(path, "rw")
+        raf.setLength(0)
+        raf.seek(InitSection.toLong)
+        val entries = ArrayBuffer.empty[Entry]
+        val byHash = mutable.HashMap.empty[Long, (Long, Int)]
+        var dataLen = 0L
+        var addressed = 0L
+        var contents = 0L
+        var lastId = Long.MinValue
+        var minId = Long.MaxValue
+        it.foreach { t =>
+          require(t.tile_id > lastId, "shard input out of order")
+          lastId = t.tile_id
+          if (t.tile_id < minId) minId = t.tile_id
+          addressed += 1
+          val last = entries.lastOption.orNull
+          byHash.get(t.content_hash) match {
+            case Some((off, len)) if len == t.bytes.length =>
+              if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id)
+                entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
+              else entries += Entry(t.tile_id, off, len, 1)
+            case _ =>
+              raf.write(t.bytes)
+              byHash(t.content_hash) = (dataLen, t.bytes.length)
+              entries += Entry(t.tile_id, dataLen, t.bytes.length, 1)
+              dataLen += t.bytes.length
+              contents += 1
+          }
+        }
+        val (root, leaves) = makeDirectories(entries.toSeq)
+        val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
+        raf.write(json)
+        raf.write(leaves)
+        val header = Header(
+          rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
+          jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
+          leafDirectoriesOffset = InitSection + dataLen + json.length,
+          leafDirectoriesLength = leaves.length.toLong,
+          tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
+          numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
+          numTileContents = contents, clustered = true,
+          internalCompression = 2, tileCompression = if (tilesGzipped) 2 else 1,
+          tileType = 1, minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
+          minLonE7 = -1800000000, minLatE7 = -850511300,
+          maxLonE7 = 1800000000, maxLatE7 = 850511300,
+          centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
+        raf.seek(0)
+        raf.write(header.toBytes)
+        raf.write(root)
+        raf.close()
+        Iterator.single((pid, path, minId, lastId, addressed))
+      }
+    }.collect().sortBy(_._1)
+    val manifest = shards.map { case (pid, path, lo, hi, n) =>
+      s"""{"shard":$pid,"path":"${path.split('/').last}","min_tile_id":$lo,"max_tile_id":$hi,"tiles":$n}"""
+    }.mkString("[", ",", "]")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "manifest.json"),
+      s"""{"shards":$manifest}""".getBytes("UTF-8"))
+    (shards.length.toLong, shards.map(_._5).sum)
+  }
+
   /** Random-access reader over the v3 layout (root + optional leaves). */
   final class Reader(path: String) extends AutoCloseable {
     private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))

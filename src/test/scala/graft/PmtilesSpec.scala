@@ -62,6 +62,37 @@ class PmtilesSpec extends AnyFunSuite {
     } finally r.close()
   }
 
+  test("sharded parallel sink: disjoint ranges, every tile resolvable") {
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val tiles = Pipeline.tiles(docs, new Pipeline.GraftProfile(4, 4, 4), 4, gzipTiles = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val (shards, total) = PmtilesArchive.writeSharded(tiles, dir)
+    val collected = tiles.collect()
+    assert(total == collected.length)
+    assert(shards > 1, "expected multiple shards from 4 partitions")
+    // manifest ranges are sorted and disjoint
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "manifest.json")), "UTF-8")
+    val ranges = """"min_tile_id":(\d+),"max_tile_id":(\d+)""".r
+      .findAllMatchIn(manifest).map(m => (m.group(1).toLong, m.group(2).toLong)).toSeq
+    assert(ranges.length == shards)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, "overlapping shard ranges")
+      case _ =>
+    }
+    // every tile resolves through its shard (routed by range)
+    val readers = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator()
+    val shardFiles = new scala.collection.mutable.ArrayBuffer[PmtilesArchive.Reader]
+    readers.forEachRemaining(p =>
+      if (p.toString.endsWith(".pmtiles")) shardFiles += new PmtilesArchive.Reader(p.toString))
+    try {
+      collected.foreach { t =>
+        val hit = shardFiles.flatMap(_.tile(t.tile_id)).headOption
+        assert(hit.exists(java.util.Arrays.equals(_, t.bytes)), s"tile ${t.tile_id}")
+      }
+    } finally shardFiles.foreach(_.close())
+  }
+
   test("identical tiles dedup: consecutive runs coalesce, gaps back-reference") {
     import spark.implicits._
     val blobA = Array[Byte](1, 2, 3)
