@@ -441,6 +441,19 @@ object SparkEntry {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q38_salted_agg" -> ((s, dir) => {
+      // explicit skew salting: two-phase (key, salt) aggregation —
+      // result provably identical to the direct groupBy (the oracle IS
+      // the direct groupBy)
+      import graft.engine.Salt
+      Salt.aggregate(t(s, dir, "lineitem"), Seq("l_returnflag"),
+          Seq(Salt.sumOf(floor(col("l_quantity")), "qty"),
+            Salt.countAll("n"),
+            Salt.maxOf(col("l_partkey"), "max_part")),
+          buckets = 16)
+        .orderBy(col("l_returnflag"))
+    }),
+
     "q37_dup_clusters" -> ((s, dir) => {
       // near-dup pairs -> connected components -> dedup groups, each
       // labeled by its smallest member (the canonical survivor). The
@@ -894,6 +907,13 @@ object SparkEntry {
           SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
                  CAST(COUNT(*) AS BIGINT) AS features
           FROM cand GROUP BY 1 ORDER BY 1""",
+
+    "q38_salted_agg" ->
+      """SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+           COUNT(*) AS n,
+           MAX(l_partkey) AS max_part
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q37_dup_clusters" ->
       """WITH RECURSIVE tok AS (

@@ -104,6 +104,47 @@ object Pipeline {
    * compute, write, and re-read so downstream lineage starts at the
    * snapshot.
    */
+  /**
+   * Iceberg-style VERSIONED snapshots: each call that computes writes
+   * `snapshot-N` under `tableDir` and commits it by atomically renaming
+   * a version-hint file — readers only ever see fully committed
+   * versions, an interrupted writer leaves the previous version live,
+   * and a resumed run short-circuits to the latest commit. The
+   * mini-table-format analog of the reference's reusable feature DB +
+   * the north rule's "resume from Iceberg snapshot".
+   */
+  def snapshotVersioned[T](ds: Dataset[T], tableDir: String, recompute: Boolean = false)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): (Dataset[T], Int) = {
+    val spark = ds.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(conf)
+    val hint = new org.apache.hadoop.fs.Path(base, "version-hint.text")
+    def latest(): Option[Int] =
+      if (!fs.exists(hint)) None
+      else {
+        val in = fs.open(hint)
+        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+        finally in.close()
+      }
+    latest() match {
+      case Some(v) if !recompute =>
+        (spark.read.parquet(s"$tableDir/snapshot-$v").as[T], v)
+      case prev =>
+        val v = prev.map(_ + 1).getOrElse(1)
+        ds.write.mode("overwrite").parquet(s"$tableDir/snapshot-$v")
+        // commit: write hint to a temp file, rename over (atomic on
+        // HDFS/posix; object stores get read-after-write of the copy)
+        val tmp = new org.apache.hadoop.fs.Path(base, s".version-hint.$v.tmp")
+        val out = fs.create(tmp, true)
+        out.write(v.toString.getBytes("UTF-8"))
+        out.close()
+        if (fs.exists(hint)) fs.delete(hint, false)
+        fs.rename(tmp, hint)
+        (spark.read.parquet(s"$tableDir/snapshot-$v").as[T], v)
+    }
+  }
+
   def checkpoint[T](ds: Dataset[T], dir: String)(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val spark = ds.sparkSession
     // probe through the Hadoop FileSystem API so the _SUCCESS marker

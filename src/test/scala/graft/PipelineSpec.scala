@@ -162,6 +162,40 @@ class PipelineSpec extends AnyFunSuite {
       s"finish feature missing; z0 attrs = ${z0.map(_.attrs).toSeq}")
   }
 
+  test("versioned snapshots: commit via version hint, resume, recompute bumps") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vsnap").toString + "/table"
+    val ds1 = Seq(1, 2, 3).toDS()
+    val (r1, v1) = Pipeline.snapshotVersioned(ds1, dir)
+    assert(v1 == 1 && r1.collect().sorted.toSeq == Seq(1, 2, 3))
+    // resume: a DIFFERENT dataset short-circuits to the committed version
+    val (r2, v2) = Pipeline.snapshotVersioned(Seq(9, 9).toDS(), dir)
+    assert(v2 == 1 && r2.collect().sorted.toSeq == Seq(1, 2, 3))
+    // recompute commits version 2; readers switch only after the rename
+    val (r3, v3) = Pipeline.snapshotVersioned(Seq(7, 8).toDS(), dir, recompute = true)
+    assert(v3 == 2 && r3.collect().sorted.toSeq == Seq(7, 8))
+    val (r4, v4) = Pipeline.snapshotVersioned(Seq(0).toDS(), dir)
+    assert(v4 == 2 && r4.collect().sorted.toSeq == Seq(7, 8))
+    // older snapshot still present on disk (time travel by path)
+    assert(spark.read.parquet(s"$dir/snapshot-1").count() == 3)
+  }
+
+  test("salted aggregation equals direct groupBy on skewed keys") {
+    import spark.implicits._
+    // one hot key carrying 90% of rows
+    val df = ((1 to 9000).map(i => ("hot", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 7}", i.toLong))).toDF("k", "v")
+    val salted = graft.engine.Salt.aggregate(df, Seq("k"),
+      Seq(graft.engine.Salt.sumOf(col("v"), "s"), graft.engine.Salt.countAll("n"),
+        graft.engine.Salt.minOf(col("v"), "lo"), graft.engine.Salt.maxOf(col("v"), "hi")),
+      buckets = 8)
+    val direct = df.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("checkpoint resume: snapshot read-back equals computed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString + "/stage1"
