@@ -189,22 +189,29 @@ object GeoFunctions {
     SqlBridge.col(StSnapFixPolygon(SqlBridge.expr(wkb), d(SqlBridge.expr(scale))))
   def st_length_meters(wkb: Column): Column = SqlBridge.col(StLengthMeters(SqlBridge.expr(wkb)))
 
-  /** Register all functions for SQL use. */
+  /** Name -> expression builder for every SQL-registered function (one
+    * source of truth for both `register` and `GraftExtensions`). */
+  def registrations: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "world_x" -> (es => WorldX(d(es.head))),
+    "world_y" -> (es => WorldY(d(es.head))),
+    "tile_id" -> (es => TileIdExpr(d(es(0)), d(es(1)), i(es(2)))),
+    "hilbert_index" -> (es => HilbertIndex(i(es(0)), i(es(1)), i(es(2)))),
+    "meters_between" -> (es => MetersBetween(es.map(d))),
+    "simplify_dp" -> (es => SimplifyDp(es(0), d(es(1)))),
+    "st_geomfromtext" -> (es => StGeomFromText(es.head)),
+    "st_centroid" -> (es => StCentroid(es.head)),
+    "st_point_on_surface" -> (es => StPointOnSurface(es.head)),
+    "st_innermost_point" -> (es => StInnermostPoint(es.head)),
+    "st_line_interpolate" -> (es => StLineInterpolate(es(0), d(es(1)))),
+    "st_area_meters" -> (es => StAreaMeters(es.head)),
+    "st_snap_fix_polygon" -> (es => StSnapFixPolygon(es(0), d(es(1)))),
+    "st_length_meters" -> (es => StLengthMeters(es.head)))
+
+  /** Register all functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("world_x", es => WorldX(d(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("world_y", es => WorldY(d(es.head)), "built-in")
-    reg.createOrReplaceTempFunction("tile_id", es => TileIdExpr(d(es(0)), d(es(1)), i(es(2))), "built-in")
-    reg.createOrReplaceTempFunction("hilbert_index", es => HilbertIndex(i(es(0)), i(es(1)), i(es(2))), "built-in")
-    reg.createOrReplaceTempFunction("meters_between", es => MetersBetween(es.map(d)), "built-in")
-    reg.createOrReplaceTempFunction("simplify_dp", es => SimplifyDp(es(0), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("st_geomfromtext", es => StGeomFromText(es.head), "built-in")
-    reg.createOrReplaceTempFunction("st_centroid", es => StCentroid(es.head), "built-in")
-    reg.createOrReplaceTempFunction("st_point_on_surface", es => StPointOnSurface(es.head), "built-in")
-    reg.createOrReplaceTempFunction("st_innermost_point", es => StInnermostPoint(es.head), "built-in")
-    reg.createOrReplaceTempFunction("st_line_interpolate", es => StLineInterpolate(es(0), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("st_area_meters", es => StAreaMeters(es.head), "built-in")
-    reg.createOrReplaceTempFunction("st_snap_fix_polygon", es => StSnapFixPolygon(es(0), d(es(1))), "built-in")
-    reg.createOrReplaceTempFunction("st_length_meters", es => StLengthMeters(es.head), "built-in")
+    registrations.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, es => b(es), "built-in")
+    }
   }
 }

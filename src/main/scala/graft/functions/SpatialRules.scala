@@ -86,10 +86,28 @@ object SpatialRules {
   }
 }
 
-/** For SparkSession.builder().withExtensions(...) /
-  * spark.sql.extensions=graft.functions.GraftExtensions. */
+/**
+ * The library's complete SparkSessionExtensions entry point — use
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+ * `spark.sql.extensions=graft.functions.GraftExtensions`: injects the
+ * spatial pushdown optimizer rule AND the full scalar function surface
+ * (world_x, tile_id, st_*, cel_eval), so spark-submit users get the
+ * engine's SQL dialect without touching session internals.
+ */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => SpatialRules.BboxPushdownRule)
+    GeoFunctions.registrations.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
+        es => builder(es)))
+    }
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("cel_eval"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "cel_eval"),
+      es => ScriptFunctions.CelEval(Seq(es(0), es(1),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(2),
+          org.apache.spark.sql.types.LongType), es(3)))))
   }
 }

@@ -147,6 +147,50 @@ class OperatorBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions: functions + pushdown rule via withExtensions") {
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // sibling session on the SAME context, with the extensions applied
+    val s2 = SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      // injected scalar functions resolve in plain SQL
+      val r = s2.sql("SELECT world_x(0.0) AS wx, tile_id(0.0, 0.0, 2) AS tid, " +
+        "cel_eval('${ 2 + 3 }', map('a','b'), 1L, 'src') AS cel").collect()(0)
+      assert(r.getDouble(0) == 0.5)
+      assert(r.getLong(1) == graft.geo.TileCoord.hilbertIdOf(0, 0, 2))
+      assert(r.getString(2) == "5")
+      // injected optimizer rule expands st_contains into ranges that
+      // reach the parquet scan as PushedFilters
+      import graft.functions.SpatialRules
+      val poly = graft.geo.Geo.fromWktOrNull("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+      import s2.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft_ext").toString + "/pts"
+      Seq((1.0, 1.0), (50.0, 50.0)).toDF("lon", "lat").write.parquet(dir)
+      val df = s2.read.parquet(dir)
+        .where(SpatialRules.st_contains_lonlat(
+          org.apache.spark.sql.functions.lit(graft.geo.Geo.toWkb(poly)),
+          org.apache.spark.sql.functions.col("lon"),
+          org.apache.spark.sql.functions.col("lat")))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") &&
+        (plan.contains("GreaterThanOrEqual(lon") || plan.contains("LessThanOrEqual(lon")),
+        s"bbox conjuncts not pushed:\n${plan.take(1500)}")
+      assert(df.count() == 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.clearActiveSession()
+      org.apache.spark.sql.SparkSession.clearDefaultSession()
+      prev.foreach { p =>
+        org.apache.spark.sql.SparkSession.setActiveSession(p)
+        org.apache.spark.sql.SparkSession.setDefaultSession(p)
+      }
+    }
+  }
+
   test("wikidata translations broadcast-join fills missing name tags") {
     import graft.model.SourceFeature
     val feats = Seq(
