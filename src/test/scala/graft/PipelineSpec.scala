@@ -162,6 +162,61 @@ class PipelineSpec extends AnyFunSuite {
       s"finish feature missing; z0 attrs = ${z0.map(_.attrs).toSeq}")
   }
 
+  test("e2e line merge: connected same-attr segments fuse into one feature") {
+    // three chained segments from separate docs, same text attr ->
+    // same packed attrs -> the lines-layer post-process merges them
+    // (the PlanetilerTests.testMergeLineStrings analog, through the
+    // full pipeline incl. the extra-precision scale path)
+    val docs = docsOf(
+      "line_1" -> Seq(textSpan("road", 0), geomSpan("LINESTRING (0 0, 1 1)", 1)),
+      "line_2" -> Seq(textSpan("road", 0), geomSpan("LINESTRING (1 1, 2 0)", 1)),
+      "line_3" -> Seq(textSpan("road", 0), geomSpan("LINESTRING (2 0, 3 1)", 1)))
+    val profile = new Pipeline.GraftProfile(5, 5, 5) {
+      override def postProcessLayer(layer: String, zoom: Int,
+          features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] =
+        if (layer == "lines") FeatureMerge.mergeLineStrings(features) else features
+    }
+    val tiles = Pipeline.tiles(docs, profile, 2, gzipTiles = false).collect()
+    val z4 = tiles.filter(t => t.z == 4) // lines render z4..5
+    assert(z4.nonEmpty)
+    // the tile containing all three merges them into a single feature
+    val counts = z4.map(t => Mvt.decodeTile(t.bytes).count(_.geomType == 2))
+    assert(counts.exists(_ == 1), s"expected a merged single line, got $counts")
+    // unmerged control: without the hook some tile keeps 3 features
+    val plain = Pipeline.tiles(docs, new Pipeline.GraftProfile(5, 5, 5), 2, gzipTiles = false)
+      .collect().filter(_.z == 4)
+      .map(t => Mvt.decodeTile(t.bytes).count(_.geomType == 2))
+    assert(plain.exists(_ == 3))
+  }
+
+  test("e2e loop breaking: short parallel arm drops at low zoom") {
+    // a main road that arcs between two junctions, plus a straight
+    // shortcut — the junctions stay degree-3 because the road continues
+    // beyond them (the reference's testRemoveSmallLoops shape);
+    // loopMinPx large enough to break the loop keeps the short path
+    val docs = docsOf(
+      "line_1" -> Seq(textSpan("r", 0),
+        geomSpan("LINESTRING (5 10, 6 10, 7 10.8, 8 10, 9 10)", 1)),
+      "line_2" -> Seq(textSpan("r", 0), geomSpan("LINESTRING (6 10, 8 10)", 1)))
+    val profile = new Pipeline.GraftProfile(5, 5, 5) {
+      override def postProcessLayer(layer: String, zoom: Int,
+          features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] =
+        if (layer == "lines") FeatureMerge.mergeLineStrings(features, loopMinPx = 300)
+        else features
+    }
+    val tiles = Pipeline.tiles(docs, profile, 2, gzipTiles = false).collect().filter(_.z == 4)
+    val feats = tiles.flatMap(t => Mvt.decodeTile(t.bytes).filter(_.geomType == 2))
+    assert(feats.nonEmpty)
+    // the arched arm is gone: merged line runs straight along lat 10 —
+    // no surviving vertex at lat 10.8 (tile-local y differs by >100)
+    val parts = feats.flatMap(_.parts.map(_._2))
+    val ys = parts.flatMap(_.map(_._2))
+    assert(ys.nonEmpty && ys.max - ys.min < 50,
+      s"arched arm should have been broken; y spread = ${ys.min}..${ys.max}")
+    // and the shortcut path is a single merged stroke
+    assert(parts.exists(_.length >= 4), s"expected merged through-line, got ${parts.map(_.length).toSeq}")
+  }
+
   test("versioned snapshots: commit via version hint, resume, recompute bumps") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_vsnap").toString + "/table"
