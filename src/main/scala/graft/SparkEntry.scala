@@ -114,6 +114,49 @@ object SparkEntry {
            FROM orders_v GROUP BY 1, 2 ORDER BY 1, 2""")
     }),
 
+    "q09_bbox_pushdown" -> ((s, dir) => {
+      // the spatial pushdown rule in the gate: st_contains_lonlat over
+      // a polygon literal expands into range conjuncts that reach the
+      // parquet scan as PushedFilters; the exact JTS covers() test
+      // stays as the post-filter. Oracle mirrors the containment
+      // arithmetic directly (rectangle off the coordinate grid, so no
+      // boundary ambiguity).
+      graft.functions.SpatialRules.install(s)
+      val poly = graft.geo.Geo.fromWktOrNull(
+        "POLYGON ((-90.005 -40.005, 60.005 -40.005, 60.005 50.005, -90.005 50.005, -90.005 -40.005))")
+      val o = t(s, dir, "orders")
+      val lon = (col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0
+      val lat = (col("o_orderkey") * 7919 % 17000) / 100.0 - 85.0
+      o.select(col("o_orderkey"), lon.as("lon"), lat.as("lat"))
+        .where(graft.functions.SpatialRules.st_contains_lonlat(
+          lit(graft.geo.Geo.toWkb(poly)), col("lon"), col("lat")))
+        .agg(count(lit(1)).as("inside"), sum(col("o_orderkey")).as("key_sum"))
+    }),
+
+    "q32_geojson_scan" -> ((s, dir) => {
+      // GeoJSON reader through the gate: features generated from the
+      // nation table -> NDJSON file -> readFeatures -> parsed coords;
+      // the oracle recomputes the same coordinates arithmetically
+      val rows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().sortBy(_.getInt(0))
+      val lines = rows.map { r =>
+        val k = r.getInt(0)
+        val lon = (k.toLong * 9973 % 36000) / 100.0 - 180.0
+        val lat = (k.toLong * 7919 % 17000) / 100.0 - 85.0
+        s"""{"type":"Feature","id":"$k","geometry":{"type":"Point","coordinates":[$lon,$lat]},"properties":{"name":"${r.getString(1)}"}}"""
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_gj").resolve("n.ndjson")
+      java.nio.file.Files.write(tmp, lines.mkString("\n").getBytes("UTF-8"))
+      val docs = graft.sources.GeoJson.readFeatures(s, tmp.toString)
+      import s.implicits._
+      docs.map { d =>
+        val wkt = d.spans.find(_.kind == "geom").get.text
+        val c = graft.geo.Geo.fromWktOrNull(wkt).getCoordinate
+        val name = d.spans.find(_.kind == "text").map(_.text.stripPrefix("name=")).getOrElse("")
+        (d.doc_id, name, c.x, c.y)
+      }.toDF("doc_id", "name", "lon", "lat").orderBy(col("doc_id"))
+    }),
+
     // ---------- geo: docs synthesis + projection + tile assignment ----------
 
     "q10_docs_shape" -> ((s, dir) => {
@@ -560,6 +603,17 @@ object SparkEntry {
             CAST(FLOOR(${worldYSql(latSql)} * 64) AS INT) AS ty,
             COUNT(*) AS n
           FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q09_bbox_pushdown" ->
+      s"""SELECT COUNT(*) AS inside, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM (SELECT o_orderkey, $lonSql AS lon, $latSql AS lat FROM orders)
+          WHERE lon >= -90.005 AND lon <= 60.005 AND lat >= -40.005 AND lat <= 50.005""",
+
+    "q32_geojson_scan" ->
+      """SELECT 'gj_' || n_nationkey AS doc_id, n_name AS name,
+           (n_nationkey * 9973 % 36000) / 100.0 - 180.0 AS lon,
+           (n_nationkey * 7919 % 17000) / 100.0 - 85.0 AS lat
+         FROM nation ORDER BY 1""",
 
     "q10_docs_shape" ->
       """WITH docs AS (
