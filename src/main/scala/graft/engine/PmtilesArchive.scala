@@ -321,6 +321,78 @@ object PmtilesArchive {
     (shards.length.toLong, shards.map(_._5).sum)
   }
 
+  /**
+   * Concatenate sharded archives (disjoint ascending tile-id ranges,
+   * as produced by [[writeSharded]]) into ONE valid archive without
+   * re-sorting: tile blobs stream shard by shard with offsets rebased;
+   * directories rebuild from the shards' own directories. The
+   * single-writer cost is a sequential byte copy — no decode, no
+   * re-encode, no shuffle.
+   */
+  def concatenateShards(shardPaths: Seq[String], outPath: String,
+                        metadataJson: String = """{"vector_layers":[]}""",
+                        minZoom: Int = 0, maxZoom: Int = 15,
+                        tilesGzipped: Boolean = true): (Long, Long, Long) = {
+    val raf = new java.io.RandomAccessFile(outPath, "rw")
+    raf.setLength(0)
+    raf.seek(InitSection.toLong)
+    val entries = ArrayBuffer.empty[Entry]
+    var dataLen = 0L
+    var addressed = 0L
+    var contents = 0L
+    var lastId = Long.MinValue
+    shardPaths.foreach { sp =>
+      val r = new Reader(sp)
+      try {
+        val h = r.header
+        // rebase this shard's entries onto the output's data section
+        val shardEntries = r.allEntries
+        shardEntries.foreach { e =>
+          require(e.tileId > lastId, s"shard $sp overlaps previous range at ${e.tileId}")
+          lastId = e.tileId + math.max(e.runLength - 1, 0)
+          entries += e.copy(offset = e.offset + dataLen)
+          addressed += math.max(e.runLength, 1)
+        }
+        contents += h.numTileContents
+        // stream the tile data section verbatim
+        val in = new java.io.RandomAccessFile(sp, "r")
+        try {
+          in.seek(h.tileDataOffset)
+          val buf = new Array[Byte](1 << 20)
+          var remaining = h.tileDataLength
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            raf.write(buf, 0, n)
+            remaining -= n
+          }
+        } finally in.close()
+        dataLen += h.tileDataLength
+      } finally r.close()
+    }
+    val (root, leaves) = makeDirectories(entries.toSeq)
+    val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
+    raf.write(json)
+    raf.write(leaves)
+    val header = Header(
+      rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
+      jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
+      leafDirectoriesOffset = InitSection + dataLen + json.length,
+      leafDirectoriesLength = leaves.length.toLong,
+      tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
+      numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
+      numTileContents = contents, clustered = true,
+      internalCompression = 2, tileCompression = if (tilesGzipped) 2 else 1,
+      tileType = 1, minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
+      minLonE7 = -1800000000, minLatE7 = -850511300,
+      maxLonE7 = 1800000000, maxLatE7 = 850511300,
+      centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
+    raf.seek(0)
+    raf.write(header.toBytes)
+    raf.write(root)
+    raf.close()
+    (addressed, entries.length.toLong, contents)
+  }
+
   /** Random-access reader over the v3 layout (root + optional leaves). */
   final class Reader(path: String) extends AutoCloseable {
     private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
@@ -341,6 +413,16 @@ object PmtilesArchive {
 
     def metadata: String =
       new String(Mvt.gunzip(readAt(header.jsonMetadataOffset, header.jsonMetadataLength.toInt)), "UTF-8")
+
+    /** Every tile entry, leaves expanded (ascending tileId). */
+    def allEntries: Seq[Entry] =
+      if (header.leafDirectoriesLength == 0) root.toSeq
+      else root.toSeq.flatMap { e =>
+        if (e.runLength == 0)
+          directoryFromBytes(Mvt.gunzip(
+            readAt(header.leafDirectoriesOffset + e.offset, e.length))).toSeq
+        else Seq(e)
+      }
 
     /** Find the last entry with tileId <= id (spec search order). */
     private def find(entries: Array[Entry], id: Long): Option[Entry] = {

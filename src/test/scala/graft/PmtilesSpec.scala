@@ -93,6 +93,28 @@ class PmtilesSpec extends AnyFunSuite {
     } finally shardFiles.foreach(_.close())
   }
 
+  test("shard concatenation produces one valid archive with every tile") {
+    val docs = Docs.docs(spark, "/root/testdata/sf0.001")
+    val tiles = Pipeline.tiles(docs, new Pipeline.GraftProfile(4, 4, 4), 4, gzipTiles = true)
+    val dir = java.nio.file.Files.createTempDirectory("graft_concat").toString
+    PmtilesArchive.writeSharded(tiles, dir)
+    val shardPaths = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    val shards = new scala.collection.mutable.ArrayBuffer[String]
+    shardPaths.forEachRemaining(p => if (p.toString.endsWith(".pmtiles")) shards += p.toString)
+    val out = s"$dir/merged.pmtiles"
+    val (addressed, _, _) = PmtilesArchive.concatenateShards(shards.sorted.toSeq, out)
+    val collected = tiles.collect()
+    assert(addressed == collected.length)
+    val r = new PmtilesArchive.Reader(out)
+    try {
+      collected.foreach { t =>
+        assert(r.tile(t.tile_id).exists(java.util.Arrays.equals(_, t.bytes)), s"tile ${t.tile_id}")
+      }
+      assert(r.header.clustered)
+    } finally r.close()
+  }
+
   test("identical tiles dedup: consecutive runs coalesce, gaps back-reference") {
     import spark.implicits._
     val blobA = Array[Byte](1, 2, 3)
