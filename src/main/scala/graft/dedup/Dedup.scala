@@ -43,9 +43,11 @@ object Dedup {
   /**
    * Exact n-gram Jaccard join over `shingleN`-gram shingle sets: pairs
    * with jaccard >= num/den (integer-exact comparison, no FP).
-   * Shingles (not unigrams) keep the posting lists selective — a
-   * small-vocabulary corpus would otherwise make the candidate join
-   * quadratic.
+   * Posting-list candidate join with inline intersection counting —
+   * the fastest exact shape when shingle document frequencies are
+   * benign (they are for word n-grams). For skewed vocabularies where
+   * a hot token would go quadratic, use [[ngramJaccardPairsPrefix]]
+   * (identical output, prefix-filtered candidates).
    */
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -62,6 +64,46 @@ object Dedup {
       // c / (na + nb - c) >= num/den  <=>  c * den >= num * (na + nb - c)
       .where(col("c") * den >= (col("na") + col("nb") - col("c")) * num)
       .select(col("da"), col("db"), col("c"), (col("na") + col("nb") - col("c")).as("u"))
+  }
+
+  /**
+   * Same exact join via PREFIX FILTERING (the classic PPJoin bound):
+   * order every document's shingles by ascending global document
+   * frequency (rarest first, ties by token); two sets with J >= t MUST
+   * share a token within their first |X| - ceil(t·|X|) + 1 tokens
+   * under any shared total order, so only those prefix tokens enter
+   * the candidate self-join — one hot shingle can no longer go
+   * quadratic. Verification is exact (join back to the full distinct
+   * shingle arrays), so the output equals [[ngramJaccardPairs]].
+   */
+  def ngramJaccardPairsPrefix(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
+                              textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"),
+        graft.functions.TextExprs.shingles(col(textCol), shingleN).as("sh"))
+      .where(size(col("sh")) > 0)
+    val toks = base.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("t"))
+    val df = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // prefix length: n - ceil(t*n) + 1 with t = num/den, integer-exact:
+    // ceil(num*n/den) = floor((num*n + den - 1)/den)
+    val prefixLen = col("n") - floor((lit(num) * col("n") + den - 1) / den) + 1
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df"), col("t"))
+    val prefixes = toks.join(df, "t")
+      .withColumn("rk", row_number().over(byRarity))
+      .where(col("rk") <= prefixLen)
+      .select(col("id"), col("t"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.t") === col("b.t") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("da"), col("b.id").as("db"))
+      .dropDuplicates("da", "db")
+    cand
+      .join(base.select(col("id").as("da"), col("sh").as("sha")), "da")
+      .join(base.select(col("id").as("db"), col("sh").as("shb")), "db")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
+      // c / u >= num/den  <=>  c * den >= num * u (integer math)
+      .where(col("c") * den >= col("u") * num)
+      .select(col("da"), col("db"), col("c"), col("u"))
   }
 
   /**

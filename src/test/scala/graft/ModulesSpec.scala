@@ -119,6 +119,24 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("prefix-filtered jaccard join equals the posting-list join") {
+    // include a HOT token shared by every doc — the prefix filter must
+    // still find exactly the same qualifying pairs
+    val d = docs((1L to 20L).map { i =>
+      val noise = (1 to 10).map(j => s"w${i}_$j")
+      val hot = Seq("common", "filler", "words")
+      i -> (hot ++ noise ++ (if (i % 2 == 0) (1 to 9).map(j => s"w${i - 1}_$j") else Nil))
+        .mkString(" ")
+    }: _*)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.get(2).toString.toLong, r.get(3).toString.toLong)).sorted.toSeq
+    val posting = norm(Dedup.ngramJaccardPairs(d, 1, 3))
+    val prefix = norm(Dedup.ngramJaccardPairsPrefix(d, 1, 3))
+    assert(posting == prefix)
+    assert(posting.nonEmpty, "fixture should produce qualifying pairs")
+  }
+
   test("duplicate clusters: label propagation finds min-id components") {
     // chain 1-2-3-4 (one component), 10-11, isolated pair 20-21
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
