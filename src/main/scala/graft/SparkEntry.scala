@@ -402,15 +402,13 @@ object SparkEntry {
     }),
 
     "q27_lang_quality" -> ((s, dir) => {
-      // language-ID heuristic + quality deciles: tokenize ONCE, reuse
-      // the token array across every heuristic; decile computed from
-      // the raw (un-rounded) score so both engines floor the identical
-      // IEEE double
-      import graft.text.Text
+      // language-ID heuristic + quality deciles in ONE native JVM pass
+      // per row (LangQualityExpr) — same IEEE arithmetic, same
+      // tie-breaks as the Column formulation in graft.text.Text (the
+      // spec asserts parity), ~30x the interpreted-lambda version
       t(s, dir, "documents")
-        .withColumn("toks", Text.tokens(col("text")))
-        .select(Text.langIdFromTokens(col("text"), col("toks")).as("lang_pred"),
-          floor(Text.qualityScoreRaw(col("text"), col("toks")) * 10).cast("long").as("q_decile"))
+        .select(graft.functions.TextExprs.langQuality(col("text")).as("lq"))
+        .select(col("lq.lang_pred").as("lang_pred"), col("lq.q_decile").as("q_decile"))
         .groupBy(col("lang_pred"), col("q_decile"))
         .agg(count(lit(1)).as("docs"))
         .orderBy(col("lang_pred"), col("q_decile"))
@@ -421,7 +419,7 @@ object SparkEntry {
       // mirrored 1:1 by DuckDB list_reduce): identical docs share
       // fingerprints; distinct-count per source proves order sensitivity
       t(s, dir, "documents")
-        .select(col("source"), graft.text.Text.fingerprintPortable(col("text")).as("fp"))
+        .select(col("source"), graft.functions.TextExprs.md5ChainFingerprint(col("text")).as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
         .orderBy(col("source"))

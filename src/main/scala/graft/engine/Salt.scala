@@ -28,11 +28,20 @@ object Salt {
   def maxOf(c: Column, as: String): Agg = Agg("max", c, as)
 
   /** Two-phase salted aggregation: exact same result as a direct
-    * groupBy(keys).agg(...), skew-immune. */
+    * groupBy(keys).agg(...), skew-immune.
+    *
+    * The salt MUST be deterministic under task re-execution: a salt
+    * derived from `monotonically_increasing_id()` (or rand()) can move
+    * rows between (key, salt) groups when a map task is recomputed
+    * after a partial reduce fetch, losing or double-counting partials.
+    * `spark_partition_id()` is stable for a given input split, and one
+    * salt per map partition is exactly the spread two-phase
+    * aggregation needs (each partition's rows for a hot key collapse
+    * to one partial row anyway). */
   def aggregate(df: DataFrame, keys: Seq[String], aggs: Seq[Agg],
                 buckets: Int = 32): DataFrame = {
     require(aggs.nonEmpty)
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(buckets)))
+    val salted = df.withColumn("__salt", pmod(spark_partition_id(), lit(buckets)))
     val phase1 = salted.groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggExpr(aggs.head, phase1 = true),
         aggs.tail.map(a => aggExpr(a, phase1 = true)): _*)

@@ -155,6 +155,130 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Simhash60Expr = copy(child = c)
   }
 
+  // ---- language-ID + quality in one JVM pass (q27 hot path) ----
+
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val NonAlphaPattern = java.util.regex.Pattern.compile("[^\\p{L} ]")
+  private val CjkPattern = java.util.regex.Pattern.compile("[\\u4e00-\\u9fff]")
+
+  /** Stopword profiles in sorted-lang order (de,en,es,fr) — the same
+    * map `Text.langIdFromTokens` folds over, so tie-breaks resolve to
+    * the lexicographically-largest language exactly like
+    * `array_max(array(struct(hits, lang)))` does. */
+  private lazy val LangProfiles: Array[(UTF8String, java.util.HashSet[String])] =
+    graft.text.Text.Stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val s = new java.util.HashSet[String](words.size * 2)
+      words.foreach(s.add)
+      (UTF8String.fromString(lang), s)
+    }.toArray
+
+  private val LangZh = UTF8String.fromString("zh")
+  private val LangUnd = UTF8String.fromString("und")
+
+  /**
+   * One-pass language-ID + quality-decile: tokenize once, count
+   * stopword hits for all four profiles, compute the four quality
+   * terms — bit-for-bit the same IEEE arithmetic (same operation
+   * order) as the `Text.langIdFromTokens` / `Text.qualityScoreRaw`
+   * Column formulations and the DuckDB oracle, but one JVM loop per
+   * row instead of interpreted Catalyst lambdas over every token.
+   * Returns struct<lang_pred: string, q_decile: long>.
+   */
+  case class LangQualityExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("lang_pred", StringType, nullable = false),
+      StructField("q_decile", LongType, nullable = false)))
+    override protected def nullSafeEval(v: Any): Any = {
+      val text = v.asInstanceOf[UTF8String].toString
+      val toks = WsPattern.split(text, -1)
+      val profiles = LangProfiles
+      val hits = new Array[Int](profiles.length)
+      val distinct = new java.util.HashSet[String](toks.length * 2)
+      var i = 0
+      while (i < toks.length) {
+        val low = toks(i).toLowerCase(java.util.Locale.ROOT)
+        var p = 0
+        while (p < profiles.length) {
+          if (profiles(p)._2.contains(low)) hits(p) += 1
+          p += 1
+        }
+        distinct.add(toks(i))
+        i += 1
+      }
+      // best = max hits, ties -> lexicographically-largest lang
+      // (profiles are lang-sorted, so >= keeps the later lang on ties)
+      var bestIdx = 0
+      var p = 1
+      while (p < profiles.length) {
+        if (hits(p) >= hits(bestIdx)) bestIdx = p
+        p += 1
+      }
+      val lang =
+        if (CjkPattern.matcher(text).find()) LangZh
+        else if (hits(bestIdx) > 0) profiles(bestIdx)._1
+        else LangUnd
+      // quality terms — identical expression order to qualityScoreRaw:
+      // ((len*0.25 + distinct*0.25) + alpha*0.25) + wordLen*0.25
+      val nTok = toks.length.toDouble
+      val lenScore = math.min(nTok / 64.0, 1.0)
+      val distinctRatio = distinct.size.toDouble / math.max(nTok, 1.0)
+      val stripped = NonAlphaPattern.matcher(text).replaceAll("")
+      val alphaLen = stripped.codePointCount(0, stripped.length).toDouble
+      val textLen = text.codePointCount(0, text.length).toDouble
+      val alphaRatio = (alphaLen + 1.0) / (textLen + 1.0)
+      val meanWordLen = (textLen + 1.0) / math.max(nTok, 1.0)
+      val wordLenScore = if (meanWordLen >= 3.0 && meanWordLen <= 12.0) 1.0 else 0.5
+      val raw = lenScore * 0.25 + distinctRatio * 0.25 + alphaRatio * 0.25 + wordLenScore * 0.25
+      val decile = math.floor(raw * 10.0).toLong
+      new GenericInternalRow(Array[Any](lang, decile))
+    }
+    override protected def withNewChildInternal(c: Expression): LangQualityExpr = copy(child = c)
+  }
+
+  private val HexChars = "0123456789abcdef".toCharArray
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /**
+   * Portable order-sensitive fingerprint — the identical md5 chain to
+   * `Text.fingerprintPortable` (seed = first token; acc =
+   * md5hex(acc || '|' || tok) per subsequent token, ≡ DuckDB
+   * `list_reduce(tokens, (a,b) -> md5(a || '|' || b))`) — run as one
+   * JVM loop with a reused MessageDigest instead of one interpreted
+   * md5(concat(...)) expression-tree eval per token.
+   */
+  case class Md5ChainFingerprintExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any = {
+      val toks = WsPattern.split(v.asInstanceOf[UTF8String].toString, -1)
+      val md = Md5Local.get()
+      var acc = toks(0)
+      var i = 1
+      while (i < toks.length) {
+        md.reset()
+        md.update(acc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        md.update('|'.toByte)
+        md.update(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val digest = md.digest()
+        val hex = new Array[Char](32)
+        var j = 0
+        while (j < 16) {
+          hex(j * 2) = HexChars((digest(j) >> 4) & 0xf)
+          hex(j * 2 + 1) = HexChars(digest(j) & 0xf)
+          j += 1
+        }
+        acc = new String(hex)
+        i += 1
+      }
+      UTF8String.fromString(acc)
+    }
+    override protected def withNewChildInternal(c: Expression): Md5ChainFingerprintExpr = copy(child = c)
+  }
+
   def shingles(text: Column, n: Int): Column =
     SqlBridge.col(ShinglesExpr(SqlBridge.expr(text), n))
   def simhash60(text: Column): Column =
@@ -163,4 +287,8 @@ object TextExprs {
     SqlBridge.col(MinHashSigExpr(SqlBridge.expr(shingleSet), k))
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     SqlBridge.col(LshBandKeysExpr(SqlBridge.expr(sig), bands, rowsPerBand))
+  def langQuality(text: Column): Column =
+    SqlBridge.col(LangQualityExpr(SqlBridge.expr(text)))
+  def md5ChainFingerprint(text: Column): Column =
+    SqlBridge.col(Md5ChainFingerprintExpr(SqlBridge.expr(text)))
 }

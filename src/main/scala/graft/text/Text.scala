@@ -96,7 +96,7 @@ object Text {
       (acc, tok) => md5(concat(acc, lit("|"), tok)))
   }
 
-  private val Stopwords = Map(
+  private[graft] val Stopwords = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "a"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "für", "auf", "ein"),

@@ -176,6 +176,45 @@ class ModulesSpec extends AnyFunSuite {
     assert(got(4L) == "und")
   }
 
+  test("native LangQualityExpr matches the Column formulation bit-for-bit") {
+    import graft.functions.TextExprs
+    val texts = Seq(
+      "the cat and the dog ran to the house with a friend",
+      "el gato y el perro en la casa con los amigos un dia",
+      "der hund und die katze ist mit das haus auf ein weg",
+      "le chat et les chiens des maisons en un jour est une",
+      "qqq www eee rrr ttt",
+      "中文文本 the and of to in", // CJK wins over stopword hits
+      "für FÜR für das DAS", // non-ASCII lowercase in stopword match
+      "", // empty text -> one empty token
+      "  leading and trailing whitespace  ",
+      "a", "a b", "one-token",
+      "punct!!! ??? ### $$$ %%%",
+      "the the the the the the the the the the the the the the the the " * 8, // >64 tokens
+      "x y z " + ("pad " * 60))
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = d.select(col("id"), TextExprs.langQuality(col("text")).as("lq"))
+      .select(col("id"), col("lq.lang_pred"), col("lq.q_decile"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val column = d.withColumn("toks", Text.tokens(col("text")))
+      .select(col("id"), Text.langIdFromTokens(col("text"), col("toks")).as("l"),
+        floor(Text.qualityScoreRaw(col("text"), col("toks")) * 10).cast("long").as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(native == column)
+  }
+
+  test("native Md5ChainFingerprintExpr matches the aggregate-HOF chain") {
+    import graft.functions.TextExprs
+    val texts = Seq("a b c", "c b a", "single", "", "  x  y ", "tok")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val native = d.select(col("id"), TextExprs.md5ChainFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val column = d.select(col("id"), Text.fingerprintPortable(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(native == column)
+    assert(native(0L) != native(1L)) // order-sensitive
+  }
+
   test("quality score in [0,1], garbage scores lower than prose") {
     val d = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the quiet river bank today"),

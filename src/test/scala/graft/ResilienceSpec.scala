@@ -36,6 +36,29 @@ class ResilienceSpec extends AnyFunSuite {
     assert(n == clean)
   }
 
+  test("salted aggregation is exact under task re-execution (deterministic salt)") {
+    ResilienceSpec.crashed.clear()
+    // skewed input: one hot key carrying 90% of rows, 8 partitions
+    val base = ((1 to 9000).map(i => ("hot", i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 7}", i.toLong))).toDF("k", "v").repartition(8)
+    val flakySchema = base.schema
+    val flaky = base.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId()
+      if (TaskContext.get().attemptNumber() == 0 && pid % 3 == 1 &&
+        ResilienceSpec.crashed.putIfAbsent(1000 + pid, true) == null) {
+        throw new RuntimeException("injected task failure mid-aggregate")
+      }
+      it
+    }(org.apache.spark.sql.Encoders.row(flakySchema))
+    val salted = graft.engine.Salt.aggregate(flaky, Seq("k"),
+      Seq(graft.engine.Salt.sumOf(col("v"), "s"), graft.engine.Salt.countAll("n"),
+        graft.engine.Salt.maxOf(col("v"), "hi")), buckets = 8)
+    val direct = base.groupBy(col("k"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"), max(col("v")).as("hi"))
+    assert(salted.collect().map(_.toString).sorted.toSeq ==
+      direct.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("relation transitive closure with super-relations and a cycle") {
     val memberships = Seq(
       (10L, 100L), // way 10 in relation 100
