@@ -162,7 +162,7 @@ object SparkEntry {
     "q10_docs_shape" -> ((s, dir) => {
       // the interleaved docs table itself: per-source doc counts and
       // span-sequence integrity (offsets strictly 0..n-1 in order)
-      Docs.docs(s, dir)
+      Docs.docsTable(s, dir)
         .select(
           substring_index(col("doc_id"), "_", 1).as("src"),
           size(col("spans")).as("n_spans"),
@@ -179,7 +179,7 @@ object SparkEntry {
       // point docs -> (zoom 7 tile x, y) through the real engine path:
       // WKT parse -> JTS -> mercator -> tile index. Oracle re-derives
       // the same tiles arithmetically in DuckDB.
-      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      val sf = Docs.pointFeatures(s, dir)
       import s.implicits._
       sf.map { f =>
         val g = Geo.fromWkb(f.geom)
@@ -195,7 +195,7 @@ object SparkEntry {
     "q12_tiles_per_zoom" -> ((s, dir) => {
       // distinct covered tiles per zoom for the point layer (the
       // zoom-explode fan-out, SURVEY §2.3/§2.4 tile-cover join)
-      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      val sf = Docs.pointFeatures(s, dir)
       import s.implicits._
       sf.flatMap { f =>
         val c = Geo.fromWkb(f.geom).getCoordinate
@@ -211,7 +211,7 @@ object SparkEntry {
     "q13_pip_join" -> ((s, dir) => {
       // point-in-polygon: broadcast STRtree of admin rectangles, exact
       // covers() probe per partition; smallest containing poly id wins
-      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      val sf = Docs.pointFeatures(s, dir)
       import s.implicits._
       val pts = sf.map { f =>
         val c = Geo.fromWkb(f.geom).getCoordinate
@@ -228,7 +228,7 @@ object SparkEntry {
     "q14_knn_join" -> ((s, dir) => {
       // nearest admin-cell center per point (broadcast site index,
       // expanding-ring STRtree probe; ties by (distance, site_id))
-      val sf = Docs.sourceFeatures(Docs.pointDocs(s, dir))
+      val sf = Docs.pointFeatures(s, dir)
       import s.implicits._
       val pts = sf.map { f =>
         val c = Geo.fromWkb(f.geom).getCoordinate
@@ -248,7 +248,7 @@ object SparkEntry {
       // line doc's LINESTRING and report vertex count + first/last
       // coords; oracle rebuilds the same from lineitem (ordered
       // large-large join, SURVEY §2.4 row 1)
-      val sf = Docs.sourceFeatures(Docs.lineDocs(s, dir))
+      val sf = Docs.lineFeatures(s, dir)
       import s.implicits._
       sf.map { f =>
         val g = Geo.fromWkb(f.geom)
@@ -428,7 +428,7 @@ object SparkEntry {
     "q29_media_features" -> ((s, dir) => {
       // multimodal plumbing: media refs -> synthetic payloads ->
       // partition-wise feature extraction (decode STUBBED, see mm/)
-      val docs = Docs.docs(s, dir)
+      val docs = Docs.docsTable(s, dir)
       val refs = docs.select(explode(col("spans")).as("s"))
         .select(col("s.media_ref").as("media_ref"))
         .where(col("media_ref").isNotNull)
@@ -463,7 +463,7 @@ object SparkEntry {
               "filter": true}
            ]}"""
       val profile = graft.dsl.ConfigProfile.compile(config)
-      val tiles = Pipeline.tiles(Docs.docs(s, dir), profile, 8, gzipTiles = false)
+      val tiles = Pipeline.tiles(Docs.docsTable(s, dir), profile, 8, gzipTiles = false)
       tiles.groupBy(col("z"))
         .agg(count(lit(1)).as("tiles"), sum(col("feature_count")).as("features"))
         .orderBy(col("z"))
