@@ -34,8 +34,19 @@ import scala.collection.mutable.ArrayBuffer
  */
 object TileAssembler {
 
+  /** Upper bound on distinct (tile, layer, group) heads the map-side
+    * partial top-K retains per input partition. The pass is purely a
+    * shuffle-byte optimization — the exact in-run counter in
+    * [[encodeTile]] enforces the limit regardless — so past the cap new
+    * groups flow through untouched instead of growing the heap map
+    * without bound (a render partition can fan out across millions of
+    * tiles; ~64k heaps of ≤limit rows is a few MB, not the partition's
+    * whole grouped output). */
+  val PartialLimitMaxGroups = 1 << 16
+
   /** Map-side partial label-grid limit over the packed rows. */
-  def partialLabelGridLimit(kv: Dataset[Kv]): Dataset[Kv] = {
+  def partialLabelGridLimit(kv: Dataset[Kv],
+                            maxGroups: Int = PartialLimitMaxGroups): Dataset[Kv] = {
     val spark = kv.sparkSession
     import spark.implicits._
     kv.mapPartitions { it =>
@@ -45,11 +56,18 @@ object TileAssembler {
         if (group == 0 || limit <= 0) true
         else {
           val k = (r.key, KvCodec.layerId(r.meta), group)
-          val heap = heaps.getOrElseUpdate(k,
-            mutable.PriorityQueue.empty[Kv](Ordering.by(x => KvCodec.sortKey(x.meta))))
-          heap += r
-          if (heap.size > limit) heap.dequeue() // drop largest sort_key
-          false
+          heaps.get(k) match {
+            case None if heaps.size >= maxGroups => true // lossy-in-coverage past cap
+            case existing =>
+              val heap = existing.getOrElse {
+                val h = mutable.PriorityQueue.empty[Kv](Ordering.by((x: Kv) => KvCodec.sortKey(x.meta)))
+                heaps.put(k, h)
+                h
+              }
+              heap += r
+              if (heap.size > limit) heap.dequeue() // drop largest sort_key
+              false
+          }
         }
       }
       grouped ++ heaps.valuesIterator.flatMap(_.iterator)

@@ -8,6 +8,14 @@ import scala.collection.mutable.ArrayBuffer
  * header walk, table interior/leaf cells, record serial types, and
  * overflow-page chains. No SQL, no indexes, no writes.
  *
+ * IO shape: page-level random access over a seekable [[ByteSource]]
+ * with a small LRU page cache — an 800 MB Natural Earth sqlite is read
+ * page-by-page through the Hadoop FileSystem API (any scheme: file://,
+ * hdfs://, s3a://), never slurped whole into task memory and never
+ * captured in a task closure. The b-tree scan touches pages in DFS
+ * order, so the cache only needs to hold the interior-page fringe plus
+ * the current leaf/overflow chain (default 256 pages ≈ 1 MB).
+ *
  * This unlocks the reference's SQLite-backed sources without any
  * SQLite library: GeoPackage (`reader/GeoPackageReader.java`), Natural
  * Earth (`reader/NaturalEarthReader.java`) and MBTiles archives
@@ -19,51 +27,95 @@ object Sqlite {
     * String | Array[Byte]). */
   type Row = (Long, Array[Any])
 
-  final class Db(bytes: Array[Byte]) {
-    require(bytes.length > 100 &&
-      new String(bytes, 0, 15, "ISO-8859-1") == "SQLite format 3", "not an SQLite file")
+  /** Positioned-read byte source (the subset of FSDataInputStream the
+    * parser needs). */
+  trait ByteSource extends java.io.Closeable {
+    def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit
+  }
+
+  final class BytesSource(bytes: Array[Byte]) extends ByteSource {
+    override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+      System.arraycopy(bytes, pos.toInt, buf, off, len)
+    override def close(): Unit = ()
+  }
+
+  /** Hadoop-FS positioned reads — works for any registered scheme. */
+  final class HadoopSource(in: org.apache.hadoop.fs.FSDataInputStream) extends ByteSource {
+    override def readFully(pos: Long, buf: Array[Byte], off: Int, len: Int): Unit =
+      in.readFully(pos, buf, off, len)
+    override def close(): Unit = in.close()
+  }
+
+  final class Db(source: ByteSource, cachePages: Int = 256) extends java.io.Closeable {
+
+    def this(bytes: Array[Byte]) = this(new BytesSource(bytes))
+
+    private val header = new Array[Byte](100)
+    source.readFully(0L, header, 0, 100)
+    require(new String(header, 0, 15, "ISO-8859-1") == "SQLite format 3", "not an SQLite file")
     private val pageSize: Int = {
-      val raw = ((bytes(16) & 0xff) << 8) | (bytes(17) & 0xff)
+      val raw = ((header(16) & 0xff) << 8) | (header(17) & 0xff)
       if (raw == 1) 65536 else raw
     }
-    private val reserved: Int = bytes(20) & 0xff
+    private val reserved: Int = header(20) & 0xff
     private val usable: Int = pageSize - reserved
 
-    private def u16(off: Int): Int = ((bytes(off) & 0xff) << 8) | (bytes(off + 1) & 0xff)
-    private def u32(off: Int): Long =
-      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
-        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    override def close(): Unit = source.close()
 
-    private def varint(off: Int): (Long, Int) = {
+    // LRU page cache (access-ordered); eldest evicted past cachePages
+    private val cache = new java.util.LinkedHashMap[Int, Array[Byte]](64, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Int, Array[Byte]]): Boolean =
+        size() > cachePages
+    }
+
+    /** Fetch page `no` (1-based) through the cache. */
+    private def page(no: Int): Array[Byte] = {
+      var p = cache.get(no)
+      if (p == null) {
+        p = new Array[Byte](pageSize)
+        source.readFully((no - 1L) * pageSize, p, 0, pageSize)
+        cache.put(no, p)
+      }
+      p
+    }
+
+    private def u16(p: Array[Byte], off: Int): Int =
+      ((p(off) & 0xff) << 8) | (p(off + 1) & 0xff)
+    private def u32(p: Array[Byte], off: Int): Long =
+      ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+        ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+    private def varintOf(p: Array[Byte], off: Int): (Long, Int) = {
       var v = 0L
       var i = 0
       while (i < 8) {
-        val b = bytes(off + i)
+        val b = p(off + i)
         v = (v << 7) | (b & 0x7fL)
         i += 1
         if ((b & 0x80) == 0) return (v, i)
       }
-      ((v << 8) | (bytes(off + 8) & 0xffL), 9)
+      ((v << 8) | (p(off + 8) & 0xffL), 9)
     }
 
-    /** Collect full cell payload following the overflow chain. */
-    private def payload(off0: Int, total: Long): Array[Byte] = {
+    /** Collect a full cell payload (page-local inline part + overflow
+      * chain). */
+    private def payload(p: Array[Byte], off0: Int, total: Long): Array[Byte] = {
       val x = usable - 35
-      if (total <= x) java.util.Arrays.copyOfRange(bytes, off0, off0 + total.toInt)
+      if (total <= x) java.util.Arrays.copyOfRange(p, off0, off0 + total.toInt)
       else {
         val m = (usable - 12) * 32 / 255 - 23
         val k = m + ((total - m) % (usable - 4)).toInt
         val inline = if (k <= x) k else m
         val out = new java.io.ByteArrayOutputStream(total.toInt)
-        out.write(bytes, off0, inline)
-        var page = u32(off0 + inline)
+        out.write(p, off0, inline)
+        var pageNo = u32(p, off0 + inline)
         var remaining = total - inline
-        while (page != 0 && remaining > 0) {
-          val pOff = (page - 1).toInt * pageSize
+        while (pageNo != 0 && remaining > 0) {
+          val op = page(pageNo.toInt)
           val take = math.min(remaining, (usable - 4).toLong).toInt
-          out.write(bytes, pOff + 4, take)
+          out.write(op, 4, take)
           remaining -= take
-          page = u32(pOff)
+          pageNo = u32(op, 0)
         }
         out.toByteArray
       }
@@ -112,37 +164,27 @@ object Sqlite {
       v
     }
 
-    private def varintOf(p: Array[Byte], off: Int): (Long, Int) = {
-      var v = 0L
-      var i = 0
-      while (i < 8) {
-        val b = p(off + i)
-        v = (v << 7) | (b & 0x7fL)
-        i += 1
-        if ((b & 0x80) == 0) return (v, i)
-      }
-      ((v << 8) | (p(off + 8) & 0xffL), 9)
-    }
-
-    /** Depth-first scan of a table b-tree rooted at `page` (1-based). */
-    def scanTable(page: Int): Iterator[Row] = {
-      val base = (page - 1) * pageSize
-      val hdr = if (page == 1) base + 100 else base
-      val pageType = bytes(hdr) & 0xff
-      val nCells = u16(hdr + 3)
+    /** Depth-first scan of a table b-tree rooted at `pageNo` (1-based).
+      * All cell offsets are page-local, so each step touches one cached
+      * page (plus any overflow chain). */
+    def scanTable(pageNo: Int): Iterator[Row] = {
+      val p = page(pageNo)
+      val hdr = if (pageNo == 1) 100 else 0
+      val pageType = p(hdr) & 0xff
+      val nCells = u16(p, hdr + 3)
       pageType match {
         case 13 => // table leaf
-          val cellPtrs = (0 until nCells).map(i => base + u16(hdr + 8 + 2 * i))
-          cellPtrs.iterator.map { off =>
-            val (len, n1) = varint(off)
-            val (rowid, n2) = varint(off + n1)
-            (rowid, record(payload(off + n1 + n2, len)))
+          (0 until nCells).iterator.map { i =>
+            val off = u16(p, hdr + 8 + 2 * i)
+            val (len, n1) = varintOf(p, off)
+            val (rowid, n2) = varintOf(p, off + n1)
+            (rowid, record(payload(p, off + n1 + n2, len)))
           }
         case 5 => // table interior
-          val children = (0 until nCells).map(i => u32(base + u16(hdr + 12 + 2 * i)).toInt) :+
-            u32(hdr + 8).toInt
+          val children = (0 until nCells).map(i => u32(p, u16(p, hdr + 12 + 2 * i)).toInt) :+
+            u32(p, hdr + 8).toInt
           children.iterator.flatMap(scanTable)
-        case other => throw new IllegalArgumentException(s"unexpected page type $other at page $page")
+        case other => throw new IllegalArgumentException(s"unexpected page type $other at page $pageNo")
       }
     }
 
@@ -207,5 +249,13 @@ object Sqlite {
     }
   }
 
-  def open(path: String): Db = new Db(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+  /** Open through the Hadoop FileSystem API — scheme-agnostic,
+    * page-at-a-time positioned reads, no whole-file buffering. */
+  def open(path: String, conf: org.apache.hadoop.conf.Configuration): Db = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    new Db(new HadoopSource(fs.open(p)))
+  }
+
+  def open(path: String): Db = open(path, new org.apache.hadoop.conf.Configuration())
 }

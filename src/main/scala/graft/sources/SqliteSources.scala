@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
 
 /**
  * SQLite-backed sources built on the from-scratch [[Sqlite]] parser:
@@ -16,7 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Spark shape: a SQLite file is a single-writer artifact, so each file
  * parses in one task (the reference readers are single-threaded per
- * file too); multiple files parallelize naturally.
+ * file too); multiple files parallelize naturally. IO is executor-side
+ * and scheme-agnostic: the task opens the file through the Hadoop
+ * FileSystem API and the [[Sqlite.Db]] pages through it with a small
+ * LRU cache — no whole-file read on the driver, no multi-hundred-MB
+ * task closure, and `hdfs://` / `s3a://` paths work unchanged.
  */
 object SqliteSources {
 
@@ -26,6 +31,20 @@ object SqliteSources {
     m.collect { case (k, v) if !skip.contains(k) && v != null && !v.isInstanceOf[Array[Byte]] =>
       k -> v.toString
     }
+
+  /** One task per file: open the Db executor-side (closed on task
+    * completion — scans are lazy iterators) and emit `f`'s rows. */
+  private[sources] def perFile[T: org.apache.spark.sql.Encoder](
+      spark: SparkSession, path: String)(f: Sqlite.Db => Iterator[T]): Dataset[T] = {
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    spark.createDataset(Seq(path)).flatMap { p =>
+      val db = Sqlite.open(p, conf.value)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => db.close()))
+      f(db)
+    }
+  }
 }
 
 object GeoPackage {
@@ -50,9 +69,7 @@ object GeoPackage {
   /** All feature tables (or one) as (table, fid, geom WKB, attrs). */
   def read(spark: SparkSession, path: String, table: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    spark.createDataset(Seq(path)).flatMap { _ =>
-      val db = new Sqlite.Db(bytes)
+    perFile[FeatureRow](spark, path) { db =>
       val geomCols: Map[String, String] = db.rows("gpkg_geometry_columns").map { case (_, m) =>
         m("table_name").toString -> m("column_name").toString
       }.toMap
@@ -82,9 +99,7 @@ object NaturalEarth {
   def read(spark: SparkSession, path: String, table: String,
            geomCol: String = "GEOMETRY"): DataFrame = {
     import spark.implicits._
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    spark.createDataset(Seq(path)).flatMap { _ =>
-      val db = new Sqlite.Db(bytes)
+    perFile[FeatureRow](spark, path) { db =>
       db.rows(table).map { case (fid, m) =>
         val geom = m.get(geomCol).orElse(m.get(geomCol.toLowerCase)) match {
           case Some(b: Array[Byte]) => b
@@ -97,43 +112,60 @@ object NaturalEarth {
 }
 
 object MbtilesReader {
+  import SqliteSources._
 
   case class MbTile(z: Int, x: Int, y: Int, bytes: Array[Byte])
+  private case class MapRow(z: Int, x: Int, y: Int, tile_id: String)
+  private case class ImageRow(tile_id: String, bytes: Array[Byte])
 
   /** Read every tile; handles both the plain `tiles` table and the
-    * compact `map` + `images` schema. y stays TMS (flipped) as stored. */
+    * compact `map` + `images` schema. y stays TMS (flipped) as stored.
+    * The compact schema resolves tile_id -> blob as a Spark join of two
+    * per-file scans (the images table of a planet archive is tens of
+    * GB — never an in-task hash map). */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
-    spark.createDataset(Seq(path)).flatMap { _ =>
-      val db = new Sqlite.Db(bytes)
-      val hasTilesTable = db.tableRoot("tiles").isDefined
-      if (hasTilesTable) {
+    // cheap driver-side schema sniff: master table only (page-cached)
+    val hasTilesTable = {
+      val db = Sqlite.open(path, spark.sparkContext.hadoopConfiguration)
+      try db.tableRoot("tiles").isDefined finally db.close()
+    }
+    if (hasTilesTable) {
+      perFile[MbTile](spark, path) { db =>
         db.rows("tiles").map { case (_, m) =>
           MbTile(m("zoom_level").asInstanceOf[Long].toInt,
             m("tile_column").asInstanceOf[Long].toInt,
             m("tile_row").asInstanceOf[Long].toInt,
             m("tile_data").asInstanceOf[Array[Byte]])
         }
-      } else {
-        // compact schema: map(zoom,col,row,tile_id) + images(tile_id,data)
-        val images = db.rows("images").map { case (_, m) =>
-          m("tile_id").toString -> m("tile_data").asInstanceOf[Array[Byte]]
-        }.toMap
+      }.toDF()
+    } else {
+      val maps = perFile[MapRow](spark, path) { db =>
         db.rows("map").map { case (_, m) =>
-          MbTile(m("zoom_level").asInstanceOf[Long].toInt,
+          MapRow(m("zoom_level").asInstanceOf[Long].toInt,
             m("tile_column").asInstanceOf[Long].toInt,
             m("tile_row").asInstanceOf[Long].toInt,
-            images(m("tile_id").toString))
+            m("tile_id").toString)
         }
       }
-    }.toDF()
+      val images = perFile[ImageRow](spark, path) { db =>
+        db.rows("images").map { case (_, m) =>
+          ImageRow(m("tile_id").toString, m("tile_data").asInstanceOf[Array[Byte]])
+        }
+      }
+      maps.join(images, "tile_id")
+        .select(maps("z"), maps("x"), maps("y"), images("bytes"))
+    }
   }
 
-  def metadata(path: String): Map[String, String] = {
-    val db = Sqlite.open(path)
-    db.rows("metadata").map { case (_, m) =>
+  def metadata(path: String): Map[String, String] = metadata(path,
+    new org.apache.hadoop.conf.Configuration())
+
+  def metadata(path: String, conf: org.apache.hadoop.conf.Configuration): Map[String, String] = {
+    val db = Sqlite.open(path, conf)
+    try db.rows("metadata").map { case (_, m) =>
       m("name").toString -> Option(m("value")).map(_.toString).getOrElse("")
     }.toMap
+    finally db.close()
   }
 }

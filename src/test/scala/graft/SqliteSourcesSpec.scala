@@ -56,6 +56,32 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(t.getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](7, 7, 7, 7))
   }
 
+  test("sqlite IO is executor-side and scheme-agnostic: file:// Hadoop path") {
+    // the Db pages through the Hadoop FileSystem (positioned reads +
+    // LRU page cache) — an explicit scheme'd URI must work, and the
+    // overflow-chain row must survive the paged read path
+    val db = Sqlite.open("file://" + res("fixture.gpkg"))
+    try {
+      val rows = db.rows("lakes").toSeq
+      assert(rows.length == 3)
+      assert(rows.map(_._2("name").asInstanceOf[String]).count(_ == "X" * 5000) == 1)
+    } finally db.close()
+    // and the distributed readers accept the scheme'd path too
+    val gp = GeoPackage.read(spark, "file://" + res("fixture.gpkg")).collect()
+    assert(gp.length == 3)
+  }
+
+  test("sqlite paged reads: tiny cache still scans correctly") {
+    // a 2-page LRU forces constant eviction — every page refetches via
+    // positioned reads; results must equal the default-cache scan
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(res("fixture.gpkg")))
+    val db = new Sqlite.Db(new Sqlite.BytesSource(bytes), cachePages = 2)
+    val rows = db.rows("lakes").toSeq
+    assert(rows.length == 3)
+    assert(rows.map(_._2("name").asInstanceOf[String]).count(_ == "X" * 5000) == 1)
+  }
+
   test("natural earth: theme table scan with WKB geometry") {
     val rows = NaturalEarth.read(spark, res("fixture_ne.sqlite"), "ne_110m_lakes").collect()
     assert(rows.length == 1)
