@@ -66,6 +66,48 @@ class MbtilesWriterSpec extends AnyFunSuite {
     assert(parts(5).toLong == collected.map(_.bytes.length.toLong).sum)
   }
 
+  test("streaming drain: 10^6 tiles with bounded retained memory (no full-archive buffering)") {
+    import spark.implicits._
+    val nTiles = 1000000
+    // distinct content for 1 in 16 tiles -> real dedup traffic
+    val ds = spark.range(nTiles).map { i =>
+      val payload = Array.tabulate(24)(j => ((i % 16) * 31 + j).toByte)
+      graft.model.TileBytes(i, 10, (i % 1024).toInt, (i / 1024).toInt,
+        payload, 1, Mvt.fnv1a64(payload))
+    }.coalesce(4).sortWithinPartitions("tile_id").repartitionByRange(4, $"tile_id")
+      .sortWithinPartitions("tile_id")
+    val path = java.nio.file.Files.createTempDirectory("graft_mb3").toString + "/big.mbtiles"
+    val (n, unique, maxRetained) = MbtilesArchive.writeWithStats(ds, path,
+      Map("name" -> "big"))
+    assert(n == nTiles)
+    assert(unique == 16)
+    // the bounded-memory claim: open-leaf pages + interior fringe only.
+    // a full buffer of 10^6 map rows alone would be tens of MB; the
+    // writer's high-water mark must stay a few pages' worth.
+    assert(maxRetained < 512 * 1024, s"retained $maxRetained bytes")
+    // the 1M-row archive is a valid SQLite db per the real sqlite3,
+    // including multi-level interior pages and the compat view
+    val py =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |assert con.execute('PRAGMA integrity_check').fetchone()[0] == 'ok'
+         |n = con.execute('SELECT COUNT(*) FROM map').fetchone()[0]
+         |u = con.execute('SELECT COUNT(*) FROM images').fetchone()[0]
+         |v = con.execute('SELECT COUNT(*), SUM(LENGTH(tile_data)) FROM tiles').fetchone()
+         |last = con.execute('SELECT tile_id FROM map WHERE zoom_level=10 AND tile_column=511 AND tile_row=1023-487').fetchone()
+         |print('OK', n, u, v[0], v[1], last is not None)
+         |""".stripMargin
+    val outBuf = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3", "-c", py))
+      .!(scala.sys.process.ProcessLogger(l => outBuf.append(l).append('\n'), l => outBuf.append(l).append('\n')))
+    assert(code == 0, s"python sqlite3 failed: $outBuf")
+    val parts = outBuf.toString.trim.split(' ')
+    assert(parts(1).toInt == nTiles)
+    assert(parts(2).toInt == 16)
+    assert(parts(3).toInt == nTiles, "tiles view join count")
+    assert(parts(4).toLong == nTiles.toLong * 24, "tiles view payload bytes")
+  }
+
   test("overflow: multi-page blobs survive the real sqlite3 read-back") {
     import spark.implicits._
     val big = Array.tabulate(20000)(i => (i * 31 % 251).toByte) // ~5 pages
