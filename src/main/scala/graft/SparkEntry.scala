@@ -157,6 +157,30 @@ object SparkEntry {
       }.toDF("doc_id", "name", "lon", "lat").orderBy(col("doc_id"))
     }),
 
+    "q39_geoparquet_scan" -> ((s, dir) => {
+      // GeoParquet round-trip in the gate: orders -> WKB point file
+      // written WITH the `geo` footer + bbox covering, read back
+      // through the footer-driven reader with a bounds box — the
+      // covering range predicates reach the parquet scan as
+      // PushedFilters (asserted in GeoParquetSpec), the exact envelope
+      // test keeps the result correct; oracle re-derives the
+      // containment arithmetically (same box as q09, off-grid corners)
+      import s.implicits._
+      val pts = t(s, dir, "orders").select(col("o_orderkey"),
+          ((col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0).as("lon"),
+          ((col("o_orderkey") * 7919 % 17000) / 100.0 - 85.0).as("lat"))
+        .as[(Long, Double, Double)]
+        .map { case (k, lon, lat) =>
+          (k, graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
+            new org.locationtech.jts.geom.Coordinate(lon, lat))))
+        }.toDF("okey", "geometry")
+      val out = java.nio.file.Files.createTempDirectory("graft_gpq_gate").toString + "/pts"
+      graft.sources.GeoParquet.write(pts, out, geometryTypes = Seq("Point"))
+      graft.sources.GeoParquet.read(s, out,
+          Some(graft.sources.GeoParquet.Bounds(-90.005, -40.005, 60.005, 50.005)))
+        .agg(count(lit(1)).as("inside"), sum(col("okey")).as("key_sum"))
+    }),
+
     // ---------- geo: docs synthesis + projection + tile assignment ----------
 
     "q10_docs_shape" -> ((s, dir) => {
@@ -612,6 +636,11 @@ object SparkEntry {
            (n_nationkey * 9973 % 36000) / 100.0 - 180.0 AS lon,
            (n_nationkey * 7919 % 17000) / 100.0 - 85.0 AS lat
          FROM nation ORDER BY 1""",
+
+    "q39_geoparquet_scan" ->
+      s"""SELECT COUNT(*) AS inside, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM (SELECT o_orderkey, $lonSql AS lon, $latSql AS lat FROM orders)
+          WHERE lon >= -90.005 AND lon <= 60.005 AND lat >= -40.005 AND lat <= 50.005""",
 
     "q10_docs_shape" ->
       """WITH docs AS (

@@ -1,0 +1,329 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.geo.Geo
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.SqlBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * GeoParquet source + sink (reference
+ * `reader/parquet/GeoParquetMetadata.java:194` for the `geo` footer
+ * key, `ParquetInputFile.java:86-100` for the covering-bbox row-group
+ * filter, `GeoParquetReader` for hive-partition tags).
+ *
+ * Spark shape: the DATA path is Spark's own vectorized parquet scan
+ * (column pruning, predicate pushdown, partition discovery all free);
+ * this object adds the GEO layer on top —
+ *
+ *  - footer `geo` key parsing (version, primary_column, per-column
+ *    encoding / geometry_types / crs / bbox / covering), with the
+ *    reference's fallback sniff of binary `geometry` / `wkb_geometry` /
+ *    `wkt_geometry` columns when the key is absent;
+ *  - bounds pushdown: a lat/lon query box becomes range predicates on
+ *    the covering bbox columns (declared covering, or the spec'd
+ *    `bbox.xmin…` struct fallback) that reach the parquet scan as
+ *    PushedFilters — the Spark analog of the reference's row-group
+ *    FilterPredicate — plus the exact JTS envelope post-filter;
+ *  - WKT/WKB decode to a uniform WKB `geometry` column;
+ *  - hive-partition key=value path segments surface as columns via
+ *    Spark's native partition discovery (the reference parses them
+ *    into tags by hand, `GeoParquetReader`).
+ *
+ * The sink writes real GeoParquet: one file per partition through
+ * parquet-hadoop with the `geo` footer attached and a covering `bbox`
+ * struct column derived from each geometry, so round-trips prune.
+ */
+object GeoParquet {
+
+  case class Covering(xmin: Seq[String], ymin: Seq[String], xmax: Seq[String], ymax: Seq[String])
+  case class ColumnMeta(encoding: String, geometryTypes: Seq[String], crs: Option[String],
+                        bbox: Option[Seq[Double]], covering: Option[Covering])
+  case class Meta(version: String, primaryColumn: String, columns: Map[String, ColumnMeta]) {
+    def primary: ColumnMeta = columns.getOrElse(primaryColumn,
+      throw new IllegalArgumentException(s"no geoparquet metadata for primary column $primaryColumn"))
+  }
+
+  // ---------------- footer parsing ----------------
+
+  /** Parse the `geo` footer JSON. */
+  def parseGeoJson(json: String): Meta = {
+    val root = new ObjectMapper().readTree(json)
+    def strings(n: JsonNode): Seq[String] = (0 until n.size()).map(n.get(_).asText())
+    val cols = Option(root.get("columns")).map { cs =>
+      cs.properties().asScala.map { e =>
+        val c = e.getValue
+        val covering = Option(c.get("covering")).flatMap(cv => Option(cv.get("bbox"))).map { b =>
+          Covering(strings(b.get("xmin")), strings(b.get("ymin")),
+            strings(b.get("xmax")), strings(b.get("ymax")))
+        }
+        e.getKey -> ColumnMeta(
+          encoding = Option(c.get("encoding")).map(_.asText()).getOrElse("WKB"),
+          geometryTypes = Option(c.get("geometry_types")).map(strings).getOrElse(Nil),
+          crs = Option(c.get("crs")).filterNot(_.isNull).map(_.toString),
+          bbox = Option(c.get("bbox")).map(b => (0 until b.size()).map(b.get(_).asDouble())),
+          covering = covering)
+      }.toMap
+    }.getOrElse(Map.empty)
+    Meta(
+      version = Option(root.get("version")).map(_.asText()).getOrElse("1.0.0"),
+      primaryColumn = Option(root.get("primary_column")).map(_.asText())
+        .getOrElse(cols.keys.headOption.getOrElse("geometry")),
+      columns = cols)
+  }
+
+  /** Read the first parquet footer under `path`; parse `geo`, or fall
+    * back to sniffing a binary geometry column (reference
+    * `GeoParquetMetadata.parse`, `:203-221`). */
+  def metadata(spark: SparkSession, path: String): Meta = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = firstParquetFile(path, conf)
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val fm = reader.getFooter.getFileMetaData
+      Option(fm.getKeyValueMetaData.get("geo")) match {
+        case Some(json) => parseGeoJson(json)
+        case None => fallbackMeta(fm.getSchema)
+      }
+    } finally reader.close()
+  }
+
+  private def fallbackMeta(schema: MessageType): Meta = {
+    schema.getFields.asScala.collectFirst {
+      case f if f.isPrimitive &&
+        f.asPrimitiveType().getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.BINARY &&
+        (f.getName == "geometry" || f.getName == "wkb_geometry") =>
+        Meta("1.0.0", f.getName, Map(f.getName -> ColumnMeta("WKB", Nil, None, None, None)))
+      case f if f.isPrimitive &&
+        f.asPrimitiveType().getPrimitiveTypeName == PrimitiveType.PrimitiveTypeName.BINARY &&
+        f.getName == "wkt_geometry" =>
+        Meta("1.0.0", f.getName, Map(f.getName -> ColumnMeta("WKT", Nil, None, None, None)))
+    }.getOrElse(throw new java.io.IOException(
+      s"No valid geometry columns found: ${schema.getFields.asScala.map(_.getName).mkString(", ")}"))
+  }
+
+  private def firstParquetFile(path: String, conf: Configuration): org.apache.hadoop.fs.Path = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) p
+    else {
+      val it = fs.listFiles(p, true)
+      var found: org.apache.hadoop.fs.Path = null
+      while (found == null && it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+          found = f.getPath
+      }
+      require(found != null, s"no parquet files under $path")
+      found
+    }
+  }
+
+  // ---------------- native expressions ----------------
+
+  /** WKT string -> WKB bytes (one JTS parse per row). */
+  case class WktToWkbExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override protected def nullSafeEval(v: Any): Any = {
+      val g = Geo.fromWktOrNull(v.toString)
+      if (g == null) null else Geo.toWkb(g)
+    }
+    override protected def withNewChildInternal(c: Expression): WktToWkbExpr = copy(child = c)
+  }
+
+  /** WKB geometry -> covering bbox struct<xmin,ymin,xmax,ymax>. */
+  case class BboxStructExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BboxSchema
+    override protected def nullSafeEval(v: Any): Any = {
+      val env = Geo.fromWkb(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+      new GenericInternalRow(Array[Any](env.getMinX, env.getMinY, env.getMaxX, env.getMaxY))
+    }
+    override protected def withNewChildInternal(c: Expression): BboxStructExpr = copy(child = c)
+  }
+
+  /** Exact test: WKB geometry envelope intersects the query box. */
+  case class EnvelopeIntersectsExpr(child: Expression,
+                                    minX: Double, minY: Double, maxX: Double, maxY: Double)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(v: Any): Any = {
+      val env = Geo.fromWkb(v.asInstanceOf[Array[Byte]]).getEnvelopeInternal
+      env.getMinX <= maxX && env.getMaxX >= minX && env.getMinY <= maxY && env.getMaxY >= minY
+    }
+    override protected def withNewChildInternal(c: Expression): EnvelopeIntersectsExpr = copy(child = c)
+  }
+
+  val BboxSchema: StructType = StructType(Seq(
+    StructField("xmin", DoubleType, nullable = false),
+    StructField("ymin", DoubleType, nullable = false),
+    StructField("xmax", DoubleType, nullable = false),
+    StructField("ymax", DoubleType, nullable = false)))
+
+  def wkt_to_wkb(c: Column): Column = SqlBridge.col(WktToWkbExpr(SqlBridge.expr(c)))
+  def bbox_struct(c: Column): Column = SqlBridge.col(BboxStructExpr(SqlBridge.expr(c)))
+
+  // ---------------- read ----------------
+
+  /** Lat/lon query box (minLon, minLat, maxLon, maxLat). */
+  case class Bounds(minX: Double, minY: Double, maxX: Double, maxY: Double)
+
+  private def pathCol(p: Seq[String]): Column =
+    p.tail.foldLeft(col(p.head))(_.getField(_))
+
+  /** The covering for pruning: declared metadata covering, else the
+    * spec'd fallback `bbox.{xmin,ymin,xmax,ymax}` struct if present
+    * (reference `ColumnMetadata.bboxFilter`, `:116-141`). */
+  private def effectiveCovering(meta: Meta, schema: StructType): Option[Covering] =
+    meta.primary.covering.orElse {
+      schema.find(_.name == "bbox").map(_.dataType) match {
+        case Some(s: StructType)
+            if Seq("xmin", "ymin", "xmax", "ymax").forall(n =>
+              s.exists(f => f.name == n && (f.dataType == DoubleType || f.dataType == FloatType))) =>
+          Some(Covering(Seq("bbox", "xmin"), Seq("bbox", "ymin"), Seq("bbox", "xmax"), Seq("bbox", "ymax")))
+        case _ => None
+      }
+    }
+
+  /**
+   * Read GeoParquet into a DataFrame with a decoded WKB `geometry`
+   * column (WKT re-encoded; hive-partition columns surface natively).
+   * With `bounds`, covering-bbox range predicates are applied FIRST —
+   * they reach the parquet scan as PushedFilters and prune row groups
+   * by column statistics — then the exact envelope-intersects test
+   * runs on the decoded geometry.
+   */
+  def read(spark: SparkSession, path: String, bounds: Option[Bounds] = None): DataFrame = {
+    val meta = metadata(spark, path)
+    val raw = spark.read.parquet(path)
+    val gcol = meta.primaryColumn
+    val decoded = meta.primary.encoding.toUpperCase match {
+      case "WKB" =>
+        if (gcol == "geometry") raw
+        else raw.withColumn("geometry", col(gcol)).drop(gcol)
+      case "WKT" => raw.withColumn("geometry", wkt_to_wkb(col(gcol))).drop(gcol)
+      case other => throw new UnsupportedOperationException(s"geoparquet encoding $other")
+    }
+    bounds match {
+      case None => decoded
+      case Some(b) =>
+        val pruned = effectiveCovering(meta, raw.schema) match {
+          case Some(cov) =>
+            decoded.where(
+              pathCol(cov.xmax) >= b.minX && pathCol(cov.xmin) <= b.maxX &&
+                pathCol(cov.ymax) >= b.minY && pathCol(cov.ymin) <= b.maxY)
+          case None => decoded
+        }
+        pruned.where(SqlBridge.col(EnvelopeIntersectsExpr(
+          SqlBridge.expr(col("geometry")), b.minX, b.minY, b.maxX, b.maxY)))
+    }
+  }
+
+  // ---------------- write ----------------
+
+  private def parquetType(name: String, dt: DataType): org.apache.parquet.schema.Type = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import PrimitiveType.PrimitiveTypeName._
+    dt match {
+      case IntegerType => Types.optional(INT32).named(name)
+      case LongType => Types.optional(INT64).named(name)
+      case FloatType => Types.optional(FLOAT).named(name)
+      case DoubleType => Types.optional(DOUBLE).named(name)
+      case BooleanType => Types.optional(BOOLEAN).named(name)
+      case StringType =>
+        Types.optional(BINARY).as(LogicalTypeAnnotation.stringType()).named(name)
+      case BinaryType => Types.optional(BINARY).named(name)
+      case s: StructType =>
+        s.fields.foldLeft(Types.optionalGroup())((g, f) => g.addField(parquetType(f.name, f.dataType)))
+          .named(name)
+      case other => throw new UnsupportedOperationException(s"geoparquet write: $other")
+    }
+  }
+
+  private[sources] def messageType(schema: StructType): MessageType = {
+    import org.apache.parquet.schema.Types
+    val b0: Types.GroupBuilder[MessageType] = Types.buildMessage()
+    schema.fields.foldLeft(b0)((m, f) => m.addField(parquetType(f.name, f.dataType)))
+      .named("spark_schema")
+  }
+
+  private def addToGroup(g: org.apache.parquet.example.data.Group, name: String,
+                         dt: DataType, v: Any): Unit = if (v != null) dt match {
+    case IntegerType => g.add(name, v.asInstanceOf[Int])
+    case LongType => g.add(name, v.asInstanceOf[Long])
+    case FloatType => g.add(name, v.asInstanceOf[Float])
+    case DoubleType => g.add(name, v.asInstanceOf[Double])
+    case BooleanType => g.add(name, v.asInstanceOf[Boolean])
+    case StringType => g.add(name, v.asInstanceOf[String])
+    case BinaryType =>
+      g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+    case s: StructType =>
+      val sub = g.addGroup(name)
+      val row = v.asInstanceOf[org.apache.spark.sql.Row]
+      s.fields.zipWithIndex.foreach { case (f, i) => addToGroup(sub, f.name, f.dataType, row.get(i)) }
+    case other => throw new UnsupportedOperationException(s"geoparquet write: $other")
+  }
+
+  /** The `geo` footer JSON for a WKB geometry column with a bbox-struct
+    * covering. */
+  private[sources] def geoJson(geomCol: String, geometryTypes: Seq[String]): String = {
+    val types = geometryTypes.map(t => "\"" + t + "\"").mkString("[", ",", "]")
+    s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
+       |"encoding":"WKB","geometry_types":$types,
+       |"covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],
+       |"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}}}}""".stripMargin.replace("\n", "")
+  }
+
+  /**
+   * Write `df` as GeoParquet under `dir`: one file per non-empty
+   * partition (distributed, no driver collect), `geo` footer attached,
+   * and a covering `bbox` struct derived from `geomCol` (WKB) if not
+   * already present — so a downstream [[read]] with bounds prunes.
+   */
+  def write(df: DataFrame, dir: String, geomCol: String = "geometry",
+            geometryTypes: Seq[String] = Nil): Unit = {
+    require(df.schema(geomCol).dataType == BinaryType, s"$geomCol must be WKB binary")
+    val withBbox =
+      if (df.schema.exists(_.name == "bbox")) df
+      else df.withColumn("bbox", bbox_struct(col(geomCol)))
+    val schema = withBbox.schema
+    val mt = messageType(schema)
+    val mtString = mt.toString
+    val json = geoJson(geomCol, geometryTypes)
+    val conf = new SerializableConfiguration(df.sparkSession.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(dir)
+    base.getFileSystem(conf.value).mkdirs(base)
+    withBbox.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val mtLocal = org.apache.parquet.schema.MessageTypeParser.parseMessageType(mtString)
+        val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.parquet")
+        val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(out)
+          .withConf(conf.value)
+          .withType(mtLocal)
+          .withExtraMetaData(Map("geo" -> json).asJava)
+          .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .build()
+        val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mtLocal)
+        try rows.foreach { row =>
+          val g = gf.newGroup()
+          schema.fields.zipWithIndex.foreach { case (f, i) =>
+            addToGroup(g, f.name, f.dataType, row.get(i))
+          }
+          writer.write(g)
+        } finally writer.close()
+      }
+    }
+  }
+}
