@@ -493,6 +493,56 @@ object SparkEntry {
         .orderBy(col("z"))
     }),
 
+    "q40_yaml_profile" -> ((s, dir) => {
+      // YAML (custommap-dialect) front end in the gate: anchors +
+      // merge keys + include_when compile to the SAME profile as q34's
+      // JSON config (oracle identical), and the schema's own
+      // `examples:` block must validate before the pipeline runs —
+      // the reference's BaseSchemaValidator harness as a gate step
+      val yamlConfig =
+        """schema_name: graft gate profile
+          |defaults: &lowzoom
+          |  min_zoom: 0
+          |  max_zoom: 5
+          |layers:
+          |- id: f_orders
+          |  features:
+          |  - geometry: point
+          |    <<: *lowzoom
+          |    include_when:
+          |      text: order F%
+          |    attributes:
+          |    - key: t
+          |      tag: text
+          |- id: routes
+          |  features:
+          |  - geometry: line
+          |    min_zoom: 2
+          |    max_zoom: 3
+          |examples:
+          |- name: F order kept with text attr
+          |  input: {geometry: point, tags: {text: order F 1-URGENT}}
+          |  output:
+          |  - layer: f_orders
+          |    geometry: point
+          |    min_zoom: 0
+          |    max_zoom: 5
+          |    tags: {t: order F 1-URGENT}
+          |- name: non-F order dropped
+          |  input: {geometry: point, tags: {text: order O 5-LOW}}
+          |- name: lines map to routes
+          |  input: {geometry: line, tags: {}}
+          |  output: [{layer: routes, geometry: line, min_zoom: 2, max_zoom: 3}]
+          |""".stripMargin
+      val check = graft.dsl.SchemaValidator.validate(yamlConfig)
+      require(check.ok, s"schema examples failed:\n${check.report}")
+      val profile = graft.dsl.ConfigProfile.compileYaml(yamlConfig)
+      val tiles = Pipeline.tiles(Docs.docsTable(s, dir), profile, 8, gzipTiles = false)
+      tiles.groupBy(col("z"))
+        .agg(count(lit(1)).as("tiles"), sum(col("feature_count")).as("features"))
+        .orderBy(col("z"))
+    }),
+
     "q35_parse_functions" -> ((s, dir) => {
       // forgiving tag parsers (direction / meters / bool)
       import graft.functions.Parse
@@ -588,6 +638,22 @@ object SparkEntry {
          list_transform(string_split(substr(md5(t), 1, 15), ''),
            c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
        (a, b) -> a * 16 + b)"""
+
+  private lazy val configProfileOracle =
+    s"""WITH zs AS (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS z),
+        pts AS (SELECT o_orderkey AS k, ${worldXSql(lonSql)} AS wx, ${worldYSql(latSql)} AS wy
+                FROM orders
+                WHERE 'order ' || o_orderstatus || ' ' || o_orderpriority LIKE 'order F%'),
+        cand AS (
+         SELECT DISTINCT z, k,
+           ((tx % (1 << z)) + (1 << z)) % (1 << z) AS gx, ty
+         FROM pts, zs,
+           UNNEST([FLOOR(wx * (1 << z) - 0.015625), FLOOR(wx * (1 << z) + 0.015625)]) AS t1(tx),
+           UNNEST([FLOOR(wy * (1 << z) - 0.015625), FLOOR(wy * (1 << z) + 0.015625)]) AS t2(ty)
+         WHERE ty >= 0 AND ty <= (1 << z) - 1)
+        SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
+               CAST(COUNT(*) AS BIGINT) AS features
+        FROM cand GROUP BY 1 ORDER BY 1"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_agg_pushdown" ->
@@ -969,25 +1035,13 @@ object SparkEntry {
           FROM cov GROUP BY 1 ORDER BY 1"""
     },
 
-    // q34: the config profile keeps point docs matching 'order F%' at
-    // z0-5; the routes layer (z2-3) is provably gated out by the 1px
+    // q34/q40: the config profile keeps point docs matching 'order F%'
+    // at z0-5; the routes layer (z2-3) is provably gated out by the 1px
     // min-size rule (max line span incl. mercator y-stretch < 0.6px at
-    // z3), so the cover is the buffered point fan-out alone.
-    "q34_config_profile" ->
-      s"""WITH zs AS (SELECT UNNEST(GENERATE_SERIES(0, 5)) AS z),
-          pts AS (SELECT o_orderkey AS k, ${worldXSql(lonSql)} AS wx, ${worldYSql(latSql)} AS wy
-                  FROM orders
-                  WHERE 'order ' || o_orderstatus || ' ' || o_orderpriority LIKE 'order F%'),
-          cand AS (
-           SELECT DISTINCT z, k,
-             ((tx % (1 << z)) + (1 << z)) % (1 << z) AS gx, ty
-           FROM pts, zs,
-             UNNEST([FLOOR(wx * (1 << z) - 0.015625), FLOOR(wx * (1 << z) + 0.015625)]) AS t1(tx),
-             UNNEST([FLOOR(wy * (1 << z) - 0.015625), FLOOR(wy * (1 << z) + 0.015625)]) AS t2(ty)
-           WHERE ty >= 0 AND ty <= (1 << z) - 1)
-          SELECT CAST(z AS INT) AS z, COUNT(DISTINCT (gx, ty)) AS tiles,
-                 CAST(COUNT(*) AS BIGINT) AS features
-          FROM cand GROUP BY 1 ORDER BY 1""",
+    // z3), so the cover is the buffered point fan-out alone. q40 runs
+    // the SAME profile compiled from the YAML front end.
+    "q34_config_profile" -> configProfileOracle,
+    "q40_yaml_profile" -> configProfileOracle,
 
     "q38_salted_agg" ->
       """SELECT l_returnflag,
