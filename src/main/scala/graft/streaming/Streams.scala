@@ -58,6 +58,63 @@ object Streams {
   }
 
   /**
+   * Incremental ingest with TRANSACTIONAL batches: each micro-batch's
+   * tiles commit as a versioned snapshot under `tableDir/batch_<id>`
+   * via [[Pipeline.snapshotVersioned]] (write, then atomic
+   * version-hint rename). foreachBatch can re-run a batch after a
+   * failure, so the sink must be idempotent per batch id — and it is:
+   * a batch whose snapshot committed is read back instead of
+   * recomputed, while a batch that died mid-write left no hint, so
+   * readers never saw the partial output and the re-run overwrites it.
+   * End-to-end: kill at ANY point, restart from the checkpoint, and
+   * the committed archive equals the uninterrupted run.
+   */
+  def incrementalTilesVersioned(docsStream: DataFrame, profile: Profile,
+                                tableDir: String, checkpointDir: String,
+                                numPartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import batch.sparkSession.implicits._
+          val tiles = Pipeline.tiles(batch, profile, numPartitions, gzipTiles = false)
+          Pipeline.snapshotVersioned(tiles, s"$tableDir/batch_$batchId")
+          ()
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Union of all COMMITTED batch snapshots under `tableDir`; batch
+    * dirs whose writer died before the version-hint rename are
+    * invisible. */
+  def readCommittedTiles(spark: SparkSession, tableDir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(conf)
+    val snapshots: Seq[String] =
+      if (!fs.exists(base)) Seq.empty
+      else fs.listStatus(base).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .sortBy(_.getPath.getName)
+        .flatMap { s =>
+          val hint = new org.apache.hadoop.fs.Path(s.getPath, "version-hint.text")
+          if (!fs.exists(hint)) None
+          else {
+            val in = fs.open(hint)
+            val v = try new String(
+              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+            finally in.close()
+            Some(s"${s.getPath}/snapshot-$v")
+          }
+        }
+    if (snapshots.isEmpty)
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[TileBytes]).toDF()
+    else spark.read.parquet(snapshots: _*)
+  }
+
+  /**
    * Incremental ingest: a stream of docs rows -> per-micro-batch tile
    * build appended to `outDir` (files archive layout). Checkpointed:
    * a restart resumes from the last committed batch.
