@@ -202,13 +202,16 @@ object Dedup {
    *    the corpus) fits the driver -> one collect + union-find, zero
    *    iteration overhead (the reference holds whole relation graphs
    *    in RAM the same way);
-   *  - larger graphs -> min-label propagation: each round joins every
-   *    node's current label against the edge list and adopts the
-   *    minimum neighbor label (equi-join + map-side-combined
-   *    groupBy-min per round, lineage truncated per round), converged
-   *    when no label changes. Rounds = component diameter.
+   *  - larger graphs -> alternating LARGE-STAR / SMALL-STAR rounds
+   *    (the standard MapReduce connected-components construction:
+   *    each phase hangs every neighborhood off its minimum member, so
+   *    components collapse to stars in O(log) rounds REGARDLESS of
+   *    diameter — min-label propagation would need diameter rounds,
+   *    which a chain of pairwise near-dups can push past any fixed
+   *    iteration budget). Per round: two groupBy-mins + joins, lineage
+   *    truncated; converged when the edge set reaches its fixpoint.
    */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 50,
                         aCol: String = "da", bCol: String = "db",
                         localSolveMaxPairs: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -241,32 +244,57 @@ object Dedup {
       val rows = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
       return spark.createDataset(rows).toDF("id", "label")
     }
-    // undirected adjacency (large regime; edges stays cached until done)
-    val adj = edges.select(col("u"), col("v"))
-      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+    // Large regime: alternating LARGE-STAR / SMALL-STAR rounds (the
+    // classic scalable connected-components construction — two
+    // groupBy-min + join rounds per iteration, O(log n) iterations
+    // regardless of component DIAMETER; plain min-label propagation
+    // needs diameter rounds, which a long duplicate chain at corpus
+    // scale can exceed). Edges keep the invariant u > v.
+    val e0 = edges.where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = adj.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var cur = e0.localCheckpoint(true)
+    edges.unpersist()
+    def signature(df: DataFrame): (Long, Long) = {
+      // XOR-fold of per-edge hashes: order-insensitive set signature
+      // with no ANSI overflow (summing xxhash64 longs overflows)
+      val r = df.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val next = adj
-        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "vlabel"), "v")
-        .groupBy(col("u").as("id"))
-        .agg(min(col("vlabel")).as("nbr"))
-        .join(labels, "id")
-        .select(col("id"), least(col("label"), col("nbr")).as("label"))
+      // large-star: every neighborhood's larger members connect to its min
+      val nb = cur.unionByName(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = nb.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val afterLarge = nb.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      // small-star: each node and its smaller neighbors connect to the min
+      val mins2 = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val afterSmall = afterLarge.join(mins2, "u")
+        .select(explode(array(
+          struct(col("u").as("u"), col("m").as("v")),
+          struct(col("v").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+        .where(col("u") =!= col("v")).distinct()
         .localCheckpoint(true) // truncate iterative lineage
-      converged = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(col("label") =!= col("old")).isEmpty
-      labels = next
+      val nextSig = signature(afterSmall)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = afterSmall
       it += 1
     }
-    adj.unpersist()
-    edges.unpersist()
-    labels
+    // at the fixpoint every component is a star rooted at its min:
+    // members point at the root, the root points nowhere
+    val members = cur.select(col("u").as("id"), col("v").as("label"))
+    val roots = cur.select(col("v").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("label", col("id"))
+    members.unionByName(roots)
   }
 
   /**
