@@ -143,6 +143,58 @@ object GeoParquet {
     override protected def withNewChildInternal(c: Expression): WktToWkbExpr = copy(child = c)
   }
 
+  /**
+   * GeoArrow-encoded geometry -> WKB (reference decodes geoarrow via
+   * `GeoParquetMetadata.getGeoArrowType` + GeoArrow column readers):
+   * native nested columns `point` = struct<x,y>, `linestring` /
+   * `multipoint` = array<struct>, `polygon` / `multilinestring` =
+   * array<array<struct>>, `multipolygon` = array³<struct> — decoded in
+   * one pass per row. GeoArrow's win at scale: coordinates are PLAIN
+   * parquet doubles, so column stats prune on x/y directly and Spark
+   * never materializes an opaque blob.
+   */
+  case class GeoArrowToWkbExpr(child: Expression, encoding: String)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    private def coord(r: org.apache.spark.sql.catalyst.InternalRow) =
+      new org.locationtech.jts.geom.Coordinate(r.getDouble(0), r.getDouble(1))
+    private def coords(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      Array.tabulate(a.numElements())(i => coord(a.getStruct(i, 2)))
+    private def rings(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      Seq.tabulate(a.numElements())(i => coords(a.getArray(i)))
+    private def polygon(ringSeq: Seq[Array[org.locationtech.jts.geom.Coordinate]]) = {
+      val gf = Geo.factory
+      gf.createPolygon(gf.createLinearRing(ringSeq.head),
+        ringSeq.tail.map(gf.createLinearRing).toArray)
+    }
+    override protected def nullSafeEval(v: Any): Any = {
+      val gf = Geo.factory
+      val g = encoding match {
+        case e if e.endsWith("point") && !e.contains("multi") =>
+          gf.createPoint(coord(v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+        case e if e.endsWith("multipoint") =>
+          gf.createMultiPointFromCoords(coords(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+        case e if e.endsWith("linestring") && !e.contains("multi") =>
+          gf.createLineString(coords(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+        case e if e.endsWith("multilinestring") =>
+          gf.createMultiLineString(
+            rings(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]).map(gf.createLineString).toArray)
+        case e if e.endsWith("polygon") && !e.contains("multi") =>
+          polygon(rings(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+        case e if e.endsWith("multipolygon") =>
+          val a = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          gf.createMultiPolygon(Seq.tabulate(a.numElements())(i =>
+            polygon(rings(a.getArray(i)))).toArray)
+        case other => throw new UnsupportedOperationException(s"geoarrow encoding $other")
+      }
+      Geo.toWkb(g)
+    }
+    override protected def withNewChildInternal(c: Expression): GeoArrowToWkbExpr = copy(child = c)
+  }
+
+  def geoarrow_to_wkb(c: Column, encoding: String): Column =
+    SqlBridge.col(GeoArrowToWkbExpr(SqlBridge.expr(c), encoding))
+
   /** WKB geometry -> covering bbox struct<xmin,ymin,xmax,ymax>. */
   case class BboxStructExpr(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BboxSchema
@@ -204,27 +256,53 @@ object GeoParquet {
    * by column statistics — then the exact envelope-intersects test
    * runs on the decoded geometry.
    */
-  def read(spark: SparkSession, path: String, bounds: Option[Bounds] = None): DataFrame = {
-    val meta = metadata(spark, path)
+  def read(spark: SparkSession, path: String, bounds: Option[Bounds] = None): DataFrame =
+    readWithMeta(spark, path, metadata(spark, path), bounds)
+
+  /** As [[read]] with explicit metadata (e.g. for files produced by a
+    * writer that could not attach the footer). */
+  def readWithMeta(spark: SparkSession, path: String, meta: Meta,
+                   bounds: Option[Bounds]): DataFrame = {
     val raw = spark.read.parquet(path)
     val gcol = meta.primaryColumn
-    val decoded = meta.primary.encoding.toUpperCase match {
+    val enc = meta.primary.encoding
+    val isGeoArrow = Seq("point", "linestring", "polygon")
+      .exists(enc.toLowerCase.contains)
+    val decoded = enc.toUpperCase match {
       case "WKB" =>
         if (gcol == "geometry") raw
         else raw.withColumn("geometry", col(gcol)).drop(gcol)
       case "WKT" => raw.withColumn("geometry", wkt_to_wkb(col(gcol))).drop(gcol)
+      case _ if isGeoArrow =>
+        // keep the native column alongside for pruning; decode to WKB
+        val d = raw.withColumn("geometry", geoarrow_to_wkb(col(gcol), enc.toLowerCase))
+        if (gcol == "geometry") d else d.drop(gcol)
       case other => throw new UnsupportedOperationException(s"geoparquet encoding $other")
     }
     bounds match {
       case None => decoded
       case Some(b) =>
-        val pruned = effectiveCovering(meta, raw.schema) match {
-          case Some(cov) =>
-            decoded.where(
-              pathCol(cov.xmax) >= b.minX && pathCol(cov.xmin) <= b.maxX &&
-                pathCol(cov.ymax) >= b.minY && pathCol(cov.ymin) <= b.maxY)
-          case None => decoded
-        }
+        val pointEncoded = isGeoArrow && enc.toLowerCase.endsWith("point") &&
+          !enc.toLowerCase.contains("multi")
+        val pruned =
+          if (pointEncoded)
+            // geoarrow point: the x/y doubles ARE parquet columns —
+            // range predicates prune on their stats directly, no bbox
+            // covering column needed
+            {
+              val d = raw.where(
+                col(gcol).getField("x") >= b.minX && col(gcol).getField("x") <= b.maxX &&
+                  col(gcol).getField("y") >= b.minY && col(gcol).getField("y") <= b.maxY)
+                .withColumn("geometry", geoarrow_to_wkb(col(gcol), enc.toLowerCase))
+              if (gcol == "geometry") d else d.drop(gcol)
+            }
+          else effectiveCovering(meta, raw.schema) match {
+            case Some(cov) =>
+              decoded.where(
+                pathCol(cov.xmax) >= b.minX && pathCol(cov.xmin) <= b.maxX &&
+                  pathCol(cov.ymax) >= b.minY && pathCol(cov.ymin) <= b.maxY)
+            case None => decoded
+          }
         pruned.where(SqlBridge.col(EnvelopeIntersectsExpr(
           SqlBridge.expr(col("geometry")), b.minX, b.minY, b.maxX, b.maxY)))
     }
@@ -275,14 +353,17 @@ object GeoParquet {
     case other => throw new UnsupportedOperationException(s"geoparquet write: $other")
   }
 
-  /** The `geo` footer JSON for a WKB geometry column with a bbox-struct
-    * covering. */
-  private[sources] def geoJson(geomCol: String, geometryTypes: Seq[String]): String = {
+  /** The `geo` footer JSON: WKB columns carry a bbox-struct covering;
+    * geoarrow columns prune on their own coordinate stats. */
+  private[sources] def geoJson(geomCol: String, geometryTypes: Seq[String],
+                               encoding: String = "WKB"): String = {
     val types = geometryTypes.map(t => "\"" + t + "\"").mkString("[", ",", "]")
-    s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{
-       |"encoding":"WKB","geometry_types":$types,
-       |"covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],
-       |"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}}}}""".stripMargin.replace("\n", "")
+    val covering =
+      if (encoding == "WKB")
+        ""","covering":{"bbox":{"xmin":["bbox","xmin"],"ymin":["bbox","ymin"],"xmax":["bbox","xmax"],"ymax":["bbox","ymax"]}}"""
+      else ""
+    s"""{"version":"1.1.0","primary_column":"$geomCol","columns":{"$geomCol":{""" +
+      s""""encoding":"$encoding","geometry_types":$types$covering}}}"""
   }
 
   /**
@@ -292,15 +373,24 @@ object GeoParquet {
    * already present — so a downstream [[read]] with bounds prunes.
    */
   def write(df: DataFrame, dir: String, geomCol: String = "geometry",
-            geometryTypes: Seq[String] = Nil): Unit = {
-    require(df.schema(geomCol).dataType == BinaryType, s"$geomCol must be WKB binary")
-    val withBbox =
-      if (df.schema.exists(_.name == "bbox")) df
-      else df.withColumn("bbox", bbox_struct(col(geomCol)))
+            geometryTypes: Seq[String] = Nil, encoding: String = "WKB"): Unit = {
+    val withBbox = encoding match {
+      case "WKB" =>
+        require(df.schema(geomCol).dataType == BinaryType, s"$geomCol must be WKB binary")
+        if (df.schema.exists(_.name == "bbox")) df
+        else df.withColumn("bbox", bbox_struct(col(geomCol)))
+      case "point" =>
+        // geoarrow point: struct<x,y> doubles — their own column stats
+        // are the covering, no bbox column needed
+        require(df.schema(geomCol).dataType.isInstanceOf[StructType],
+          s"$geomCol must be struct<x,y> for geoarrow point encoding")
+        df
+      case other => throw new UnsupportedOperationException(s"write encoding $other")
+    }
     val schema = withBbox.schema
     val mt = messageType(schema)
     val mtString = mt.toString
-    val json = geoJson(geomCol, geometryTypes)
+    val json = geoJson(geomCol, geometryTypes, encoding)
     val conf = new SerializableConfiguration(df.sparkSession.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
     base.getFileSystem(conf.value).mkdirs(base)

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
  * splitting, OSM localized-name key validation) re-expressed for both
  * plain-JVM use (inside profiles) and as Spark column functions.
  *
- * Transliteration: the reference optionally uses ICU; this sandbox has
- * none, so `transliterate` does Unicode-NFD decomposition + combining
- * mark removal (covers the Latin-Extended -> ASCII family) and returns
- * the input unchanged for non-decomposable scripts.
+ * Transliteration: the reference optionally uses ICU's any-latin;
+ * this sandbox has none, so `transliterate` does Unicode-NFD
+ * decomposition + combining mark removal (the Latin-Extended -> ASCII
+ * family) followed by built-in romanization tables for Cyrillic and
+ * Greek (the two most common non-latin scripts with simple
+ * letter-level romanizations). Scripts needing data tables or
+ * phonetic analysis (CJK, Arabic, Indic) return unchanged — an
+ * honest, documented subset.
  */
 object Language {
 
@@ -68,12 +72,53 @@ object Language {
     } catch { case _: java.util.IllformedLocaleException => false }
   }
 
-  /** NFD-decompose and drop combining marks: "Ã…land" -> "Aland". Input
-    * returned unchanged if nothing decomposes (no ICU in sandbox). */
+  /** Letter-level romanization for Cyrillic (BGN/PCGN-style simplified)
+    * and Greek (ELOT-style simplified), applied after NFD mark
+    * stripping so accented forms map through their base letters. */
+  private val Romanization: Map[Char, String] = Map(
+    // Cyrillic (Russian core + common Ukrainian/Serbian letters)
+    'а' -> "a", 'б' -> "b", 'в' -> "v", 'г' -> "g", 'д' -> "d", 'е' -> "e",
+    'ж' -> "zh", 'з' -> "z", 'и' -> "i", 'й' -> "y", 'к' -> "k", 'л' -> "l",
+    'м' -> "m", 'н' -> "n", 'о' -> "o", 'п' -> "p", 'р' -> "r", 'с' -> "s",
+    'т' -> "t", 'у' -> "u", 'ф' -> "f", 'х' -> "kh", 'ц' -> "ts", 'ч' -> "ch",
+    'ш' -> "sh", 'щ' -> "shch", 'ъ' -> "", 'ы' -> "y", 'ь' -> "", 'э' -> "e",
+    'ю' -> "yu", 'я' -> "ya",
+    'і' -> "i", 'ї' -> "yi", 'є' -> "ye", 'ґ' -> "g",
+    'ђ' -> "dj", 'ј' -> "j", 'љ' -> "lj", 'њ' -> "nj", 'ћ' -> "c", 'џ' -> "dz",
+    // Greek
+    'α' -> "a", 'β' -> "v", 'γ' -> "g", 'δ' -> "d", 'ε' -> "e", 'ζ' -> "z",
+    'η' -> "i", 'θ' -> "th", 'ι' -> "i", 'κ' -> "k", 'λ' -> "l", 'μ' -> "m",
+    'ν' -> "n", 'ξ' -> "x", 'ο' -> "o", 'π' -> "p", 'ρ' -> "r", 'σ' -> "s",
+    'ς' -> "s", 'τ' -> "t", 'υ' -> "y", 'φ' -> "f", 'χ' -> "ch", 'ψ' -> "ps",
+    'ω' -> "o")
+
+  /** Per character: romanization table first (so precomposed letters
+    * like Ukrainian yi keep their digraph), then NFD-decompose +
+    * strip marks and retry the base letter (accented Latin to ASCII,
+    * accented Greek through its base), else pass through. */
   def transliterate(s: String): String = {
     if (s == null) return null
-    val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
-    val r = d.replaceAll("\\p{M}+", "")
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    def emit(ch: Char, wasUpper: Boolean): Unit =
+      Romanization.get(Character.toLowerCase(ch)) match {
+        case Some(rep) =>
+          if (wasUpper && rep.nonEmpty) {
+            sb.append(Character.toUpperCase(rep.charAt(0)))
+            sb.append(rep.substring(1))
+          } else sb.append(rep)
+        case None =>
+          val d = java.text.Normalizer.normalize(String.valueOf(ch),
+            java.text.Normalizer.Form.NFD).replaceAll("\\p{M}+", "")
+          if (d.length == 1 && d.charAt(0) != ch) emit(d.charAt(0), wasUpper)
+          else sb.append(d) // mark-only chars decompose to "" and drop
+      }
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      emit(ch, Character.isUpperCase(ch))
+      i += 1
+    }
+    val r = sb.toString
     if (r.isEmpty) s else r
   }
 

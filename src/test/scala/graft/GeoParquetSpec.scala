@@ -105,6 +105,69 @@ class GeoParquetSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("west" -> 10L, "east" -> 10L))
   }
 
+  test("geoarrow point encoding: struct x/y round-trip, bounds prune on coordinate stats") {
+    import spark.implicits._
+    val dir = tmp()
+    val pts = spark.range(500).map { i =>
+      val lon = (i * 37 % 360) - 180.0
+      val lat = (i * 23 % 170) - 85.0
+      (i, lon, lat)
+    }.toDF("id", "x", "y")
+      .select(col("id"), struct(col("x"), col("y")).as("geometry"))
+    GeoParquet.write(pts, dir, geometryTypes = Seq("Point"), encoding = "point")
+    val meta = GeoParquet.metadata(spark, dir)
+    assert(meta.primary.encoding == "point" && meta.primary.covering.isEmpty)
+    // bounds read: the x/y range predicates hit the parquet scan —
+    // geoarrow's native-column pruning, no bbox companion needed
+    val q = GeoParquet.read(spark, dir, Some(GeoParquet.Bounds(-30, -20, 40, 35)))
+    val pushed = q.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("geometry.x") && pushed.contains("geometry.y"),
+      s"geoarrow coord predicates not pushed: $pushed")
+    val got = q.select(col("id")).collect().map(_.getLong(0)).toSet
+    val want = (0L until 500L).filter { i =>
+      val lon = (i * 37 % 360) - 180.0
+      val lat = (i * 23 % 170) - 85.0
+      lon >= -30 && lon <= 40 && lat >= -20 && lat <= 35
+    }.toSet
+    assert(got == want)
+    // decoded geometry is real WKB
+    val g = Geo.fromWkb(q.where(col("id") === got.head).collect().head
+      .getAs[Array[Byte]]("geometry"))
+    assert(g.getGeometryType == "Point")
+  }
+
+  test("geoarrow decode: all nested encodings to WKB") {
+    import spark.implicits._
+    // linestring: array<struct>, polygon: array<array<struct>>,
+    // multipolygon: array^3 — written as plain Spark nested parquet,
+    // read with explicit metadata (footer-less producer)
+    val dir = tmp()
+    Seq((1L, Seq((0.0, 0.0), (1.0, 1.0), (2.0, 0.0))))
+      .toDF("id", "geom")
+      .select(col("id"), transform(col("geom"),
+        t => struct(t.getField("_1").as("x"), t.getField("_2").as("y"))).as("geom"))
+      .write.mode("overwrite").parquet(dir)
+    val meta = GeoParquet.Meta("1.1.0", "geom",
+      Map("geom" -> GeoParquet.ColumnMeta("geoarrow.linestring", Seq("LineString"), None, None, None)))
+    val back = GeoParquet.readWithMeta(spark, dir, meta, None)
+    val line = Geo.fromWkb(back.collect().head.getAs[Array[Byte]]("geometry"))
+    assert(line.getGeometryType == "LineString" && line.getNumPoints == 3)
+    assert(line.getCoordinates()(2).x == 2.0)
+
+    val dir2 = tmp()
+    Seq((1L, Seq(Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 0.0)))))
+      .toDF("id", "geom")
+      .select(col("id"), transform(col("geom"), ring =>
+        transform(ring, t => struct(t.getField("_1").as("x"), t.getField("_2").as("y")))).as("geom"))
+      .write.mode("overwrite").parquet(dir2)
+    val meta2 = GeoParquet.Meta("1.1.0", "geom",
+      Map("geom" -> GeoParquet.ColumnMeta("geoarrow.polygon", Seq("Polygon"), None, None, None)))
+    val poly = Geo.fromWkb(GeoParquet.readWithMeta(spark, dir2, meta2, None)
+      .collect().head.getAs[Array[Byte]]("geometry"))
+    assert(poly.getGeometryType == "Polygon" && poly.getArea == 8.0)
+  }
+
   test("polygon bbox covers the full envelope (covering is conservative)") {
     import spark.implicits._
     val poly = Geo.fromWktOrNull("POLYGON ((10 10, 30 10, 30 25, 10 25, 10 10))")

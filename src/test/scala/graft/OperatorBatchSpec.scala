@@ -51,6 +51,24 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(Language.transliterate(s"$Aland $Zuerich") == "Aland Zurich")
   }
 
+  test("language: cyrillic/greek romanization tables") {
+    val Moskva = "Москва" // Cyrillic capital M + oskva
+    assert(Language.transliterate(Moskva) == "Moskva")
+    val Shchyolkovo = "Щёлково"
+    assert(Language.transliterate(Shchyolkovo) == "Shchelkovo") // NFD splits the io diaeresis
+    val Kyiv = "Київ"
+    assert(Language.transliterate(Kyiv) == "Kiyiv")
+    val Athina = "Αθήνα" // Greek with accented eta
+    assert(Language.transliterate(Athina) == "Athina")
+    val Thessaloniki = "Θεσσαλονίκη"
+    assert(Language.transliterate(Thessaloniki) == "Thessaloniki")
+    // unmapped scripts pass through unchanged (documented subset)
+    val Tokyo2 = "東京"
+    assert(Language.transliterate(Tokyo2) == Tokyo2)
+    // latinName now resolves via romanization when no latin tag exists
+    assert(Language.latinName(Map("name" -> Moskva)).contains("Moskva"))
+  }
+
   test("chaikin smoothing: vertex squashing, keeps endpoints") {
     val line = Array(new Coordinate(0, 0), new Coordinate(10, 0), new Coordinate(10, 10))
     val out = Simplify.dualMidpointSmooth(line, 1)
