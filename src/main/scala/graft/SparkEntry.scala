@@ -181,6 +181,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("inside"), sum(col("okey")).as("key_sum"))
     }),
 
+    "q41_geoarrow_scan" -> ((s, dir) => {
+      // GeoArrow point encoding in the gate: orders -> struct<x,y>
+      // parquet with the `geo` footer (encoding=point, NO bbox
+      // column), bounds read prunes on the coordinate columns' own
+      // stats; oracle identical containment arithmetic to q09/q39
+      val pts = t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+        struct(
+          ((col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0).as("x"),
+          ((col("o_orderkey") * 7919 % 17000) / 100.0 - 85.0).as("y")).as("geometry"))
+      val out = java.nio.file.Files.createTempDirectory("graft_ga_gate").toString + "/pts"
+      graft.sources.GeoParquet.write(pts, out, geometryTypes = Seq("Point"), encoding = "point")
+      graft.sources.GeoParquet.read(s, out,
+          Some(graft.sources.GeoParquet.Bounds(-90.005, -40.005, 60.005, 50.005)))
+        .agg(count(lit(1)).as("inside"), sum(col("okey")).as("key_sum"))
+    }),
+
     // ---------- geo: docs synthesis + projection + tile assignment ----------
 
     "q10_docs_shape" -> ((s, dir) => {
@@ -704,6 +720,11 @@ object SparkEntry {
          FROM nation ORDER BY 1""",
 
     "q39_geoparquet_scan" ->
+      s"""SELECT COUNT(*) AS inside, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+          FROM (SELECT o_orderkey, $lonSql AS lon, $latSql AS lat FROM orders)
+          WHERE lon >= -90.005 AND lon <= 60.005 AND lat >= -40.005 AND lat <= 50.005""",
+
+    "q41_geoarrow_scan" ->
       s"""SELECT COUNT(*) AS inside, CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
           FROM (SELECT o_orderkey, $lonSql AS lon, $latSql AS lat FROM orders)
           WHERE lon >= -90.005 AND lon <= 60.005 AND lat >= -40.005 AND lat <= 50.005""",

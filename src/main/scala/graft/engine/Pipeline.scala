@@ -145,6 +145,38 @@ object Pipeline {
     }
   }
 
+  /**
+   * Snapshot maintenance (the Iceberg `expireSnapshots` analog): drop
+   * all but the newest `keep` committed versions under `tableDir`.
+   * The live version (per version-hint) is never deleted; uncommitted
+   * snapshot dirs newer than the hint (a writer died mid-write) are
+   * removed too. Returns the deleted version numbers.
+   */
+  def expireSnapshots(spark: SparkSession, tableDir: String, keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the live snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) return Seq.empty
+    val hint = new org.apache.hadoop.fs.Path(base, "version-hint.text")
+    if (!fs.exists(hint)) return Seq.empty
+    val live = {
+      val in = fs.open(hint)
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
+      finally in.close()
+    }
+    val versions = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("snapshot-"))
+      .flatMap(s => scala.util.Try(s.getPath.getName.stripPrefix("snapshot-").toInt).toOption)
+      .sorted
+    val keepSet = versions.filter(_ <= live).takeRight(keep).toSet + live
+    val doomed = versions.filterNot(keepSet.contains)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"snapshot-$v"), true)
+    }
+    doomed
+  }
+
   def checkpoint[T](ds: Dataset[T], dir: String)(implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
     val spark = ds.sparkSession
     // probe through the Hadoop FileSystem API so the _SUCCESS marker

@@ -82,6 +82,24 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(rows.map(_._2("name").asInstanceOf[String]).count(_ == "X" * 5000) == 1)
   }
 
+  test("DSv2: spark.read.format(mbtiles) with zoom-filter pushdown") {
+    // the registered short name resolves via the service loader; z/x/y
+    // comparison predicates are pushed into the reader
+    val df = spark.read.format("mbtiles").load(res("fixture_compact.mbtiles"))
+    assert(df.schema.fieldNames.toSeq == Seq("z", "x", "y", "bytes"))
+    assert(df.count() == 3)
+    val z1 = df.where(org.apache.spark.sql.functions.col("z") === 1)
+    val scanDesc = z1.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no BatchScanExec in plan"))
+    assert(scanDesc.contains("EqualTo(z,1)"), s"z filter not pushed: $scanDesc")
+    val rows = z1.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(rows == Set((1, 0, 0), (1, 1, 1)))
+    // plain tiles table through the same format
+    val plain = spark.read.format("mbtiles").load(res("fixture_plain.mbtiles")).collect()
+    assert(plain.length == 1 && plain.head.getInt(0) == 2)
+  }
+
   test("natural earth: theme table scan with WKB geometry") {
     val rows = NaturalEarth.read(spark, res("fixture_ne.sqlite"), "ne_110m_lakes").collect()
     assert(rows.length == 1)

@@ -67,6 +67,26 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     assert(interrupted.size > afterBatch0.size, "batch 1 contributed tiles")
   }
 
+  test("expireSnapshots: old and orphaned-uncommitted versions removed, live kept") {
+    val root = java.nio.file.Files.createTempDirectory("graft_expire").toString
+    import spark.implicits._
+    // four committed versions
+    (1 to 4).foreach { i =>
+      Pipeline.snapshotVersioned(Seq((i.toLong, s"v$i")).toDS(), s"$root/t", recompute = true)
+    }
+    // an uncommitted dir beyond the hint (writer died mid-write)
+    Seq((99L, "dead")).toDS().write.parquet(s"$root/t/snapshot-9")
+    val deleted = Pipeline.expireSnapshots(spark, s"$root/t", keep = 2)
+    assert(deleted == Seq(1, 2, 9))
+    // live version still reads
+    val (back, v) = Pipeline.snapshotVersioned(
+      Seq((0L, "unused")).toDS(), s"$root/t")
+    assert(v == 4 && back.collect().head._2 == "v4")
+    // kept previous version still on disk for time travel
+    assert(spark.read.parquet(s"$root/t/snapshot-3").count() == 1)
+    assert(!new java.io.File(s"$root/t/snapshot-1").exists())
+  }
+
   test("re-running a committed batch reads the snapshot instead of recomputing") {
     val root = java.nio.file.Files.createTempDirectory("graft_snapidem").toString
     import spark.implicits._
