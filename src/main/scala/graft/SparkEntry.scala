@@ -265,6 +265,24 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q42_pip_partitioned" -> ((s, dir) => {
+      // the BIG-BIG point-in-polygon path: grid-cell equi-join +
+      // exact covers + smallest-id winner — must equal the broadcast
+      // path, so the oracle is q13's arithmetic re-derivation
+      val sf = Docs.pointFeatures(s, dir)
+      import s.implicits._
+      val pts = sf.map { f =>
+        val c = Geo.fromWkb(f.geom).getCoordinate
+        (f.doc_id, c.x, c.y)
+      }.toDF("doc_id", "lon", "lat")
+      val polysDf = Docs.sourceFeatures(Docs.polygonDocs(s, dir)).toDF()
+      SpatialJoin.pointInPolygonPartitioned(pts, polysDf, gridZoom = 6, left = true)
+        .where(col("poly_id").isNotNull)
+        .groupBy(col("poly_id"))
+        .agg(count(lit(1)).as("points"))
+        .orderBy(col("poly_id"))
+    }),
+
     "q14_knn_join" -> ((s, dir) => {
       // nearest admin-cell center per point (broadcast site index,
       // expanding-ring STRtree probe; ties by (distance, site_id))
@@ -756,6 +774,21 @@ object SparkEntry {
           FROM pts, z GROUP BY z ORDER BY z""",
 
     "q13_pip_join" ->
+      s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM orders),
+          assigned AS (
+            SELECT CASE WHEN (lon + 180.0) % 72.0 = 0 AND lon > -180.0
+                        THEN CAST((lon + 180.0) / 72.0 AS INT) - 1
+                        ELSE CAST(FLOOR((lon + 180.0) / 72.0) AS INT) END AS c,
+                   CASE WHEN (lat + 85.0) % 34.0 = 0 AND lat > -85.0
+                        THEN CAST((lat + 85.0) / 34.0 AS INT) - 1
+                        ELSE CAST(FLOOR((lat + 85.0) / 34.0) AS INT) END AS r
+            FROM pts)
+          SELECT 'adm_' || (LEAST(r, 4) * 5 + LEAST(c, 4)) AS poly_id, COUNT(*) AS points
+          FROM assigned GROUP BY 1 ORDER BY 1""",
+
+    // q42: the partitioned big-big PIP must give exactly the broadcast
+    // path's assignment, so the oracle is q13's arithmetic derivation
+    "q42_pip_partitioned" ->
       s"""WITH pts AS (SELECT $lonSql AS lon, $latSql AS lat FROM orders),
           assigned AS (
             SELECT CASE WHEN (lon + 180.0) % 72.0 = 0 AND lon > -180.0

@@ -29,14 +29,8 @@ object SpatialJoin {
   /** Natural id order: ids with a numeric suffix ("adm_12") compare by
     * (prefix, number) so tie-breaks match numeric-id oracles. */
   private[engine] def idLt(a: String, b: String): Boolean = {
-    def splitNum(s: String): (String, Long) = {
-      val i = s.lastIndexOf('_')
-      if (i >= 0 && i < s.length - 1 && s.substring(i + 1).forall(_.isDigit))
-        (s.substring(0, i), s.substring(i + 1).toLong)
-      else (s, Long.MaxValue)
-    }
-    val (pa, na) = splitNum(a)
-    val (pb, nb) = splitNum(b)
+    val (pa, na) = splitNumFor(a)
+    val (pb, nb) = splitNumFor(b)
     if (pa != pb) pa < pb else if (na != nb) na < nb else a < b
   }
 
@@ -122,6 +116,67 @@ object SpatialJoin {
         else Some(org.apache.spark.sql.Row.fromSeq(row.toSeq :+ hit.map(_.id).orNull))
       }
     }(enc)
+  }
+
+  /**
+   * BIG-BIG point-in-polygon: when the polygon side exceeds the
+   * broadcast cap, both sides key by a mercator grid cell at
+   * `gridZoom` and equi-join — polygons fan out to the cells their
+   * envelope covers (each point lives in exactly ONE cell, so no
+   * dedup is needed), the exact covers() test filters candidates
+   * row-wise, and the smallest-id winner per point reproduces the
+   * broadcast path's tie-break exactly (the (prefix, numeric-suffix,
+   * id) order of [[idLt]], via min_by over a sortable struct).
+   *
+   * Shuffle shape: one equi-join on the cell key + one groupBy on the
+   * point id. Cell fan-out of a polygon is O(envelope area in cells):
+   * pick `gridZoom` so typical polygons cover few cells; continent-
+   * scale layers should pre-split (the render pipeline's slicer
+   * already does).
+   */
+  def pointInPolygonPartitioned(points: DataFrame, polysDf: DataFrame,
+                                gridZoom: Int = 7,
+                                idCol: String = "doc_id",
+                                lonCol: String = "lon", latCol: String = "lat",
+                                polyIdCol: String = "doc_id", polyGeomCol: String = "geom",
+                                left: Boolean = false): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    import graft.geo.Mercator
+    val n = 1 << gridZoom
+    val polyCells = polysDf.select(col(polyIdCol).cast("string").as("poly_id"),
+        col(polyGeomCol).as("poly_wkb"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (id, wkb) =>
+        val env = Geo.fromWkb(wkb).getEnvelopeInternal
+        val x0 = Mercator.tileIndex(Mercator.worldX(env.getMinX), gridZoom)
+        val x1 = Mercator.tileIndex(Mercator.worldX(env.getMaxX), gridZoom)
+        val y0 = Mercator.tileIndex(Mercator.worldY(env.getMaxY), gridZoom)
+        val y1 = Mercator.tileIndex(Mercator.worldY(env.getMinY), gridZoom)
+        val (prefix, num) = splitNumFor(id)
+        for (x <- x0 to x1; y <- y0 to y1)
+          yield (x.toLong * n + y, id, wkb, prefix, num)
+      }.toDF("cell", "poly_id", "poly_wkb", "poly_prefix", "poly_num")
+    import graft.functions.GeoFunctions.{world_x, world_y}
+    def cellIdx(w: org.apache.spark.sql.Column) =
+      least(greatest(floor(w * n), lit(0)), lit(n - 1)).cast("long")
+    val ptCells = points.withColumn("__cell",
+      cellIdx(world_x(col(lonCol))) * n + cellIdx(world_y(col(latCol))))
+    val matches = ptCells
+      .join(polyCells, col("__cell") === col("cell"))
+      .where(graft.functions.SpatialRules.st_contains_lonlat(
+        col("poly_wkb"), col(lonCol), col(latCol)))
+      .groupBy(col(idCol))
+      .agg(min_by(col("poly_id"),
+        struct(col("poly_prefix"), col("poly_num"), col("poly_id"))).as("poly_id"))
+    points.join(matches, Seq(idCol), if (left) "left" else "inner")
+  }
+
+  private[engine] def splitNumFor(s: String): (String, Long) = {
+    val i = s.lastIndexOf('_')
+    if (i >= 0 && i < s.length - 1 && s.substring(i + 1).forall(_.isDigit))
+      (s.substring(0, i), s.substring(i + 1).toLong)
+    else (s, Long.MaxValue)
   }
 
   /** Serializable point-site payload for kNN. */
