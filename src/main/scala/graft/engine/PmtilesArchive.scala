@@ -393,14 +393,15 @@ object PmtilesArchive {
     (addressed, entries.length.toLong, contents)
   }
 
-  /** Random-access reader over the v3 layout (root + optional leaves). */
-  final class Reader(path: String) extends AutoCloseable {
-    private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
-    val header: Header = Header.fromBytes(readAt(0, HeaderLen))
-    private val root: Array[Entry] =
-      directoryFromBytes(Mvt.gunzip(readAt(header.rootDirOffset, header.rootDirLength.toInt)))
+  /** Positioned-read abstraction so the reader works over a local
+    * file or any Hadoop FileSystem scheme. */
+  trait RandomAccess extends AutoCloseable {
+    def readAt(offset: Long, len: Int): Array[Byte]
+  }
 
-    private def readAt(offset: Long, len: Int): Array[Byte] = {
+  final class FileAccess(path: String) extends RandomAccess {
+    private val ch = java.nio.channels.FileChannel.open(java.nio.file.Paths.get(path))
+    override def readAt(offset: Long, len: Int): Array[Byte] = {
       val buf = java.nio.ByteBuffer.allocate(len)
       var read = 0
       while (read < len) {
@@ -410,6 +411,31 @@ object PmtilesArchive {
       }
       buf.array()
     }
+    override def close(): Unit = ch.close()
+  }
+
+  final class HadoopAccess(in: org.apache.hadoop.fs.FSDataInputStream) extends RandomAccess {
+    override def readAt(offset: Long, len: Int): Array[Byte] = {
+      val buf = new Array[Byte](len)
+      in.readFully(offset, buf, 0, len)
+      buf
+    }
+    override def close(): Unit = in.close()
+  }
+
+  def openReader(path: String, conf: org.apache.hadoop.conf.Configuration): Reader = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new Reader(new HadoopAccess(p.getFileSystem(conf).open(p)))
+  }
+
+  /** Random-access reader over the v3 layout (root + optional leaves). */
+  final class Reader(access: RandomAccess) extends AutoCloseable {
+    def this(path: String) = this(new FileAccess(path))
+    val header: Header = Header.fromBytes(readAt(0, HeaderLen))
+    private val root: Array[Entry] =
+      directoryFromBytes(Mvt.gunzip(readAt(header.rootDirOffset, header.rootDirLength.toInt)))
+
+    private def readAt(offset: Long, len: Int): Array[Byte] = access.readAt(offset, len)
 
     def metadata: String =
       new String(Mvt.gunzip(readAt(header.jsonMetadataOffset, header.jsonMetadataLength.toInt)), "UTF-8")
@@ -423,6 +449,35 @@ object PmtilesArchive {
             readAt(header.leafDirectoriesOffset + e.offset, e.length))).toSeq
         else Seq(e)
       }
+
+    /**
+     * Entries whose id run intersects [lo, hi] — DIRECTORY-LEVEL
+     * pruning: leaf directories whose root-entry range lies outside
+     * the window are never even fetched, so a zoom-restricted scan of
+     * a planet archive touches only that zoom's leaves.
+     */
+    def entriesInRange(lo: Long, hi: Long): Iterator[Entry] = {
+      def overlaps(e: Entry): Boolean =
+        e.tileId <= hi && e.tileId + math.max(e.runLength, 1) > lo
+      if (header.leafDirectoriesLength == 0) root.iterator.filter(overlaps)
+      else {
+        // a leaf-pointer entry (runLength 0) covers [tileId, next root tileId)
+        root.iterator.zipWithIndex.flatMap { case (e, i) =>
+          if (e.runLength > 0) {
+            if (overlaps(e)) Iterator.single(e) else Iterator.empty
+          } else {
+            val leafEnd = if (i + 1 < root.length) root(i + 1).tileId else Long.MaxValue
+            if (e.tileId > hi || leafEnd <= lo) Iterator.empty
+            else directoryFromBytes(Mvt.gunzip(
+              readAt(header.leafDirectoriesOffset + e.offset, e.length)))
+              .iterator.filter(overlaps)
+          }
+        }
+      }
+    }
+
+    def tileData(e: Entry): Array[Byte] =
+      readAt(header.tileDataOffset + e.offset, e.length)
 
     /** Find the last entry with tileId <= id (spec search order). */
     private def find(entries: Array[Entry], id: Long): Option[Entry] = {
@@ -449,6 +504,6 @@ object PmtilesArchive {
         } else None
       }
 
-    override def close(): Unit = ch.close()
+    override def close(): Unit = access.close()
   }
 }
