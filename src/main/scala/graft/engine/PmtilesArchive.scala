@@ -248,6 +248,76 @@ object PmtilesArchive {
    *
    * Returns (shards, tiles).
    */
+  /** Streaming writer for ONE shard file: `add` tiles in ascending id
+    * order, `finish` writes directories + header and returns
+    * (minId, maxId, addressedTiles). Shared by [[writeSharded]] and
+    * the DSv2 write path. */
+  final class ShardWriter(path: String,
+                          metadataJson: String = """{"vector_layers":[]}""",
+                          minZoom: Int = 0, maxZoom: Int = 15,
+                          tilesGzipped: Boolean = true) {
+    private val raf = new java.io.RandomAccessFile(path, "rw")
+    raf.setLength(0)
+    raf.seek(InitSection.toLong)
+    private val entries = ArrayBuffer.empty[Entry]
+    private val byHash = mutable.HashMap.empty[Long, (Long, Int)]
+    private var dataLen = 0L
+    private var addressed = 0L
+    private var contents = 0L
+    private var lastId = Long.MinValue
+    private var minId = Long.MaxValue
+
+    def add(t: TileBytes): Unit = {
+      require(t.tile_id > lastId, "shard input out of order")
+      lastId = t.tile_id
+      if (t.tile_id < minId) minId = t.tile_id
+      addressed += 1
+      val last = entries.lastOption.orNull
+      byHash.get(t.content_hash) match {
+        case Some((off, len)) if len == t.bytes.length =>
+          if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id)
+            entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
+          else entries += Entry(t.tile_id, off, len, 1)
+        case _ =>
+          raf.write(t.bytes)
+          byHash(t.content_hash) = (dataLen, t.bytes.length)
+          entries += Entry(t.tile_id, dataLen, t.bytes.length, 1)
+          dataLen += t.bytes.length
+          contents += 1
+      }
+    }
+
+    def finish(): (Long, Long, Long) = {
+      val (root, leaves) = makeDirectories(entries.toSeq)
+      val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
+      raf.write(json)
+      raf.write(leaves)
+      val header = Header(
+        rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
+        jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
+        leafDirectoriesOffset = InitSection + dataLen + json.length,
+        leafDirectoriesLength = leaves.length.toLong,
+        tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
+        numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
+        numTileContents = contents, clustered = true,
+        internalCompression = 2, tileCompression = if (tilesGzipped) 2 else 1,
+        tileType = 1, minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
+        minLonE7 = -1800000000, minLatE7 = -850511300,
+        maxLonE7 = 1800000000, maxLatE7 = 850511300,
+        centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
+      raf.seek(0)
+      raf.write(header.toBytes)
+      raf.write(root)
+      raf.close()
+      (minId, lastId, addressed)
+    }
+
+    def abort(): Unit = {
+      raf.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
+  }
+
   def writeSharded(tiles: Dataset[TileBytes], dir: String,
                    metadataJson: String = """{"vector_layers":[]}""",
                    minZoom: Int = 0, maxZoom: Int = 15,
@@ -260,56 +330,9 @@ object PmtilesArchive {
       else {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val path = f"$dir/part-$pid%05d.pmtiles"
-        val raf = new java.io.RandomAccessFile(path, "rw")
-        raf.setLength(0)
-        raf.seek(InitSection.toLong)
-        val entries = ArrayBuffer.empty[Entry]
-        val byHash = mutable.HashMap.empty[Long, (Long, Int)]
-        var dataLen = 0L
-        var addressed = 0L
-        var contents = 0L
-        var lastId = Long.MinValue
-        var minId = Long.MaxValue
-        it.foreach { t =>
-          require(t.tile_id > lastId, "shard input out of order")
-          lastId = t.tile_id
-          if (t.tile_id < minId) minId = t.tile_id
-          addressed += 1
-          val last = entries.lastOption.orNull
-          byHash.get(t.content_hash) match {
-            case Some((off, len)) if len == t.bytes.length =>
-              if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id)
-                entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
-              else entries += Entry(t.tile_id, off, len, 1)
-            case _ =>
-              raf.write(t.bytes)
-              byHash(t.content_hash) = (dataLen, t.bytes.length)
-              entries += Entry(t.tile_id, dataLen, t.bytes.length, 1)
-              dataLen += t.bytes.length
-              contents += 1
-          }
-        }
-        val (root, leaves) = makeDirectories(entries.toSeq)
-        val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
-        raf.write(json)
-        raf.write(leaves)
-        val header = Header(
-          rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
-          jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
-          leafDirectoriesOffset = InitSection + dataLen + json.length,
-          leafDirectoriesLength = leaves.length.toLong,
-          tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
-          numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
-          numTileContents = contents, clustered = true,
-          internalCompression = 2, tileCompression = if (tilesGzipped) 2 else 1,
-          tileType = 1, minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
-          minLonE7 = -1800000000, minLatE7 = -850511300,
-          maxLonE7 = 1800000000, maxLatE7 = 850511300,
-          centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
-        raf.seek(0)
-        raf.write(header.toBytes)
-        raf.write(root)
-        raf.close()
+        val w = new ShardWriter(path, metadataJson, minZoom, maxZoom, tilesGzipped)
+        it.foreach(w.add)
+        val (minId, lastId, addressed) = w.finish()
         Iterator.single((pid, path, minId, lastId, addressed))
       }
     }.collect().sortBy(_._1)

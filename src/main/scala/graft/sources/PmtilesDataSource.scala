@@ -29,18 +29,129 @@ class PmtilesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pmtiles"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MbtilesDataSource.Schema
+  // writes arrive with the DataFrame's own (TileBytes-shaped) schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new PmtilesTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)))
+    new PmtilesTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
-private[sources] class PmtilesTable(paths: Seq[String]) extends Table with SupportsRead {
+private[sources] class PmtilesTable(paths: Seq[String], schema0: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"pmtiles(${paths.mkString(",")})"
-  override def schema(): StructType = MbtilesDataSource.Schema
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PmtilesScanBuilder(paths)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new PmtilesWriteBuilder(paths.head, info)
+}
+
+/**
+ * DSv2 WRITE: `tiles.orderBy("tile_id").write.format("pmtiles")
+ * .save(path)`. Each task streams its partition into a shard file
+ * (the parallel phase); `commit` verifies the shards' tile-id ranges
+ * are DISJOINT AND ASCENDING (i.e. the input was range-partitioned
+ * and sorted — `orderBy(tile_id)` gives exactly that) and
+ * concatenates them into one valid clustered archive by sequential
+ * byte copy. An aborted task deletes its shard; an aborted job leaves
+ * the destination untouched.
+ *
+ * Input schema: the TileBytes columns (tile_id, z, x, y, bytes,
+ * feature_count, content_hash).
+ */
+private[sources] class PmtilesWriteBuilder(
+    path: String, info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+  override def truncate(): WriteBuilder = this // a fresh archive either way
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new PmtilesBatchWrite(path, info.schema())
+  }
+}
+
+private[sources] case class PmtilesShardMsg(pid: Int, path: String, minId: Long,
+                                            maxId: Long, tiles: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class PmtilesBatchWrite(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val shardDir = path + ".shards"
+  Seq("tile_id", "z", "x", "y", "bytes", "content_hash").foreach { c =>
+    require(schema.fieldNames.contains(c), s"pmtiles write needs column '$c' (TileBytes shape)")
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new PmtilesWriterFactory(shardDir, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val shards = messages.collect { case m: PmtilesShardMsg if m.tiles > 0 => m }.sortBy(_.minId)
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a.maxId < b.minId,
+          s"shard ranges overlap (${a.maxId} >= ${b.minId}): input must be orderBy(tile_id)")
+      case _ =>
+    }
+    require(shards.nonEmpty, "no tiles written")
+    graft.engine.PmtilesArchive.concatenateShards(
+      shards.map(_.path).toSeq, path, tilesGzipped = true)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shardDir))
+    ()
+  }
+}
+
+private[sources] class PmtilesWriterFactory(shardDir: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new PmtilesDataWriter(shardDir, partitionId, taskId, schema)
+}
+
+private[sources] class PmtilesDataWriter(shardDir: String, pid: Int, taskId: Long,
+                                         schema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  private val idIdx = schema.fieldIndex("tile_id")
+  private val zIdx = schema.fieldIndex("z")
+  private val xIdx = schema.fieldIndex("x")
+  private val yIdx = schema.fieldIndex("y")
+  private val bytesIdx = schema.fieldIndex("bytes")
+  private val fcIdx = schema.fieldNames.indexOf("feature_count")
+  private val hashIdx = schema.fieldIndex("content_hash")
+  new java.io.File(shardDir).mkdirs()
+  private val path = f"$shardDir/part-$pid%05d-$taskId.pmtiles"
+  private var writer: graft.engine.PmtilesArchive.ShardWriter = _
+  private var n = 0L
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) writer = new graft.engine.PmtilesArchive.ShardWriter(path)
+    val id = row.getLong(idIdx)
+    writer.add(graft.model.TileBytes(id, row.getInt(zIdx), row.getInt(xIdx),
+      row.getInt(yIdx), row.getBinary(bytesIdx),
+      if (fcIdx >= 0) row.getInt(fcIdx) else 0, row.getLong(hashIdx)))
+    n += 1
+    if (id < minId) minId = id
+    if (id > maxId) maxId = id
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.finish()
+    PmtilesShardMsg(pid, if (writer == null) null else path, minId, maxId, n)
+  }
+
+  override def abort(): Unit = if (writer != null) writer.abort()
+  override def close(): Unit = ()
 }
 
 private[sources] class PmtilesScanBuilder(paths: Seq[String])

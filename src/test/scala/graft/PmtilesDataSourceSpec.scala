@@ -53,6 +53,37 @@ class PmtilesDataSourceSpec extends AnyFunSuite {
     assert(df.where(col("z") === 6 && col("x") === 0).count() == 64)
   }
 
+  test("DSv2 write: orderBy(tile_id).write.format(pmtiles) -> one valid clustered archive") {
+    import spark.implicits._
+    val n = 3000
+    val tiles = (0 until n).map { i =>
+      val z = 6
+      val x = i % 64
+      val y = i / 64
+      val id = TileCoord.encodeHilbert(x, y, z)
+      TileBytes(id, z, x, y, Array(x.toByte, y.toByte, (i % 3).toByte), 1, id)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_pmw").toString + "/w.pmtiles"
+    // orderBy = range partition + sort: exactly the disjoint-ascending
+    // shards the commit-time concatenation requires
+    tiles.toDF().repartition(4).orderBy("tile_id")
+      .write.format("pmtiles").mode("overwrite").save(out)
+    assert(new java.io.File(out).isFile)
+    assert(!new java.io.File(out + ".shards").exists(), "shard staging cleaned up")
+    val back = spark.read.format("pmtiles").load(out)
+    assert(back.count() == n)
+    val r = back.where(col("x") === 5 && col("y") === 11).collect().head
+    // DSv2 write path gzips tile data on concatenation metadata; raw
+    // bytes round-trip as written
+    assert(r.getAs[Array[Byte]]("bytes").toSeq.take(2) == Seq(5.toByte, 11.toByte))
+    // unsorted input MUST be rejected (shard-order invariant)
+    val bad = intercept[Exception] {
+      tiles.reverse.toDF().coalesce(1)
+        .write.format("pmtiles").mode("overwrite").save(out + "2")
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("hadoop-path reader: file:// scheme works") {
     val (path, n5, n6) = writeArchive()
     val reader = PmtilesArchive.openReader("file://" + path,
