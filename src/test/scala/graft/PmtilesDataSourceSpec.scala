@@ -6,6 +6,11 @@ import graft.model.TileBytes
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+object PmtilesDataSourceSpec {
+  // cross-task registry so the injected crash fires exactly once
+  val crashed = new java.util.concurrent.ConcurrentHashMap[Int, Boolean]()
+}
+
 /** DSv2 pmtiles reader: zoom predicates become Hilbert tile-id ranges
   * that prune leaf directories before any tile data is fetched. */
 class PmtilesDataSourceSpec extends AnyFunSuite {
@@ -82,6 +87,37 @@ class PmtilesDataSourceSpec extends AnyFunSuite {
         .write.format("pmtiles").mode("overwrite").save(out + "2")
     }
     assert(bad.getMessage != null)
+  }
+
+  test("DSv2 write survives a task retry: failed shard aborted, rerun commits clean") {
+    import spark.implicits._
+    PmtilesDataSourceSpec.crashed.clear()
+    val n = 800
+    val tiles = (0 until n).map { i =>
+      val id = TileCoord.encodeHilbert(i % 32, i / 32, 5)
+      TileBytes(id, 5, i % 32, i / 32, Array(i.toByte, (i >> 8).toByte), 1, id)
+    }
+    val flaky = tiles.toDF().repartition(4).orderBy("tile_id").as[TileBytes]
+      .mapPartitions { it =>
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc.attemptNumber() == 0 && tc.partitionId() == 1 &&
+          PmtilesDataSourceSpec.crashed.putIfAbsent(tc.partitionId(), true) == null) {
+          // throw MID-ITERATION so the shard writer has already
+          // consumed rows — the abort path (partial-shard delete)
+          // actually runs before the retry
+          var count = 0
+          it.map { r =>
+            count += 1
+            if (count == 10) throw new RuntimeException("injected task failure mid-shard")
+            r
+          }
+        } else it
+      }
+    val out = java.nio.file.Files.createTempDirectory("graft_pmretry").toString + "/r.pmtiles"
+    flaky.toDF().write.format("pmtiles").mode("overwrite").save(out)
+    assert(!new java.io.File(out + ".shards").exists(), "staging cleaned up")
+    val back = spark.read.format("pmtiles").load(out)
+    assert(back.count() == n, "retried shard contributed exactly once")
   }
 
   test("hadoop-path reader: file:// scheme works") {
