@@ -27,9 +27,12 @@ object Archives {
     if (lower.endsWith(".mbtiles")) {
       MbtilesArchive.write(tiles, uri, metadata)._1
     } else if (lower.endsWith(".pmtiles")) {
-      val metaJson = metadata.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + k.replace("\"", "\\\"") + "\":\"" + v.replace("\"", "\\\"") + "\""
-      }.mkString("{", ",", "}")
+      // proper JSON serialization — metadata values may hold newlines,
+      // backslashes, control chars
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      metadata.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+      val metaJson = om.writeValueAsString(node)
       val (n, _, _) = PmtilesArchive.write(tiles, uri,
         metadataJson = metaJson, tilesGzipped = tilesGzipped)
       n

@@ -351,51 +351,44 @@ object PmtilesArchive {
    * directories rebuild from the shards' own directories. The
    * single-writer cost is a sequential byte copy — no decode, no
    * re-encode, no shuffle.
+   *
+   * IO goes through the Hadoop FileSystem API (any scheme), and the
+   * output is written in TWO passes so every write is forward-only —
+   * pass 1 reads just the shards' directories to size the header/root,
+   * pass 2 streams `[header][root][zeros][tile data][json][leaves]`
+   * sequentially — which is what lets this run against object stores
+   * whose output streams cannot seek.
    */
   def concatenateShards(shardPaths: Seq[String], outPath: String,
                         metadataJson: String = """{"vector_layers":[]}""",
                         minZoom: Int = 0, maxZoom: Int = 15,
-                        tilesGzipped: Boolean = true): (Long, Long, Long) = {
-    val raf = new java.io.RandomAccessFile(outPath, "rw")
-    raf.setLength(0)
-    raf.seek(InitSection.toLong)
+                        tilesGzipped: Boolean = true,
+                        conf: org.apache.hadoop.conf.Configuration =
+                          new org.apache.hadoop.conf.Configuration()): (Long, Long, Long) = {
     val entries = ArrayBuffer.empty[Entry]
+    val shardHeaders = ArrayBuffer.empty[Header]
     var dataLen = 0L
     var addressed = 0L
     var contents = 0L
     var lastId = Long.MinValue
+    // pass 1: directories only — rebase entries onto the merged data section
     shardPaths.foreach { sp =>
-      val r = new Reader(sp)
+      val r = openReader(sp, conf)
       try {
         val h = r.header
-        // rebase this shard's entries onto the output's data section
-        val shardEntries = r.allEntries
-        shardEntries.foreach { e =>
+        r.allEntries.foreach { e =>
           require(e.tileId > lastId, s"shard $sp overlaps previous range at ${e.tileId}")
           lastId = e.tileId + math.max(e.runLength - 1, 0)
           entries += e.copy(offset = e.offset + dataLen)
           addressed += math.max(e.runLength, 1)
         }
         contents += h.numTileContents
-        // stream the tile data section verbatim
-        val in = new java.io.RandomAccessFile(sp, "r")
-        try {
-          in.seek(h.tileDataOffset)
-          val buf = new Array[Byte](1 << 20)
-          var remaining = h.tileDataLength
-          while (remaining > 0) {
-            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
-            raf.write(buf, 0, n)
-            remaining -= n
-          }
-        } finally in.close()
         dataLen += h.tileDataLength
+        shardHeaders += h
       } finally r.close()
     }
     val (root, leaves) = makeDirectories(entries.toSeq)
     val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
-    raf.write(json)
-    raf.write(leaves)
     val header = Header(
       rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
       jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
@@ -409,10 +402,32 @@ object PmtilesArchive {
       minLonE7 = -1800000000, minLatE7 = -850511300,
       maxLonE7 = 1800000000, maxLatE7 = 850511300,
       centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
-    raf.seek(0)
-    raf.write(header.toBytes)
-    raf.write(root)
-    raf.close()
+    // pass 2: forward-only sequential write
+    val outP = new org.apache.hadoop.fs.Path(outPath)
+    val fs = outP.getFileSystem(conf)
+    val out = fs.create(outP, true)
+    try {
+      out.write(header.toBytes)
+      out.write(root)
+      out.write(new Array[Byte](InitSection - HeaderLen - root.length))
+      val buf = new Array[Byte](1 << 20)
+      shardPaths.zip(shardHeaders).foreach { case (sp, h) =>
+        val spP = new org.apache.hadoop.fs.Path(sp)
+        val in = spP.getFileSystem(conf).open(spP)
+        try {
+          in.seek(h.tileDataOffset)
+          var remaining = h.tileDataLength
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            require(n > 0, s"short read concatenating $sp")
+            out.write(buf, 0, n)
+            remaining -= n
+          }
+        } finally in.close()
+      }
+      out.write(json)
+      out.write(leaves)
+    } finally out.close()
     (addressed, entries.length.toLong, contents)
   }
 
@@ -501,6 +516,42 @@ object PmtilesArchive {
 
     def tileData(e: Entry): Array[Byte] =
       readAt(header.tileDataOffset + e.offset, e.length)
+
+    /**
+     * Split [lo, hi] into up to `target` contiguous sub-ranges along
+     * ROOT-DIRECTORY entry boundaries — leaf directories are the
+     * natural parallel unit (each root leaf-pointer covers one leaf's
+     * id span), so a planet archive scans with one task per group of
+     * leaves instead of one task total. Only the ≤16 KB root is read
+     * here; no leaf is fetched. Ranges cover [lo, hi] exactly and are
+     * disjoint, so per-partition readers that clamp emitted ids to
+     * their own range produce each tile exactly once even when a
+     * run-length entry straddles a boundary.
+     */
+    def splitRanges(lo: Long, hi: Long, target: Int): Seq[(Long, Long)] = {
+      if (lo > hi) return Seq.empty
+      // root entries whose span can intersect the window; a leaf
+      // pointer (runLength 0) covers [tileId, next root tileId)
+      val starts = ArrayBuffer.empty[Long]
+      var i = 0
+      while (i < root.length) {
+        val e = root(i)
+        val endExcl =
+          if (e.runLength > 0) e.tileId + e.runLength
+          else if (i + 1 < root.length) root(i + 1).tileId
+          else Long.MaxValue
+        if (e.tileId <= hi && endExcl > lo) starts += math.max(e.tileId, lo)
+        i += 1
+      }
+      if (starts.length <= 1 || target <= 1) return Seq((lo, hi))
+      val n = math.min(target, starts.length)
+      // boundaries at even root-entry strides; range k starts at the
+      // stride-k entry's first in-window id
+      val bounds = (1 until n).map(k => starts((k.toLong * starts.length / n).toInt)).distinct
+      val los = lo +: bounds
+      val his = bounds.map(_ - 1) :+ hi
+      los.zip(his).filter { case (a, b) => a <= b }
+    }
 
     /** Find the last entry with tileId <= id (spec search order). */
     private def find(entries: Array[Entry], id: Long): Option[Entry] = {

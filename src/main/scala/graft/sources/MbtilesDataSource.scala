@@ -61,10 +61,10 @@ private[sources] class MbtilesTable(paths: Seq[String]) extends Table with Suppo
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MbtilesScanBuilder(paths)
+    new MbtilesScanBuilder(paths, options)
 }
 
-private[sources] class MbtilesScanBuilder(paths: Seq[String])
+private[sources] class MbtilesScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
 
@@ -84,7 +84,11 @@ private[sources] class MbtilesScanBuilder(paths: Seq[String])
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new MbtilesScan(paths, pushed)
+  override def build(): Scan = {
+    val target = Option(options.get("maxpartitions")).map(_.toInt)
+      .getOrElse(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    new MbtilesScan(paths, pushed, math.max(target, 1))
+  }
 }
 
 private[sources] object MbtilesScan {
@@ -113,58 +117,92 @@ private[sources] object MbtilesScan {
   }
 }
 
-private[sources] class MbtilesScan(paths: Seq[String], pushed: Array[Filter])
+private[sources] class MbtilesScan(paths: Seq[String], pushed: Array[Filter], target: Int)
     extends Scan with Batch {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
+  /**
+   * One `InputPartition` per rowid sub-range of the archive's own
+   * b-tree: the driver reads only the interior-page fringe
+   * ([[Sqlite.Db.splitKeys]]) to pick split rowids, so a planet-scale
+   * archive scans with cluster-wide parallelism. Plain schema splits
+   * the `tiles` table; compact schema splits `images` (the heavy blob
+   * pages are then read exactly once fleet-wide — each partition
+   * re-walks only the narrow `map` table to find its blobs' addresses).
+   */
+  private lazy val partitions: Array[InputPartition] = {
+    val perFile = math.max(1, (target + paths.length - 1) / paths.length)
+    paths.flatMap { p =>
+      val db = Sqlite.open(p, conf.value)
+      try {
+        val plain = db.tableRoot("tiles").isDefined
+        val table = if (plain) "tiles" else "images"
+        val keys = db.tableRoot(table) match {
+          case Some(root) if perFile > 1 => db.splitKeys(root, perFile)
+          case _ => Seq.empty[Long]
+        }
+        val los = Long.MinValue +: keys.map(_ + 1)
+        val his = keys :+ Long.MaxValue
+        los.zip(his).map { case (lo, hi) =>
+          MbtilesInputPartition(p, plain, lo, hi): InputPartition
+        }
+      } finally db.close()
+    }.toArray
+  }
+
   override def readSchema(): StructType = MbtilesDataSource.Schema
   override def toBatch: Batch = this
   override def description(): String =
-    s"mbtiles scan, pushed=[${pushed.mkString(", ")}]"
+    s"mbtiles scan, rangePartitions=${partitions.length}, pushed=[${pushed.mkString(", ")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => MbtilesInputPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = partitions
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MbtilesReaderFactory(conf, pushed)
 }
 
-private[sources] case class MbtilesInputPartition(path: String) extends InputPartition
+private[sources] case class MbtilesInputPartition(path: String, plain: Boolean,
+                                                  lo: Long, hi: Long) extends InputPartition
 
 private[sources] class MbtilesReaderFactory(conf: SerializableConfiguration,
                                             pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[MbtilesInputPartition].path
-    new MbtilesPartitionReader(path, conf.value, pushed)
+    val p = partition.asInstanceOf[MbtilesInputPartition]
+    new MbtilesPartitionReader(p.path, p.plain, p.lo, p.hi, conf.value, pushed)
   }
 }
 
-private[sources] class MbtilesPartitionReader(path: String,
+private[sources] class MbtilesPartitionReader(path: String, plain: Boolean,
+                                              lo: Long, hi: Long,
                                               conf: org.apache.hadoop.conf.Configuration,
                                               pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val db = Sqlite.open(path, conf)
   private val iter: Iterator[(Int, Int, Int, Array[Byte])] =
-    if (db.tableRoot("tiles").isDefined) {
-      db.rows("tiles").map { case (_, m) =>
+    if (plain) {
+      db.rowsRange("tiles", lo, hi).map { case (_, m) =>
         (m("zoom_level").asInstanceOf[Long].toInt,
           m("tile_column").asInstanceOf[Long].toInt,
           m("tile_row").asInstanceOf[Long].toInt,
           m("tile_data").asInstanceOf[Array[Byte]])
       }
     } else {
-      // compact schema: per-file blob map (see scaladoc for the
-      // distributed alternative)
-      lazy val images = db.rows("images").map { case (_, m) =>
+      // compact schema: this partition owns an `images` rowid range —
+      // load those blobs once, then emit every `map` row that points at
+      // one of them (a map row's tile_id lives in exactly one images
+      // partition, so the union over partitions is exact)
+      lazy val images = db.rowsRange("images", lo, hi).map { case (_, m) =>
         m("tile_id").toString -> m("tile_data").asInstanceOf[Array[Byte]]
       }.toMap
-      db.rows("map").map { case (_, m) =>
-        (m("zoom_level").asInstanceOf[Long].toInt,
-          m("tile_column").asInstanceOf[Long].toInt,
-          m("tile_row").asInstanceOf[Long].toInt,
-          images(m("tile_id").toString))
+      db.rows("map").flatMap { case (_, m) =>
+        images.get(m("tile_id").toString).map { bytes =>
+          (m("zoom_level").asInstanceOf[Long].toInt,
+            m("tile_column").asInstanceOf[Long].toInt,
+            m("tile_row").asInstanceOf[Long].toInt,
+            bytes)
+        }
       }
     }
   private val filtered = iter.filter { case (z, x, y, _) =>

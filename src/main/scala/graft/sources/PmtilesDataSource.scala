@@ -45,7 +45,7 @@ private[sources] class PmtilesTable(paths: Seq[String], schema0: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PmtilesScanBuilder(paths)
+    new PmtilesScanBuilder(paths, options)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
     new PmtilesWriteBuilder(paths.head, info)
@@ -64,6 +64,20 @@ private[sources] class PmtilesTable(paths: Seq[String], schema0: StructType)
  * Input schema: the TileBytes columns (tile_id, z, x, y, bytes,
  * feature_count, content_hash).
  */
+/** Write options plumbed from `.option(...)` through to the shard
+  * writers and the commit-time concatenation, so the header always
+  * matches the actual tile bytes (tile_compression in particular). */
+private[sources] case class PmtilesWriteOptions(tilesGzipped: Boolean, metadataJson: String,
+                                                minZoom: Int, maxZoom: Int)
+
+private[sources] object PmtilesWriteOptions {
+  def from(options: CaseInsensitiveStringMap): PmtilesWriteOptions = PmtilesWriteOptions(
+    tilesGzipped = Option(options.get("tiles_gzipped")).forall(_.toBoolean),
+    metadataJson = Option(options.get("metadata_json")).getOrElse("""{"vector_layers":[]}"""),
+    minZoom = Option(options.get("min_zoom")).map(_.toInt).getOrElse(0),
+    maxZoom = Option(options.get("max_zoom")).map(_.toInt).getOrElse(15))
+}
+
 private[sources] class PmtilesWriteBuilder(
     path: String, info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
@@ -71,7 +85,8 @@ private[sources] class PmtilesWriteBuilder(
   import org.apache.spark.sql.connector.write._
   override def truncate(): WriteBuilder = this // a fresh archive either way
   override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new PmtilesBatchWrite(path, info.schema())
+    override def toBatch: BatchWrite =
+      new PmtilesBatchWrite(path, info.schema(), PmtilesWriteOptions.from(info.options()))
   }
 }
 
@@ -79,16 +94,32 @@ private[sources] case class PmtilesShardMsg(pid: Int, path: String, minId: Long,
                                             maxId: Long, tiles: Long)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
-private[sources] class PmtilesBatchWrite(path: String, schema: StructType)
+/**
+ * Shards stage under `<path>.shards/` THROUGH THE HADOOP FILESYSTEM
+ * (each task builds its shard in executor-local tmp, then uploads), so
+ * the driver-side commit sees them on any cluster topology — the
+ * destination just has to be a Hadoop-visible scheme, same contract as
+ * every file sink.
+ */
+private[sources] class PmtilesBatchWrite(path: String, schema: StructType,
+                                         opts: PmtilesWriteOptions)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
   private val shardDir = path + ".shards"
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
   Seq("tile_id", "z", "x", "y", "bytes", "content_hash").foreach { c =>
     require(schema.fieldNames.contains(c), s"pmtiles write needs column '$c' (TileBytes shape)")
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new PmtilesWriterFactory(shardDir, schema)
+    new PmtilesWriterFactory(shardDir, schema, opts, conf)
+
+  private def deleteShardDir(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(shardDir)
+    p.getFileSystem(conf.value).delete(p, true)
+    ()
+  }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val shards = messages.collect { case m: PmtilesShardMsg if m.tiles > 0 => m }.sortBy(_.minId)
@@ -100,24 +131,26 @@ private[sources] class PmtilesBatchWrite(path: String, schema: StructType)
     }
     require(shards.nonEmpty, "no tiles written")
     graft.engine.PmtilesArchive.concatenateShards(
-      shards.map(_.path).toSeq, path, tilesGzipped = true)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(shardDir))
+      shards.map(_.path).toSeq, path, metadataJson = opts.metadataJson,
+      minZoom = opts.minZoom, maxZoom = opts.maxZoom,
+      tilesGzipped = opts.tilesGzipped, conf = conf.value)
+    deleteShardDir()
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(shardDir))
-    ()
-  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteShardDir()
 }
 
-private[sources] class PmtilesWriterFactory(shardDir: String, schema: StructType)
+private[sources] class PmtilesWriterFactory(shardDir: String, schema: StructType,
+                                            opts: PmtilesWriteOptions,
+                                            conf: SerializableConfiguration)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new PmtilesDataWriter(shardDir, partitionId, taskId, schema)
+    new PmtilesDataWriter(shardDir, partitionId, taskId, schema, opts, conf.value)
 }
 
 private[sources] class PmtilesDataWriter(shardDir: String, pid: Int, taskId: Long,
-                                         schema: StructType)
+                                         schema: StructType, opts: PmtilesWriteOptions,
+                                         conf: org.apache.hadoop.conf.Configuration)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   import org.apache.spark.sql.connector.write.WriterCommitMessage
   private val idIdx = schema.fieldIndex("tile_id")
@@ -127,15 +160,20 @@ private[sources] class PmtilesDataWriter(shardDir: String, pid: Int, taskId: Lon
   private val bytesIdx = schema.fieldIndex("bytes")
   private val fcIdx = schema.fieldNames.indexOf("feature_count")
   private val hashIdx = schema.fieldIndex("content_hash")
-  new java.io.File(shardDir).mkdirs()
-  private val path = f"$shardDir/part-$pid%05d-$taskId.pmtiles"
+  // build locally (ShardWriter needs seekable output), upload on commit
+  private var localFile: java.io.File = _
   private var writer: graft.engine.PmtilesArchive.ShardWriter = _
   private var n = 0L
   private var minId = Long.MaxValue
   private var maxId = Long.MinValue
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) writer = new graft.engine.PmtilesArchive.ShardWriter(path)
+    if (writer == null) {
+      localFile = java.io.File.createTempFile(f"pmtiles-shard-$pid%05d-$taskId-", ".pmtiles")
+      writer = new graft.engine.PmtilesArchive.ShardWriter(
+        localFile.getPath, metadataJson = opts.metadataJson,
+        minZoom = opts.minZoom, maxZoom = opts.maxZoom, tilesGzipped = opts.tilesGzipped)
+    }
     val id = row.getLong(idIdx)
     writer.add(graft.model.TileBytes(id, row.getInt(zIdx), row.getInt(xIdx),
       row.getInt(yIdx), row.getBinary(bytesIdx),
@@ -146,15 +184,23 @@ private[sources] class PmtilesDataWriter(shardDir: String, pid: Int, taskId: Lon
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.finish()
-    PmtilesShardMsg(pid, if (writer == null) null else path, minId, maxId, n)
+    if (writer == null) return PmtilesShardMsg(pid, null, minId, maxId, 0L)
+    writer.finish()
+    val dst = new org.apache.hadoop.fs.Path(f"$shardDir/part-$pid%05d-$taskId.pmtiles")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    fs.copyFromLocalFile(true, true, new org.apache.hadoop.fs.Path(localFile.getPath), dst)
+    PmtilesShardMsg(pid, dst.toString, minId, maxId, n)
   }
 
-  override def abort(): Unit = if (writer != null) writer.abort()
+  override def abort(): Unit = {
+    if (writer != null) writer.abort()
+    if (localFile != null) { localFile.delete(); () }
+  }
   override def close(): Unit = ()
 }
 
-private[sources] class PmtilesScanBuilder(paths: Seq[String])
+private[sources] class PmtilesScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters {
   private var pushed: Array[Filter] = Array.empty
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -170,7 +216,11 @@ private[sources] class PmtilesScanBuilder(paths: Seq[String])
     rejected
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PmtilesScan(paths, pushed)
+  override def build(): Scan = {
+    val target = Option(options.get("maxpartitions")).map(_.toInt)
+      .getOrElse(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    new PmtilesScan(paths, pushed, math.max(target, 1))
+  }
 }
 
 private[sources] object PmtilesScan {
@@ -195,18 +245,49 @@ private[sources] object PmtilesScan {
   }
 }
 
-private[sources] class PmtilesScan(paths: Seq[String], pushed: Array[Filter])
+private[sources] case class PmtilesRangePartition(path: String, lo: Long, hi: Long)
+    extends InputPartition
+
+private[sources] class PmtilesScan(paths: Seq[String], pushed: Array[Filter], target: Int)
     extends Scan with Batch {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /**
+   * One `InputPartition` per Hilbert tile-id sub-range: the pushed zoom
+   * window splits along the archive's own leaf-directory boundaries
+   * (driver reads only the ≤16 KB root), so a planet archive scans with
+   * cluster-wide parallelism instead of one task per file. Per-reader
+   * id clamping keeps run-length entries straddling a boundary
+   * exactly-once.
+   */
+  private lazy val partitions: Array[InputPartition] = {
+    val (minZ, maxZ) = PmtilesScan.zoomWindow(pushed)
+    if (minZ > maxZ) Array.empty
+    else {
+      val lo = TileCoord.zoomOffset(minZ)
+      val hi = TileCoord.zoomOffset(maxZ + 1) - 1
+      val perFile = math.max(1, (target + paths.length - 1) / paths.length)
+      paths.flatMap { p =>
+        val r = PmtilesArchive.openReader(p, conf.value)
+        try r.splitRanges(lo, hi, perFile).map { case (a, b) =>
+          PmtilesRangePartition(p, a, b): InputPartition
+        } finally r.close()
+      }.toArray
+    }
+  }
+
   override def readSchema(): StructType = MbtilesDataSource.Schema
   override def toBatch: Batch = this
   override def description(): String = {
     val (lo, hi) = PmtilesScan.zoomWindow(pushed)
-    s"pmtiles scan, zooms=[$lo,$hi], pushed=[${pushed.mkString(", ")}]"
+    val ranges = partitions.collect { case PmtilesRangePartition(_, a, b) => s"[$a,$b]" }
+    val shown = if (ranges.length <= 6) ranges.mkString(" ")
+                else (ranges.take(5) :+ s"… ${ranges.length - 5} more").mkString(" ")
+    s"pmtiles scan, zooms=[$lo,$hi], rangePartitions=${partitions.length} $shown, " +
+      s"pushed=[${pushed.mkString(", ")}]"
   }
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => MbtilesInputPartition(p): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
     new PmtilesReaderFactory(conf, pushed)
 }
@@ -215,22 +296,23 @@ private[sources] class PmtilesReaderFactory(conf: SerializableConfiguration,
                                             pushed: Array[Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val path = partition.asInstanceOf[MbtilesInputPartition].path
-    new PmtilesPartitionReader(path, conf.value, pushed)
+    val p = partition.asInstanceOf[PmtilesRangePartition]
+    new PmtilesPartitionReader(p.path, p.lo, p.hi, conf.value, pushed)
   }
 }
 
-private[sources] class PmtilesPartitionReader(path: String,
+private[sources] class PmtilesPartitionReader(path: String, rangeLo: Long, rangeHi: Long,
                                               conf: org.apache.hadoop.conf.Configuration,
                                               pushed: Array[Filter])
     extends PartitionReader[InternalRow] {
   private val reader = PmtilesArchive.openReader(path, conf)
-  private val (minZ, maxZ) = PmtilesScan.zoomWindow(pushed)
-  private val iter: Iterator[(Int, Int, Int, Array[Byte])] =
-    if (minZ > maxZ) Iterator.empty
+  private val iter: Iterator[(Int, Int, Int, Array[Byte])] = {
+    // clamp to this partition's sub-range: a run-length entry that
+    // straddles a split boundary contributes only its in-range ids here
+    val lo = rangeLo
+    val hi = rangeHi
+    if (lo > hi) Iterator.empty
     else {
-      val lo = TileCoord.zoomOffset(minZ)
-      val hi = TileCoord.zoomOffset(maxZ + 1) - 1
       reader.entriesInRange(lo, hi).flatMap { e =>
         val bytes = reader.tileData(e)
         val run = math.max(e.runLength, 1)
@@ -245,6 +327,7 @@ private[sources] class PmtilesPartitionReader(path: String,
         pushed.forall(MbtilesScan.matches(_, z, x, y))
       }
     }
+  }
   private var cur: (Int, Int, Int, Array[Byte]) = _
   override def next(): Boolean =
     if (iter.hasNext) { cur = iter.next(); true } else false

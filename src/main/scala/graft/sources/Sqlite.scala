@@ -188,6 +188,79 @@ object Sqlite {
       }
     }
 
+    /**
+     * Rowid split keys for the table b-tree at `pageNo` — interior-cell
+     * keys (each = max rowid of its child subtree) gathered level by
+     * level until at least `target` ranges exist or leaves are reached.
+     * ANY sorted key set partitions the rowid space exactly (ranges
+     * `(-inf,k1], (k1,k2], …, (km,+inf)`), so callers can turn these
+     * into disjoint [[scanTableRange]] partitions that together cover
+     * the table exactly once. Only interior pages are read — the
+     * fringe, not the data.
+     */
+    def splitKeys(pageNo: Int, target: Int): Seq[Long] = {
+      var keys = Vector.empty[Long]
+      var frontier = List(pageNo)
+      while (frontier.nonEmpty && keys.length + 1 < target) {
+        val next = ArrayBuffer.empty[Int]
+        val ks = ArrayBuffer.empty[Long]
+        frontier.foreach { pn =>
+          val p = page(pn)
+          val hdr = if (pn == 1) 100 else 0
+          if ((p(hdr) & 0xff) == 5) { // table interior
+            val n = u16(p, hdr + 3)
+            var i = 0
+            while (i < n) {
+              val off = u16(p, hdr + 12 + 2 * i)
+              next += u32(p, off).toInt
+              ks += varintOf(p, off + 4)._1
+              i += 1
+            }
+            next += u32(p, hdr + 8).toInt
+          }
+        }
+        keys = (keys ++ ks).distinct.sorted
+        frontier = if (keys.length + 1 >= target) Nil else next.toList
+      }
+      keys
+    }
+
+    /** Depth-first scan restricted to rowids in [lo, hi]; interior
+      * subtrees wholly outside the range are pruned without fetching
+      * their pages — the executor-side half of a rowid-range-partitioned
+      * parallel table scan. */
+    def scanTableRange(pageNo: Int, lo: Long, hi: Long): Iterator[Row] = {
+      val p = page(pageNo)
+      val hdr = if (pageNo == 1) 100 else 0
+      val pageType = p(hdr) & 0xff
+      val nCells = u16(p, hdr + 3)
+      pageType match {
+        case 13 => // table leaf
+          (0 until nCells).iterator.flatMap { i =>
+            val off = u16(p, hdr + 8 + 2 * i)
+            val (len, n1) = varintOf(p, off)
+            val (rowid, n2) = varintOf(p, off + n1)
+            if (rowid >= lo && rowid <= hi)
+              Iterator.single((rowid, record(payload(p, off + n1 + n2, len))))
+            else Iterator.empty
+          }
+        case 5 => // table interior: child i covers (prevKey, key_i]
+          val kids = ArrayBuffer.empty[Int]
+          var prev = Long.MinValue
+          var i = 0
+          while (i < nCells) {
+            val off = u16(p, hdr + 12 + 2 * i)
+            val key = varintOf(p, off + 4)._1
+            if (key >= lo && prev < hi) kids += u32(p, off).toInt
+            prev = key
+            i += 1
+          }
+          if (prev < hi) kids += u32(p, hdr + 8).toInt // rightmost: (prev, inf)
+          kids.iterator.flatMap(scanTableRange(_, lo, hi))
+        case other => throw new IllegalArgumentException(s"unexpected page type $other at page $pageNo")
+      }
+    }
+
     /** sqlite_master: (type, name, tbl_name, rootpage, sql). */
     lazy val master: Seq[(String, String, String, Int, String)] =
       scanTable(1).map { case (_, v) =>
@@ -234,11 +307,15 @@ object Sqlite {
     def columnNames(name: String): Seq[String] = columns(name).map(_._1)
 
     /** Scan a named table as (columnName -> value) maps. */
-    def rows(table: String): Iterator[(Long, Map[String, Any])] = {
+    def rows(table: String): Iterator[(Long, Map[String, Any])] =
+      rowsRange(table, Long.MinValue, Long.MaxValue)
+
+    /** [[rows]] restricted to rowids in [lo, hi] (b-tree pruned). */
+    def rowsRange(table: String, lo: Long, hi: Long): Iterator[(Long, Map[String, Any])] = {
       val root = tableRoot(table)
         .getOrElse(throw new IllegalArgumentException(s"no such table: $table"))
       val cols = columns(table)
-      scanTable(root).map { case (rowid, vals) =>
+      scanTableRange(root, lo, hi).map { case (rowid, vals) =>
         val m = cols.zipWithIndex.map { case ((n, isIpk), i) =>
           // an INTEGER PRIMARY KEY column stores null and aliases rowid
           val v = if (i < vals.length) vals(i) else null

@@ -70,11 +70,20 @@ class PmtilesDataSourceSpec extends AnyFunSuite {
     }
     val out = java.nio.file.Files.createTempDirectory("graft_pmw").toString + "/w.pmtiles"
     // orderBy = range partition + sort: exactly the disjoint-ascending
-    // shards the commit-time concatenation requires
+    // shards the commit-time concatenation requires; these tiles are
+    // raw (not gzipped), so the option must reach the header
     tiles.toDF().repartition(4).orderBy("tile_id")
-      .write.format("pmtiles").mode("overwrite").save(out)
+      .write.format("pmtiles").mode("overwrite")
+      .option("tiles_gzipped", "false")
+      .option("metadata_json", """{"vector_layers":[],"note":"opt"}""")
+      .save(out)
     assert(new java.io.File(out).isFile)
     assert(!new java.io.File(out + ".shards").exists(), "shard staging cleaned up")
+    val hdrReader = new PmtilesArchive.Reader(out)
+    assert(hdrReader.header.tileCompression == 1,
+      "tiles_gzipped=false must set tile_compression=none in the header")
+    assert(hdrReader.metadata.contains("\"note\":\"opt\""), "metadata_json option plumbed")
+    hdrReader.close()
     val back = spark.read.format("pmtiles").load(out)
     assert(back.count() == n)
     val r = back.where(col("x") === 5 && col("y") === 11).collect().head
@@ -118,6 +127,53 @@ class PmtilesDataSourceSpec extends AnyFunSuite {
     assert(!new java.io.File(out + ".shards").exists(), "staging cleaned up")
     val back = spark.read.format("pmtiles").load(out)
     assert(back.count() == n, "retried shard contributed exactly once")
+  }
+
+  test("parallel read: zoom window splits into range partitions along leaf boundaries") {
+    val (path, n5, n6) = writeArchive()
+    val df = spark.read.format("pmtiles").option("maxpartitions", "8").load(path)
+    // a multi-zoom archive with leaf directories must plan >1 partition
+    assert(df.rdd.getNumPartitions >= 4,
+      s"expected >=4 range partitions, got ${df.rdd.getNumPartitions}")
+    val scanDesc = df.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scanDesc.contains("rangePartitions="), s"ranges not in description: $scanDesc")
+    // identical row set vs the single-partition read (exactly-once
+    // across split boundaries)
+    val single = spark.read.format("pmtiles").option("maxpartitions", "1").load(path)
+    assert(single.rdd.getNumPartitions == 1)
+    assert(df.count() == single.count())
+    assert(df.exceptAll(single).count() == 0 && single.exceptAll(df).count() == 0)
+    // a pushed zoom window still prunes, and splits within the window
+    val z6 = spark.read.format("pmtiles").option("maxpartitions", "8").load(path)
+      .where(col("z") === 6)
+    assert(z6.rdd.getNumPartitions >= 2)
+    assert(z6.count() == n6)
+  }
+
+  test("parallel read: run-length entries expand exactly-once across range partitions") {
+    import spark.implicits._
+    // identical blobs in 37-id blocks -> the writer coalesces each
+    // block into one run-length entry; split boundaries land at entry
+    // starts and every id must come back exactly once after expansion
+    val z = 5
+    val tiles = (for {
+      x <- 0 until (1 << z); y <- 0 until (1 << z)
+    } yield {
+      val id = TileCoord.encodeHilbert(x, y, z)
+      TileBytes(id, z, x, y, Array((id / 37).toByte), 1, id / 37)
+    }).sortBy(_.tile_id)
+    val path = java.nio.file.Files.createTempDirectory("graft_pmrun").toString + "/runs.pmtiles"
+    PmtilesArchive.write(tiles.toDS().coalesce(1).sortWithinPartitions("tile_id"),
+      path, tilesGzipped = false)
+    val r = new PmtilesArchive.Reader(path)
+    assert(r.allEntries.exists(_.runLength > 1), "fixture must contain run-length entries")
+    r.close()
+    val df = spark.read.format("pmtiles").option("maxpartitions", "6").load(path)
+    assert(df.rdd.getNumPartitions > 1)
+    val rows = df.select("z", "x", "y").collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(rows.length == 1024 && rows.distinct.length == 1024)
   }
 
   test("hadoop-path reader: file:// scheme works") {

@@ -100,6 +100,35 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(plain.length == 1 && plain.head.getInt(0) == 2)
   }
 
+  test("DSv2 mbtiles parallel read: rowid split keys -> range partitions, exact row set") {
+    import spark.implicits._
+    import graft.model.TileBytes
+    import graft.geo.TileCoord
+    // a generated archive big enough for a multi-page b-tree (the
+    // streaming writer emits the compact map+images schema)
+    val n = 4000
+    val tiles = (0 until n).map { i =>
+      val z = 7; val x = i % 128; val y = i / 128
+      val id = TileCoord.encodeHilbert(x, y, z)
+      TileBytes(id, z, x, y,
+        Array.fill(40)((i % 251).toByte) ++ Array((i >> 8).toByte, i.toByte), 1, id)
+    }.sortBy(_.tile_id)
+    val path = java.nio.file.Files.createTempDirectory("graft_mbpar").toString + "/big.mbtiles"
+    graft.engine.MbtilesArchive.write(
+      tiles.toDS().coalesce(1).sortWithinPartitions("tile_id"), path, Map("name" -> "par"))
+    val par = spark.read.format("mbtiles").option("maxpartitions", "8").load(path)
+    assert(par.rdd.getNumPartitions >= 4,
+      s"expected >=4 rowid range partitions, got ${par.rdd.getNumPartitions}")
+    val scanDesc = par.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.description()
+    }.getOrElse(fail("no BatchScanExec"))
+    assert(scanDesc.contains("rangePartitions="), scanDesc)
+    val single = spark.read.format("mbtiles").option("maxpartitions", "1").load(path)
+    assert(single.rdd.getNumPartitions == 1)
+    assert(par.count() == n.toLong && single.count() == n.toLong)
+    assert(par.exceptAll(single).count() == 0 && single.exceptAll(par).count() == 0)
+  }
+
   test("natural earth: theme table scan with WKB geometry") {
     val rows = NaturalEarth.read(spark, res("fixture_ne.sqlite"), "ne_110m_lakes").collect()
     assert(rows.length == 1)
