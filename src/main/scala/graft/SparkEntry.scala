@@ -475,9 +475,15 @@ object SparkEntry {
     "q28_fingerprint" -> ((s, dir) => {
       // order-sensitive rolling fingerprints (portable md5 chain —
       // mirrored 1:1 by DuckDB list_reduce): identical docs share
-      // fingerprints; distinct-count per source proves order sensitivity
+      // fingerprints; distinct-count per source proves order
+      // sensitivity. The distinct aggregation runs over a 60-bit
+      // truncation of the chain (conv of the first 15 hex chars,
+      // identical on the oracle side) so the distinct shuffle carries
+      // 8-byte longs instead of 32-char strings.
       t(s, dir, "documents")
-        .select(col("source"), graft.functions.TextExprs.md5ChainFingerprint(col("text")).as("fp"))
+        .select(col("source"),
+          conv(substring(graft.functions.TextExprs.md5ChainFingerprint(col("text")), 1, 15),
+            16, 10).cast("long").as("fp"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("docs"), countDistinct(col("fp")).as("distinct_fp"))
         .orderBy(col("source"))
@@ -998,10 +1004,17 @@ object SparkEntry {
          FROM scored GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q28_fingerprint" ->
-      """SELECT source, COUNT(*) AS docs,
-           COUNT(DISTINCT list_reduce(string_split_regex(text, '\s+'),
-             (a, b) -> md5(a || '|' || b))) AS distinct_fp
-         FROM documents GROUP BY 1 ORDER BY 1""",
+      """WITH f AS (
+           SELECT source,
+             substr(list_reduce(string_split_regex(text, '\s+'),
+               (a, b) -> md5(a || '|' || b)), 1, 15) AS h
+           FROM documents)
+         SELECT source, COUNT(*) AS docs,
+           COUNT(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(h, ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+             (a, b) -> a * 16 + b)) AS distinct_fp
+         FROM f GROUP BY 1 ORDER BY 1""",
 
     "q29_media_features" ->
       """WITH refs AS (

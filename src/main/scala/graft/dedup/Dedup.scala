@@ -10,10 +10,10 @@ import org.apache.spark.sql.functions._
  * plus shuffle-efficient join shapes:
  *
  *  - exact:        hash group-by (one shuffle on the content hash)
- *  - ngramJaccard: token-posting-list candidate join + integer-exact
- *                  threshold (the classic SIGMOD set-similarity join:
- *                  explode distinct tokens, equi-join postings,
- *                  count intersections, |A∪B| = |A|+|B|-∩)
+ *  - ngramJaccard: prefix-filtered (PPJoin) set-similarity join by
+ *                  default — rarest-token prefixes bound the candidate
+ *                  join so hot shingles can't go quadratic; the
+ *                  posting-list variant stays as an explicit fast path
  *  - minhashLsh:   shingles -> k minhashes -> banded bucket keys ->
  *                  NARROW (band, id) self-join -> pair dedup -> exact
  *                  verify via join-back to the shingle table (the
@@ -43,14 +43,29 @@ object Dedup {
   /**
    * Exact n-gram Jaccard join over `shingleN`-gram shingle sets: pairs
    * with jaccard >= num/den (integer-exact comparison, no FP).
-   * Posting-list candidate join with inline intersection counting —
-   * the fastest exact shape when shingle document frequencies are
-   * benign (they are for word n-grams). For skewed vocabularies where
-   * a hot token would go quadratic, use [[ngramJaccardPairsPrefix]]
-   * (identical output, prefix-filtered candidates).
+   *
+   * DEFAULT = the prefix-filtered PPJoin shape
+   * ([[ngramJaccardPairsPrefix]]): candidate volume is bounded by the
+   * rare-token prefixes, so one viral boilerplate shingle cannot make
+   * the self-join quadratic — the property that matters at corpus
+   * scale. The posting-list variant
+   * ([[ngramJaccardPairsPostings]]) remains as an explicit opt-in for
+   * known-benign vocabularies (it skips the document-frequency window
+   * pass). Both produce identical output.
    */
   def ngramJaccardPairs(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
-                        textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+                        textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    ngramJaccardPairsPrefix(docs, num, den, shingleN, textCol, idCol)
+
+  /**
+   * Posting-list candidate join with inline intersection counting —
+   * fastest exact shape when shingle document frequencies are benign,
+   * but candidate count is Σ df(t)² so a hot token goes quadratic;
+   * prefer the default [[ngramJaccardPairs]] unless the vocabulary is
+   * known benign.
+   */
+  def ngramJaccardPairsPostings(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
+                                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("t"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
@@ -74,7 +89,7 @@ object Dedup {
    * under any shared total order, so only those prefix tokens enter
    * the candidate self-join — one hot shingle can no longer go
    * quadratic. Verification is exact (join back to the full distinct
-   * shingle arrays), so the output equals [[ngramJaccardPairs]].
+   * shingle arrays), so the output equals [[ngramJaccardPairsPostings]].
    */
   def ngramJaccardPairsPrefix(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
                               textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -288,6 +303,11 @@ object Dedup {
       cur = afterSmall
       it += 1
     }
+    // an un-converged edge set is NOT star-shaped — emitting labels from
+    // it would silently produce multiple rows per node downstream
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge within maxIters=$maxIters rounds; " +
+        "raise maxIters (rounds needed grow O(log n) in the largest component)")
     // at the fixpoint every component is a star rooted at its min:
     // members point at the root, the root points nowhere
     val members = cur.select(col("u").as("id"), col("v").as("label"))

@@ -156,6 +156,11 @@ object Docs {
    * time). The gate/Verify path leaves this unset, so accessors build
    * the synthesis plans inline; the rows are identical either way.
    */
+  /** Version stamp for synthesized fixture output: bump whenever the
+    * synthesis logic changes so tmpfs caches from older binaries are
+    * invalidated instead of silently reused (Bench.ensureFixtureVersion). */
+  val SynthVersion = "r4-001"
+
   @volatile var fixtureDir: Option[String] = None
 
   private def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =

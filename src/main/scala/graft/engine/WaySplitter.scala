@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
  * nodes into segments (split node duplicated as both segment
  * endpoints) — the road-network intersection splitter.
  *
- * Spark shape: explode(nodes) -> count distinct ways per node ->
- * semi-join the hot nodes back (broadcast when small) -> per-way
- * flatMap split. One shuffle for the count, one broadcast back.
+ * Spark shape — fully distributed, nothing collects to the driver:
+ * explode(nodes) -> count distinct ways per node (shuffle 1) ->
+ * equi-join the cut markers back onto the exploded positions
+ * (shuffle 2, broadcast when the intersection set is small enough for
+ * AQE to choose it) -> regroup per way (shuffle 3, sorted by position)
+ * -> per-way segment split. Planet scale: road intersections are
+ * O(100 M) longs — a driver-side set would be multi-GB, so the cut
+ * markers stay a distributed column end to end.
  */
 object WaySplitter {
 
@@ -22,29 +27,30 @@ object WaySplitter {
     val spark = ways.sparkSession
     import spark.implicits._
 
-    val sharedNodes = ways
-      .select(col("way_id"), explode(col("nodes")).as("node"))
+    val exploded = ways
+      .select(col("way_id"), posexplode(col("nodes")).as(Seq("idx", "node")))
+
+    val sharedNodes = exploded
+      .select(col("way_id"), col("node"))
       .distinct() // a node twice in ONE way is not an intersection
       .groupBy(col("node"))
       .agg(count(lit(1)).as("ways"))
       .where(col("ways") >= 2)
-      .select(col("node"))
+      .select(col("node"), lit(true).as("is_cut"))
 
-    // broadcast the (usually small) intersection set; for planet-scale
-    // inputs replace with a join + mapGroups, same semantics
-    val shared = sharedNodes.as[Long].collect().toSet
-    val bcast = spark.sparkContext.broadcast(shared)
-
-    ways.select(col("way_id"), col("nodes"))
-      .as[(Long, Seq[Long])]
-      .flatMap { case (wayId, nodes) =>
-        val cut = bcast.value
+    exploded
+      .join(sharedNodes, Seq("node"), "left")
+      .groupBy(col("way_id"))
+      .agg(sort_array(collect_list(struct(
+        col("idx"), col("node"), coalesce(col("is_cut"), lit(false)).as("is_cut")))).as("ns"))
+      .as[(Long, Seq[(Int, Long, Boolean)])]
+      .flatMap { case (wayId, ns) =>
         val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
         var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-        nodes.zipWithIndex.foreach { case (n, i) =>
+        ns.foreach { case (i, n, isCut) =>
           cur += n
-          val interior = i > 0 && i < nodes.length - 1
-          if (interior && cut.contains(n) && cur.length >= 2) {
+          val interior = i > 0 && i < ns.length - 1
+          if (interior && isCut && cur.length >= 2) {
             segs += cur.toSeq
             cur = scala.collection.mutable.ArrayBuffer(n)
           }

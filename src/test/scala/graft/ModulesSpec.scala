@@ -131,10 +131,16 @@ class ModulesSpec extends AnyFunSuite {
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1),
         r.get(2).toString.toLong, r.get(3).toString.toLong)).sorted.toSeq
-    val posting = norm(Dedup.ngramJaccardPairs(d, 1, 3))
+    val posting = norm(Dedup.ngramJaccardPairsPostings(d, 1, 3))
     val prefix = norm(Dedup.ngramJaccardPairsPrefix(d, 1, 3))
     assert(posting == prefix)
     assert(posting.nonEmpty, "fixture should produce qualifying pairs")
+    // the DEFAULT is the prefix-filtered plan: its candidate stage runs
+    // through the row_number rarity window (the PPJoin prefix bound)
+    val defaultPlan = Dedup.ngramJaccardPairs(d, 1, 3)
+      .queryExecution.optimizedPlan.toString
+    assert(defaultPlan.contains("row_number"),
+      s"default jaccard join must use the prefix-filter stage:\n$defaultPlan")
   }
 
   test("duplicate clusters: label propagation finds min-id components") {

@@ -252,4 +252,28 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     // way 3: node 10 is an endpoint -> no split
     assert(segs(3L).map(_._3).toSeq == Seq(Seq(10L, 30L, 31L)))
   }
+
+  test("way splitter is fully distributed: 500k shared nodes, no driver set") {
+    // overlapping 3-node chains: way i = [i, i+1, i+2] — every node is
+    // referenced by up to 3 ways, so ~N interior nodes are cuts; the
+    // splitter must handle an intersection set this large as a JOIN
+    // (the old driver collect().toSet would be the thing that breaks
+    // at planet scale)
+    val n = 500000L
+    val ways = spark.range(n).select(col("id").as("way_id"),
+      array(col("id"), col("id") + 1, col("id") + 2).as("nodes"))
+    val segs = WaySplitter.splitAtSharedNodes(ways)
+    // every way's single interior node (i+1) is shared (by ways i, i+1,
+    // i+2) except at the chain ends -> 2 segments per way, 1 for the
+    // edge ways whose interior node is shared anyway (i+1 shared for
+    // all i in [0, n-1] since referenced by >=2 ways while n >= 2)
+    assert(segs.count() == 2 * n)
+    val w7 = segs.where(col("way_id") === 7)
+      .orderBy("seg_idx").as[(Long, Int, Seq[Long])].collect()
+    assert(w7.map(_._3).toSeq == Seq(Seq(7L, 8L), Seq(8L, 9L)))
+    // and the physical plan has no broadcast-of-collected-set stage: the
+    // cut markers arrive via a join on the node column
+    val plan = segs.queryExecution.optimizedPlan.toString
+    assert(plan.toLowerCase.contains("join"), s"expected a join-based plan:\n$plan")
+  }
 }
