@@ -33,6 +33,15 @@ object MbtilesArchive {
     * high-water mark (the bounded-memory guarantee specs assert). */
   def writeWithStats(tiles: Dataset[TileBytes], path: String,
                      metadata: Map[String, String] = Map.empty): (Long, Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    drainWithStats(tiles.toLocalIterator().asScala, path, metadata)
+  }
+
+  /** The ordered single-writer drain over any ascending-tile_id
+    * iterator — shared by the Dataset sink above and the DSv2 write's
+    * commit-time shard concatenation. */
+  def drainWithStats(tiles: Iterator[TileBytes], path: String,
+                     metadata: Map[String, String] = Map.empty): (Long, Long, Long) = {
     val w = new SqliteStreamWriter(path)
     val metaT = w.newTable()
     metadata.toSeq.sortBy(_._1).foreach { case (k, v) => metaT.addRow(Array[Any](k, v)) }
@@ -45,7 +54,7 @@ object MbtilesArchive {
     var n = 0L
     var unique = 0L
     var lastId = Long.MinValue
-    tiles.toLocalIterator().forEachRemaining { t =>
+    tiles.foreach { t =>
       require(t.tile_id > lastId, s"archive drain out of order: ${t.tile_id} after $lastId")
       lastId = t.tile_id
       val tileId = f"${t.content_hash}%016x"

@@ -118,54 +118,109 @@ object SpatialJoin {
     }(enc)
   }
 
+  /** Envelope cell window at zoom z: (x0, x1, y0, y1). */
+  private[graft] def envWindow(env: Envelope, z: Int): (Int, Int, Int, Int) = {
+    import graft.geo.Mercator
+    (Mercator.tileIndex(Mercator.worldX(env.getMinX), z),
+      Mercator.tileIndex(Mercator.worldX(env.getMaxX), z),
+      Mercator.tileIndex(Mercator.worldY(env.getMaxY), z),
+      Mercator.tileIndex(Mercator.worldY(env.getMinY), z))
+  }
+
+  /** Coarsest-necessary grid zoom for a polygon envelope: the largest
+    * z <= gridZoom whose envelope cell count stays within `maxCells`.
+    * A world-spanning polygon lands at z=0 (ONE cell) instead of
+    * 2^(2·gridZoom) rows — the fan-out is bounded for every input. */
+  private[graft] def chooseZoom(env: Envelope, gridZoom: Int, maxCells: Long): Int = {
+    var z = gridZoom
+    while (z > 0) {
+      val (x0, x1, y0, y1) = envWindow(env, z)
+      if ((x1 - x0 + 1).toLong * (y1 - y0 + 1) <= maxCells) return z
+      z -= 1
+    }
+    0
+  }
+
   /**
    * BIG-BIG point-in-polygon: when the polygon side exceeds the
-   * broadcast cap, both sides key by a mercator grid cell at
-   * `gridZoom` and equi-join — polygons fan out to the cells their
-   * envelope covers (each point lives in exactly ONE cell, so no
-   * dedup is needed), the exact covers() test filters candidates
-   * row-wise, and the smallest-id winner per point reproduces the
-   * broadcast path's tie-break exactly (the (prefix, numeric-suffix,
-   * id) order of [[idLt]], via min_by over a sortable struct).
+   * broadcast cap, both sides key by a mercator grid cell and
+   * equi-join — polygons fan out to the cells their envelope covers,
+   * the exact covers() test filters candidates row-wise, and the
+   * smallest-id winner per point reproduces the broadcast path's
+   * tie-break exactly (the (prefix, numeric-suffix, id) order of
+   * [[idLt]], via min_by over a sortable struct).
+   *
+   * Fan-out is ADAPTIVE per polygon: each polygon keys at the coarsest
+   * zoom that keeps its envelope within `maxFanoutCells` cells
+   * ([[chooseZoom]]), so a continent- or world-spanning polygon emits
+   * O(maxFanoutCells) rows, never 2^(2·gridZoom). Points emit one key
+   * per DISTINCT zoom the polygon side actually uses (usually 1-2) —
+   * keys are disambiguated across zooms by the cumulative zoom offset.
+   * Cells lying entirely INSIDE their polygon are flagged at fan-out
+   * time (prepared covers of the cell rect), letting candidates in
+   * those cells skip the per-point exact test — the slicer's
+   * interior-fill idea applied to the join.
    *
    * Shuffle shape: one equi-join on the cell key + one groupBy on the
-   * point id. Cell fan-out of a polygon is O(envelope area in cells):
-   * pick `gridZoom` so typical polygons cover few cells; continent-
-   * scale layers should pre-split (the render pipeline's slicer
-   * already does).
+   * point id (plus one narrow scan of the polygon side to learn the
+   * zoom set).
    */
   def pointInPolygonPartitioned(points: DataFrame, polysDf: DataFrame,
                                 gridZoom: Int = 7,
                                 idCol: String = "doc_id",
                                 lonCol: String = "lon", latCol: String = "lat",
                                 polyIdCol: String = "doc_id", polyGeomCol: String = "geom",
-                                left: Boolean = false): DataFrame = {
+                                left: Boolean = false,
+                                maxFanoutCells: Int = 1024): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    import graft.geo.Mercator
-    val n = 1 << gridZoom
+    import graft.geo.{Mercator, TileCoord}
+
+    // narrow pass: which zooms does the polygon side need?
+    val zooms: Seq[Int] = polysDf.select(col(polyGeomCol)).as[Array[Byte]]
+      .map(wkb => chooseZoom(Geo.fromWkb(wkb).getEnvelopeInternal, gridZoom, maxFanoutCells))
+      .distinct().collect().toSeq.sorted
+
     val polyCells = polysDf.select(col(polyIdCol).cast("string").as("poly_id"),
         col(polyGeomCol).as("poly_wkb"))
       .as[(String, Array[Byte])]
       .flatMap { case (id, wkb) =>
-        val env = Geo.fromWkb(wkb).getEnvelopeInternal
-        val x0 = Mercator.tileIndex(Mercator.worldX(env.getMinX), gridZoom)
-        val x1 = Mercator.tileIndex(Mercator.worldX(env.getMaxX), gridZoom)
-        val y0 = Mercator.tileIndex(Mercator.worldY(env.getMaxY), gridZoom)
-        val y1 = Mercator.tileIndex(Mercator.worldY(env.getMinY), gridZoom)
+        val g = Geo.fromWkb(wkb)
+        val env = g.getEnvelopeInternal
+        val z = chooseZoom(env, gridZoom, maxFanoutCells)
+        val nz = 1 << z
+        val (x0, x1, y0, y1) = envWindow(env, z)
+        val prep = PreparedGeometryFactory.prepare(g)
         val (prefix, num) = splitNumFor(id)
-        for (x <- x0 to x1; y <- y0 to y1)
-          yield (x.toLong * n + y, id, wkb, prefix, num)
-      }.toDF("cell", "poly_id", "poly_wkb", "poly_prefix", "poly_num")
+        for (x <- x0 to x1; y <- y0 to y1) yield {
+          // edge rows extend to the poles: points poleward of the
+          // mercator clamp key into the edge cells, so the covered
+          // flag must account for the full latitude span they map from
+          val latN = if (y == 0) 90.0 else Mercator.lat(y.toDouble / nz)
+          val latS = if (y == nz - 1) -90.0 else Mercator.lat((y + 1).toDouble / nz)
+          val rect = Geo.factory.toGeometry(new Envelope(
+            Mercator.lon(x.toDouble / nz), Mercator.lon((x + 1).toDouble / nz), latS, latN))
+          val covered = prep.covers(rect)
+          (TileCoord.zoomOffset(z) + x.toLong * nz + y, id, wkb, prefix, num, covered)
+        }
+      }.toDF("cell", "poly_id", "poly_wkb", "poly_prefix", "poly_num", "cell_covered")
+
     import graft.functions.GeoFunctions.{world_x, world_y}
-    def cellIdx(w: org.apache.spark.sql.Column) =
-      least(greatest(floor(w * n), lit(0)), lit(n - 1)).cast("long")
-    val ptCells = points.withColumn("__cell",
-      cellIdx(world_x(col(lonCol))) * n + cellIdx(world_y(col(latCol))))
+    def keyAt(z: Int): org.apache.spark.sql.Column = {
+      val nz = 1 << z
+      def cellIdx(w: org.apache.spark.sql.Column) =
+        least(greatest(floor(w * nz), lit(0)), lit(nz - 1)).cast("long")
+      lit(TileCoord.zoomOffset(z)) +
+        cellIdx(world_x(col(lonCol))) * nz + cellIdx(world_y(col(latCol)))
+    }
+    val ptCells =
+      if (zooms.isEmpty) points.withColumn("__cell", lit(null).cast("long"))
+      else points.withColumn("__cell", explode(array(zooms.map(keyAt): _*)))
     val matches = ptCells
       .join(polyCells, col("__cell") === col("cell"))
-      .where(graft.functions.SpatialRules.st_contains_lonlat(
-        col("poly_wkb"), col(lonCol), col(latCol)))
+      .where(col("cell_covered") ||
+        graft.functions.SpatialRules.st_contains_lonlat(
+          col("poly_wkb"), col(lonCol), col(latCol)))
       .groupBy(col(idCol))
       .agg(min_by(col("poly_id"),
         struct(col("poly_prefix"), col("poly_num"), col("poly_id"))).as("poly_id"))

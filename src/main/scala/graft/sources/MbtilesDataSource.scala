@@ -30,9 +30,11 @@ class MbtilesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mbtiles"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     MbtilesDataSource.Schema
+  // writes arrive with the DataFrame's own (TileBytes-shaped) schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new MbtilesTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)))
+    new MbtilesTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)), schema)
 }
 
 object MbtilesDataSource {
@@ -55,13 +57,189 @@ object MbtilesDataSource {
   }
 }
 
-private[sources] class MbtilesTable(paths: Seq[String]) extends Table with SupportsRead {
+private[sources] class MbtilesTable(paths: Seq[String], schema0: StructType)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"mbtiles(${paths.mkString(",")})"
-  override def schema(): StructType = MbtilesDataSource.Schema
+  override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MbtilesScanBuilder(paths, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new MbtilesWriteBuilder(paths.head, info)
+}
+
+/**
+ * DSv2 WRITE: `tiles.orderBy("tile_id").write.format("mbtiles")
+ * .save(path)` — the mirror of the pmtiles write path. Each task
+ * streams its (sorted, range-partitioned) partition into a framed
+ * binary shard through the Hadoop FileSystem; `commit` verifies the
+ * shards' tile-id ranges are DISJOINT AND ASCENDING and drains them in
+ * order through the existing [[graft.engine.SqliteStreamWriter]]-based
+ * archive drain (SQLite pages interleave across tables, so the final
+ * page build is inherently one sequential writer — the parallel phase
+ * did the per-row work, the commit is a straight byte pass).
+ *
+ * Metadata rows come from `.option("meta.<name>", value)`.
+ * Input schema: the TileBytes columns (tile_id, z, x, y, bytes,
+ * content_hash[, feature_count]).
+ */
+private[sources] class MbtilesWriteBuilder(
+    path: String, info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+  override def truncate(): WriteBuilder = this // a fresh archive either way
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val metadata = info.options().entrySet().asScala
+        .filter(_.getKey.toLowerCase.startsWith("meta."))
+        .map(e => e.getKey.substring(5) -> e.getValue)
+        .toSeq.sortBy(_._1).toMap
+      new MbtilesBatchWrite(path, info.schema(), metadata)
+    }
+  }
+}
+
+private[sources] case class MbtilesShardMsg(pid: Int, path: String, minId: Long,
+                                            maxId: Long, tiles: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class MbtilesBatchWrite(path: String, schema: StructType,
+                                         metadata: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val shardDir = path + ".shards"
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  Seq("tile_id", "z", "x", "y", "bytes", "content_hash").foreach { c =>
+    require(schema.fieldNames.contains(c), s"mbtiles write needs column '$c' (TileBytes shape)")
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MbtilesWriterFactory(shardDir, schema, conf)
+
+  private def deleteShardDir(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(shardDir)
+    p.getFileSystem(conf.value).delete(p, true)
+    ()
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val shards = messages.collect { case m: MbtilesShardMsg if m.tiles > 0 => m }.sortBy(_.minId)
+    shards.sliding(2).foreach {
+      case Array(a, b) =>
+        require(a.maxId < b.minId,
+          s"shard ranges overlap (${a.maxId} >= ${b.minId}): input must be orderBy(tile_id)")
+      case _ =>
+    }
+    require(shards.nonEmpty, "no tiles written")
+    // sequential page build into a local staging file, then publish via
+    // the destination's FileSystem (any scheme)
+    val local = java.io.File.createTempFile("mbtiles-commit-", ".mbtiles")
+    try {
+      graft.engine.MbtilesArchive.drainWithStats(
+        shards.iterator.flatMap(m => MbtilesShardCodec.readShard(m.path, conf.value)),
+        local.getPath, metadata)
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(conf.value)
+      fs.copyFromLocalFile(true, true, new org.apache.hadoop.fs.Path(local.getPath), dst)
+    } finally {
+      local.delete()
+      deleteShardDir()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteShardDir()
+}
+
+/** Framed shard rows: tile_id, z, x, y, content_hash, len, bytes. */
+private[sources] object MbtilesShardCodec {
+  def readShard(path: String,
+                conf: org.apache.hadoop.conf.Configuration): Iterator[graft.model.TileBytes] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(p.getFileSystem(conf).open(p), 1 << 20))
+    new Iterator[graft.model.TileBytes] {
+      private var nextRow: graft.model.TileBytes = advance()
+      private def advance(): graft.model.TileBytes = {
+        val id = try in.readLong() catch { case _: java.io.EOFException => in.close(); return null }
+        val z = in.readInt(); val x = in.readInt(); val y = in.readInt()
+        val hash = in.readLong()
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        graft.model.TileBytes(id, z, x, y, bytes, 0, hash)
+      }
+      override def hasNext: Boolean = nextRow != null
+      override def next(): graft.model.TileBytes = {
+        val r = nextRow; nextRow = advance(); r
+      }
+    }
+  }
+}
+
+private[sources] class MbtilesWriterFactory(shardDir: String, schema: StructType,
+                                            conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new MbtilesDataWriter(shardDir, partitionId, taskId, schema, conf.value)
+}
+
+private[sources] class MbtilesDataWriter(shardDir: String, pid: Int, taskId: Long,
+                                         schema: StructType,
+                                         conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  private val idIdx = schema.fieldIndex("tile_id")
+  private val zIdx = schema.fieldIndex("z")
+  private val xIdx = schema.fieldIndex("x")
+  private val yIdx = schema.fieldIndex("y")
+  private val bytesIdx = schema.fieldIndex("bytes")
+  private val hashIdx = schema.fieldIndex("content_hash")
+  private var localFile: java.io.File = _
+  private var out: java.io.DataOutputStream = _
+  private var n = 0L
+  private var minId = Long.MaxValue
+  private var maxId = Long.MinValue
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      localFile = java.io.File.createTempFile(f"mbtiles-shard-$pid%05d-$taskId-", ".bin")
+      out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(localFile), 1 << 20))
+    }
+    val id = row.getLong(idIdx)
+    require(id > maxId || n == 0, s"shard input out of order: $id after $maxId")
+    val bytes = row.getBinary(bytesIdx)
+    out.writeLong(id)
+    out.writeInt(row.getInt(zIdx)); out.writeInt(row.getInt(xIdx)); out.writeInt(row.getInt(yIdx))
+    out.writeLong(row.getLong(hashIdx))
+    out.writeInt(bytes.length)
+    out.write(bytes)
+    n += 1
+    if (id < minId) minId = id
+    if (id > maxId) maxId = id
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) return MbtilesShardMsg(pid, null, minId, maxId, 0L)
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(f"$shardDir/part-$pid%05d-$taskId.bin")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    fs.copyFromLocalFile(true, true, new org.apache.hadoop.fs.Path(localFile.getPath), dst)
+    MbtilesShardMsg(pid, dst.toString, minId, maxId, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (localFile != null) { localFile.delete(); () }
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class MbtilesScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)

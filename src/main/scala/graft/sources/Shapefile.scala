@@ -16,6 +16,13 @@ import scala.collection.mutable.ArrayBuffer
  * Polygon rings nest by containment (outermost shells, odd-depth
  * holes) via [[RingAssembler.polygonize]].
  *
+ * CRS: the sidecar `.prj` is parsed per file ([[graft.geo.Crs]],
+ * mirroring the reference's reproject-to-WGS84 at read time,
+ * `ShapefileReader.java:132`): WGS84 passes through, EPSG:3857 web
+ * mercator is reprojected closed-form, anything else fails loudly —
+ * a national-grid shapefile must never silently emit garbage lon/lat.
+ * A missing `.prj` is treated as WGS84 (the historical behavior).
+ *
  * Spark shape: one task per .shp file (the format caps a file at 2 GB,
  * so per-file parallelism is the natural split — real datasets arrive
  * as many shapefiles); bytes stream through the Hadoop FileSystem API
@@ -55,11 +62,14 @@ object Shapefile {
         val geoms = parseShp(slurp(shp))
         val base = shp.stripSuffix(".shp")
         val (fields, records) = parseDbf(slurp(base + ".dbf"))
+        val srs = graft.geo.Crs.parseWkt(new String(slurp(base + ".prj"), "UTF-8"))
         geoms.zipWithIndex.map { case ((recNo, g), i) =>
           val attrs: Map[String, String] =
             if (i < records.length) fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
             else Map.empty
-          ShpRow(shp, recNo, if (g == null) Array.emptyByteArray else Geo.toWkb(g), attrs)
+          ShpRow(shp, recNo,
+            if (g == null) Array.emptyByteArray
+            else Geo.toWkb(graft.geo.Crs.toWgs84(g, srs)), attrs)
         }
       }.toDF()
   }

@@ -66,22 +66,41 @@ object GeoPackage {
     java.util.Arrays.copyOfRange(blob, 8 + envBytes, blob.length)
   }
 
-  /** All feature tables (or one) as (table, fid, geom WKB, attrs). */
+  /**
+   * All feature tables (or one) as (table, fid, geom WKB, attrs).
+   * Each table's `srs_id` (from `gpkg_contents`, definitions resolved
+   * through `gpkg_spatial_ref_sys`) is honored the way the reference's
+   * GeoTools path honors it: WGS84 passes through, EPSG:3857
+   * reprojects closed-form, anything else fails loudly.
+   */
   def read(spark: SparkSession, path: String, table: Option[String] = None): DataFrame = {
     import spark.implicits._
     perFile[FeatureRow](spark, path) { db =>
       val geomCols: Map[String, String] = db.rows("gpkg_geometry_columns").map { case (_, m) =>
         m("table_name").toString -> m("column_name").toString
       }.toMap
-      val featureTables = db.rows("gpkg_contents")
+      val contents = db.rows("gpkg_contents")
         .filter(_._2("data_type") == "features")
-        .map(_._2("table_name").toString).toSeq
-        .filter(t => table.forall(_ == t))
-      featureTables.iterator.flatMap { t =>
+        .map(r => (r._2("table_name").toString,
+          Option(r._2.getOrElse("srs_id", null)).map(_.asInstanceOf[Long]).getOrElse(4326L)))
+        .toSeq
+        .filter { case (t, _) => table.forall(_ == t) }
+      lazy val srsDefs: Map[Long, String] =
+        if (db.tableRoot("gpkg_spatial_ref_sys").isEmpty) Map.empty
+        else db.rows("gpkg_spatial_ref_sys").map { case (_, m) =>
+          m("srs_id").asInstanceOf[Long] ->
+            Option(m.getOrElse("definition", null)).map(_.toString).getOrElse("")
+        }.toMap
+      contents.iterator.flatMap { case (t, srsId) =>
+        val srs = graft.geo.Crs.fromSrsId(srsId, srsDefs.get(srsId))
         val gcol = geomCols.getOrElse(t, "geom")
         db.rows(t).map { case (fid, m) =>
           val geom = m.get(gcol) match {
-            case Some(b: Array[Byte]) => unwrapGpkgGeometry(b)
+            case Some(b: Array[Byte]) =>
+              val wkb = unwrapGpkgGeometry(b)
+              if (srs == graft.geo.Crs.Wgs84 || wkb.isEmpty) wkb
+              else graft.geo.Geo.toWkb(
+                graft.geo.Crs.toWgs84(graft.geo.Geo.fromWkb(wkb), srs))
             case _ => Array.emptyByteArray
           }
           FeatureRow(t, fid, geom, attrsOf(m, Set(gcol)))

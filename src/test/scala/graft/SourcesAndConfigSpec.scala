@@ -237,6 +237,54 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     assert(line._2.getLength > 0)
   }
 
+  test("shapefile CRS: 3857 .prj reprojects to lon/lat; unsupported CRS fails loudly") {
+    import graft.sources.Shapefile
+    import java.nio.{ByteBuffer, ByteOrder}
+    def pointShp(x: Double, y: Double): Array[Byte] = {
+      val content = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(1).putDouble(x).putDouble(y).array()
+      val total = 100 + 8 + content.length
+      val b = ByteBuffer.allocate(total)
+      b.order(ByteOrder.BIG_ENDIAN).putInt(0, 9994)
+      b.putInt(24, total / 2)
+      b.order(ByteOrder.LITTLE_ENDIAN).putInt(28, 1000).putInt(32, 1)
+      b.order(ByteOrder.BIG_ENDIAN).putInt(100, 1).putInt(104, content.length / 2)
+      content.zipWithIndex.foreach { case (c, j) => b.put(108 + j, c) }
+      b.array()
+    }
+    val mercWkt = """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]]],PROJECTION["Mercator_Auxiliary_Sphere"],AUTHORITY["EPSG",3857]]"""
+    val bngWkt = """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]]],PROJECTION["Transverse_Mercator"]]"""
+    // forward 3857 of (lon=30, lat=10)
+    val r = graft.geo.Crs.EarthRadius
+    val mx = r * math.toRadians(30.0)
+    val my = r * math.log(math.tan(math.Pi / 4 + math.toRadians(10.0) / 2))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_shpcrs")
+    java.nio.file.Files.write(dir.resolve("merc.shp"), pointShp(mx, my))
+    java.nio.file.Files.write(dir.resolve("merc.prj"), mercWkt.getBytes("UTF-8"))
+    val got = Shapefile.read(spark, dir.resolve("merc.shp").toString).collect()
+    val pt = graft.geo.Geo.fromWkb(got.head.getAs[Array[Byte]]("geom")).getCoordinate
+    assert(math.abs(pt.x - 30.0) < 1e-9 && math.abs(pt.y - 10.0) < 1e-9,
+      s"web mercator shapefile must decode to lon/lat, got (${pt.x}, ${pt.y})")
+
+    // an unsupported projected CRS must fail, not emit garbage coords
+    java.nio.file.Files.write(dir.resolve("bng.shp"), pointShp(531473.0, 181763.0))
+    java.nio.file.Files.write(dir.resolve("bng.prj"), bngWkt.getBytes("UTF-8"))
+    val err = intercept[org.apache.spark.SparkException] {
+      Shapefile.read(spark, dir.resolve("bng.shp").toString).collect()
+    }
+    assert(err.getMessage.contains("unsupported") ||
+      Option(err.getCause).exists(_.getMessage.contains("unsupported")))
+
+    // srs-id classification for the geopackage path
+    assert(graft.geo.Crs.fromSrsId(4326) == graft.geo.Crs.Wgs84)
+    assert(graft.geo.Crs.fromSrsId(3857) == graft.geo.Crs.WebMercator)
+    assert(graft.geo.Crs.fromSrsId(900913) == graft.geo.Crs.WebMercator)
+    assert(graft.geo.Crs.fromSrsId(27700, Some(mercWkt)) == graft.geo.Crs.WebMercator)
+    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(27700, Some(bngWkt)) }
+    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(27700) }
+  }
+
   test("way splitter: splits at shared interior nodes only") {
     val ways = Seq(
       (1L, Seq(10L, 11L, 12L, 13L)), // 12 shared with way 2 (interior)

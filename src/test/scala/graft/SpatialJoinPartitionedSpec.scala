@@ -58,4 +58,37 @@ class SpatialJoinPartitionedSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
     assert(bc == part)
   }
+
+  test("world-spanning polygon: bounded fan-out via adaptive zoom + covered cells") {
+    import spark.implicits._
+    // a world-covering polygon at gridZoom 10 would naively fan to
+    // 2^20 cell rows; chooseZoom must pick a coarse zoom that keeps it
+    // within the fan-out budget
+    val world = Geo.fromWktOrNull(
+      "POLYGON ((-180 -90, 180 -90, 180 90, -180 90, -180 -90))")
+    val env = world.getEnvelopeInternal
+    val z = SpatialJoin.chooseZoom(env, gridZoom = 10, maxCells = 1024)
+    val (x0, x1, y0, y1) = SpatialJoin.envWindow(env, z)
+    assert((x1 - x0 + 1).toLong * (y1 - y0 + 1) <= 1024,
+      s"world polygon fan-out must stay within budget (z=$z)")
+
+    // the join itself completes at gridZoom 10 and matches broadcast —
+    // including a high-latitude point (edge cells reach the poles) and
+    // a small polygon that should win by id over the world polygon
+    val small = Geo.toWkb(Geo.fromWktOrNull("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"))
+    val polys = Seq(("adm_9", Geo.toWkb(world), Map.empty[String, String]),
+      ("adm_3", small, Map.empty[String, String])).toDF("doc_id", "geom", "tags")
+    val pts = Seq(("p1", 10.0, 10.0), ("p2", -120.0, 88.5), ("p3", 170.0, -45.0))
+      .toDF("doc_id", "lon", "lat")
+    val part = SpatialJoin.pointInPolygonPartitioned(pts, polys, gridZoom = 10, left = true)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    val bc = SpatialJoin.pointInPolygon(pts,
+      polys.collect().map(r => SpatialJoin.Poly(r.getString(0),
+        r.getAs[Array[Byte]](1), Map.empty)), left = true)
+      .collect().map(r => r.getString(0) -> Option(r.getString(3))).toMap
+    assert(part == bc)
+    assert(part("p1").contains("adm_3"), "small polygon wins by id")
+    assert(part("p2").contains("adm_9"), "polar point matches via edge cell")
+    assert(part("p3").contains("adm_9"))
+  }
 }

@@ -129,6 +129,52 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(par.exceptAll(single).count() == 0 && single.exceptAll(par).count() == 0)
   }
 
+  test("DSv2 mbtiles write: sorted shards drain through the stream writer; round-trips") {
+    import spark.implicits._
+    import graft.model.TileBytes
+    import graft.geo.TileCoord
+    val n = 1500
+    val tiles = (0 until n).map { i =>
+      val z = 6; val x = i % 64; val y = i / 64
+      val id = TileCoord.encodeHilbert(x, y, z)
+      // every third tile shares content -> exercises blob dedup
+      TileBytes(id, z, x, y, Array((i % 3).toByte, 5, 6), 1, (i % 3).toLong)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_mbw").toString + "/w.mbtiles"
+    tiles.toDF().repartition(4).orderBy("tile_id")
+      .write.format("mbtiles").mode("overwrite")
+      .option("meta.name", "dsv2").option("meta.format", "pbf")
+      .save(out)
+    assert(new java.io.File(out).isFile)
+    assert(!new java.io.File(out + ".shards").exists(), "shard staging cleaned up")
+    // stock sqlite3 accepts the archive
+    val py =
+      s"""import sqlite3
+         |con = sqlite3.connect('$out')
+         |assert con.execute('PRAGMA integrity_check').fetchone()[0] == 'ok'
+         |assert con.execute('SELECT COUNT(*) FROM map').fetchone()[0] == $n
+         |assert con.execute('SELECT COUNT(*) FROM images').fetchone()[0] == 3
+         |assert dict(con.execute('SELECT name, value FROM metadata'))['name'] == 'dsv2'
+         |""".stripMargin
+    val buf = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3", "-c", py))
+      .!(scala.sys.process.ProcessLogger(l => buf.append(l).append('\n'),
+        l => buf.append(l).append('\n')))
+    assert(code == 0, s"python sqlite3 failed: $buf")
+    // round-trip through the DSv2 reader (y returns TMS-flipped)
+    val back = spark.read.format("mbtiles").load(out)
+    assert(back.count() == n)
+    val r = back.where(org.apache.spark.sql.functions.col("z") === 6 &&
+      org.apache.spark.sql.functions.col("x") === 5).collect()
+    assert(r.nonEmpty && r.forall(_.getAs[Array[Byte]]("bytes").length == 3))
+    // unsorted input rejected
+    val bad = intercept[Exception] {
+      tiles.reverse.toDF().coalesce(1)
+        .write.format("mbtiles").mode("overwrite").save(out + "2")
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("natural earth: theme table scan with WKB geometry") {
     val rows = NaturalEarth.read(spark, res("fixture_ne.sqlite"), "ne_110m_lakes").collect()
     assert(rows.length == 1)
