@@ -283,6 +283,26 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q43_crs_transform" -> ((s, dir) => {
+      // EPSG:3857 -> 4326 inverse (the Crs reproject that Shapefile/
+      // GeoPackage inputs go through), as a codegen'd expression over
+      // forward-projected synthetic coords; the oracle mirrors the
+      // identical closed form in DuckDB, rounded to 1e-6 degrees
+      import graft.functions.GeoFunctions.{merc_to_lat, merc_to_lon}
+      val R = graft.geo.Crs.EarthRadius
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          ((col("o_orderkey") * 9973 % 36000).cast("double") / 100.0 - 180.0).as("lon0"),
+          ((col("o_orderkey") * 7919 % 17000).cast("double") / 100.0 - 85.0).as("lat0"))
+        .select(col("k"),
+          (col("lon0") * math.Pi / 180.0 * R).as("mx"),
+          (log(tan(lit(math.Pi / 4) + col("lat0") * math.Pi / 360.0)) * R).as("my"))
+        .select(col("k"),
+          round(merc_to_lon(col("mx")), 6).as("lon"),
+          round(merc_to_lat(col("my")), 6).as("lat"))
+        .orderBy(col("k"))
+    }),
+
     "q14_knn_join" -> ((s, dir) => {
       // nearest admin-cell center per point (broadcast site index,
       // expanding-ring STRtree probe; ties by (distance, site_id))
@@ -806,6 +826,20 @@ object SparkEntry {
             FROM pts)
           SELECT 'adm_' || (LEAST(r, 4) * 5 + LEAST(c, 4)) AS poly_id, COUNT(*) AS points
           FROM assigned GROUP BY 1 ORDER BY 1""",
+
+    // q43: identical forward projection + closed-form 3857 inverse on
+    // both sides, rounded to 1e-6 degrees (engine ulp differences in
+    // ln/tan/atan/exp sit ~1e-12 away from any rounding boundary here)
+    "q43_crs_transform" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, $lonSql AS lon0, $latSql AS lat0 FROM orders),
+          m AS (SELECT k,
+                  lon0 * pi() / 180.0 * 6378137.0 AS mx,
+                  ln(tan(pi() / 4 + lat0 * pi() / 360.0)) * 6378137.0 AS my
+                FROM src)
+          SELECT k,
+            ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
+            ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
+          FROM m ORDER BY k""",
 
     "q14_knn_join" ->
       s"""WITH pts AS (SELECT o_orderkey AS k, $lonSql AS lon, $latSql AS lat FROM orders),

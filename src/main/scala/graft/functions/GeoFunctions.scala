@@ -152,6 +152,26 @@ object GeoFunctions {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
+  /** EPSG:3857 meters -> lon degrees (closed form, codegen'd). */
+  case class MercToLon(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.geo.Crs.mercatorToLon(v.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.geo.Crs.mercatorToLon($c)")
+    override protected def withNewChildInternal(c: Expression): MercToLon = copy(c)
+  }
+
+  /** EPSG:3857 meters -> lat degrees (closed form, codegen'd). */
+  case class MercToLat(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.geo.Crs.mercatorToLat(v.asInstanceOf[Double])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.geo.Crs.mercatorToLat($c)")
+    override protected def withNewChildInternal(c: Expression): MercToLat = copy(c)
+  }
+
   case class StGeomFromText(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(wkt: Any): Any = {
@@ -188,6 +208,8 @@ object GeoFunctions {
   def st_snap_fix_polygon(wkb: Column, scale: Column): Column =
     SqlBridge.col(StSnapFixPolygon(SqlBridge.expr(wkb), d(SqlBridge.expr(scale))))
   def st_length_meters(wkb: Column): Column = SqlBridge.col(StLengthMeters(SqlBridge.expr(wkb)))
+  def merc_to_lon(x: Column): Column = SqlBridge.col(MercToLon(d(SqlBridge.expr(x))))
+  def merc_to_lat(y: Column): Column = SqlBridge.col(MercToLat(d(SqlBridge.expr(y))))
 
   /** Name -> expression builder for every SQL-registered function (one
     * source of truth for both `register` and `GraftExtensions`). */
@@ -205,7 +227,9 @@ object GeoFunctions {
     "st_line_interpolate" -> (es => StLineInterpolate(es(0), d(es(1)))),
     "st_area_meters" -> (es => StAreaMeters(es.head)),
     "st_snap_fix_polygon" -> (es => StSnapFixPolygon(es(0), d(es(1)))),
-    "st_length_meters" -> (es => StLengthMeters(es.head)))
+    "st_length_meters" -> (es => StLengthMeters(es.head)),
+    "merc_to_lon" -> (es => MercToLon(d(es.head))),
+    "merc_to_lat" -> (es => MercToLat(d(es.head))))
 
   /** Register all functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {

@@ -336,21 +336,73 @@ object GeoParquet {
       .named("spark_schema")
   }
 
-  private def addToGroup(g: org.apache.parquet.example.data.Group, name: String,
-                         dt: DataType, v: Any): Unit = if (v != null) dt match {
-    case IntegerType => g.add(name, v.asInstanceOf[Int])
-    case LongType => g.add(name, v.asInstanceOf[Long])
-    case FloatType => g.add(name, v.asInstanceOf[Float])
-    case DoubleType => g.add(name, v.asInstanceOf[Double])
-    case BooleanType => g.add(name, v.asInstanceOf[Boolean])
-    case StringType => g.add(name, v.asInstanceOf[String])
-    case BinaryType =>
-      g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+  // ---- RecordConsumer-based row writer (no Group objects): field
+  // writers are compiled once per schema into index-addressed lambdas,
+  // so the per-row cost is direct addX calls — ~an order of magnitude
+  // less allocation + no by-name field lookup per value, same bytes ----
+
+  private type FieldWriter =
+    (org.apache.parquet.io.api.RecordConsumer, org.apache.spark.sql.Row) => Unit
+  private type ValueWriter = (org.apache.parquet.io.api.RecordConsumer, Any) => Unit
+
+  private def valueWriter(dt: DataType): ValueWriter = dt match {
+    case IntegerType => (rc, v) => rc.addInteger(v.asInstanceOf[Int])
+    case LongType => (rc, v) => rc.addLong(v.asInstanceOf[Long])
+    case FloatType => (rc, v) => rc.addFloat(v.asInstanceOf[Float])
+    case DoubleType => (rc, v) => rc.addDouble(v.asInstanceOf[Double])
+    case BooleanType => (rc, v) => rc.addBoolean(v.asInstanceOf[Boolean])
+    case StringType => (rc, v) =>
+      rc.addBinary(org.apache.parquet.io.api.Binary.fromString(v.asInstanceOf[String]))
+    case BinaryType => (rc, v) =>
+      rc.addBinary(org.apache.parquet.io.api.Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
     case s: StructType =>
-      val sub = g.addGroup(name)
-      val row = v.asInstanceOf[org.apache.spark.sql.Row]
-      s.fields.zipWithIndex.foreach { case (f, i) => addToGroup(sub, f.name, f.dataType, row.get(i)) }
+      val ws = fieldWriters(s)
+      (rc, v) => {
+        rc.startGroup()
+        val row = v.asInstanceOf[org.apache.spark.sql.Row]
+        var i = 0
+        while (i < ws.length) { ws(i)(rc, row); i += 1 }
+        rc.endGroup()
+      }
     case other => throw new UnsupportedOperationException(s"geoparquet write: $other")
+  }
+
+  private def fieldWriters(s: StructType): Array[FieldWriter] =
+    s.fields.zipWithIndex.map { case (f, i) =>
+      val name = f.name
+      val w = valueWriter(f.dataType)
+      val fw: FieldWriter = (rc, row) =>
+        if (!row.isNullAt(i)) {
+          rc.startField(name, i)
+          w(rc, row.get(i))
+          rc.endField(name, i)
+        }
+      fw
+    }
+
+  private class RowWriteSupport(schema: StructType, mt: MessageType,
+                                meta: java.util.Map[String, String])
+      extends org.apache.parquet.hadoop.api.WriteSupport[org.apache.spark.sql.Row] {
+    private val writers = fieldWriters(schema)
+    private var rc: org.apache.parquet.io.api.RecordConsumer = _
+    override def init(c: org.apache.hadoop.conf.Configuration) =
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(mt, meta)
+    override def prepareForWrite(r: org.apache.parquet.io.api.RecordConsumer): Unit = rc = r
+    override def write(row: org.apache.spark.sql.Row): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < writers.length) { writers(i)(rc, row); i += 1 }
+      rc.endMessage()
+    }
+  }
+
+  private class RowParquetWriterBuilder(path: org.apache.hadoop.fs.Path,
+                                        support: RowWriteSupport)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        org.apache.spark.sql.Row, RowParquetWriterBuilder](path) {
+    override def self(): RowParquetWriterBuilder = this
+    override def getWriteSupport(conf: org.apache.hadoop.conf.Configuration): RowWriteSupport =
+      support
   }
 
   /** The `geo` footer JSON: WKB columns carry a bbox-struct covering;
@@ -399,20 +451,12 @@ object GeoParquet {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val mtLocal = org.apache.parquet.schema.MessageTypeParser.parseMessageType(mtString)
         val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.parquet")
-        val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(out)
+        val support = new RowWriteSupport(schema, mtLocal, Map("geo" -> json).asJava)
+        val writer = new RowParquetWriterBuilder(out, support)
           .withConf(conf.value)
-          .withType(mtLocal)
-          .withExtraMetaData(Map("geo" -> json).asJava)
           .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
           .build()
-        val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(mtLocal)
-        try rows.foreach { row =>
-          val g = gf.newGroup()
-          schema.fields.zipWithIndex.foreach { case (f, i) =>
-            addToGroup(g, f.name, f.dataType, row.get(i))
-          }
-          writer.write(g)
-        } finally writer.close()
+        try rows.foreach(writer.write) finally writer.close()
       }
     }
   }
