@@ -283,6 +283,22 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q44_way_split" -> ((s, dir) => {
+      // ways from lineitem (way = order, nodes = partkeys in
+      // linenumber order) split at nodes shared by >=2 ways — puts an
+      // exact SQL oracle on the DISTRIBUTED WaySplitter: per way,
+      // segments = 1 + interior shared positions, and every cut
+      // duplicates its node across the two segments
+      val ways = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("way_id"))
+        .agg(sort_array(collect_list(struct(col("l_linenumber"), col("l_partkey")))).as("ln"))
+        .select(col("way_id"), expr("transform(ln, x -> x.l_partkey)").as("nodes"))
+      graft.engine.WaySplitter.splitAtSharedNodes(ways)
+        .groupBy(col("way_id"))
+        .agg(count(lit(1)).as("segs"), sum(size(col("nodes"))).as("seg_nodes"))
+        .orderBy(col("way_id"))
+    }),
+
     "q43_crs_transform" -> ((s, dir) => {
       // EPSG:3857 -> 4326 inverse (the Crs reproject that Shapefile/
       // GeoPackage inputs go through), as a codegen'd expression over
@@ -840,6 +856,31 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q44: segments = 1 + interior shared positions; total segment
+    // nodes = way length + cuts (each cut duplicates its node)
+    "q44_way_split" ->
+      """WITH w AS (
+           SELECT l_orderkey AS way_id, l_linenumber AS pos, l_partkey AS node FROM lineitem),
+         len AS (SELECT way_id, COUNT(*) AS n FROM w GROUP BY 1),
+         shared AS (
+           SELECT node FROM (SELECT DISTINCT way_id, node FROM w) GROUP BY node
+           HAVING COUNT(*) >= 2),
+         ranked AS (
+           SELECT way_id, node, ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rk
+           FROM w),
+         cuts AS (
+           SELECT r.way_id, COUNT(*) AS c FROM ranked r
+           JOIN len l ON l.way_id = r.way_id
+           JOIN shared s ON s.node = r.node
+           WHERE r.rk > 1 AND r.rk < l.n
+           GROUP BY 1)
+         SELECT l.way_id AS way_id,
+                CAST(1 + COALESCE(c.c, 0) AS BIGINT) AS segs,
+                CAST(l.n + COALESCE(c.c, 0) AS BIGINT) AS seg_nodes
+         FROM len l LEFT JOIN cuts c ON c.way_id = l.way_id
+         WHERE l.n >= 2
+         ORDER BY way_id""",
 
     "q14_knn_join" ->
       s"""WITH pts AS (SELECT o_orderkey AS k, $lonSql AS lon, $latSql AS lat FROM orders),

@@ -1,0 +1,106 @@
+package graft.cli
+
+import graft.engine.{Archives, Docs, Pipeline, SpatialJoin}
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Command-line entry point — the `Planetiler.create(Arguments)` /
+ * `config-example.properties` surface of the reference
+ * (`Planetiler.java:155`), Spark-first: the CLI assembles a DataFrame
+ * pipeline and an output-URI archive sink; cluster topology comes from
+ * spark-submit (`--master`), not from this layer.
+ *
+ *   sbt "runMain graft.cli.GraftCli --input=/data/docs --output=/out/world.pmtiles"
+ *   spark-submit --class graft.cli.GraftCli graft.jar \
+ *     --sf-dir=/root/testdata/sf0.01 --output=/tmp/t.mbtiles --maxzoom=9
+ *
+ * See `config-example.properties` at the repo root for the full
+ * option surface (also printed by `--help`).
+ */
+object GraftCli {
+
+  /** Run the configured pipeline; returns the written tile count. */
+  def run(args: Arguments, spark: SparkSession): Long = {
+    val sfDir = args.getString("sf_dir",
+      "testdata directory with the TPC-H-ish tables (docs synthesized)", "")
+    val input = args.getString("input",
+      "parquet directory holding an already-materialized interleaved docs table", "")
+    require(sfDir.nonEmpty || input.nonEmpty, "one of --input / --sf-dir is required")
+    val output = args.getString("output",
+      "output archive URI (.mbtiles/.pmtiles/.pb/.csv/.json or a {z}/{x}/{y}.pbf dir)", "")
+    require(output.nonEmpty, "--output is required")
+
+    val maxZoom = args.getInt("maxzoom", "maximum zoom rendered (caps every layer)", 8)
+    val partitions = args.getInt("partitions", "range partitions for the tile shuffle",
+      spark.sparkContext.defaultParallelism)
+    val gzip = args.getBoolean("gzip", "gzip tile bytes in the archive", default = true)
+    val pip = args.getBoolean("pip",
+      "assign each point its containing admin polygon (broadcast PIP)", default = true)
+    val profilePath = args.getString("profile",
+      "declarative profile (.json or .yml custommap dialect); default built-in profile", "")
+
+    val docs =
+      if (input.nonEmpty) spark.read.parquet(input)
+      else Docs.docs(spark, sfDir)
+
+    val profile: graft.engine.Profile =
+      if (profilePath.nonEmpty) {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(profilePath)), "UTF-8")
+        if (profilePath.endsWith(".yml") || profilePath.endsWith(".yaml"))
+          graft.dsl.ConfigProfile.compileYaml(text)
+        else graft.dsl.ConfigProfile.compile(text)
+      } else {
+        val pipIndex =
+          if (!pip) None
+          else {
+            // polygon layer: synthesized for --sf-dir; filtered out of
+            // the docs table itself for --input
+            val polysDf =
+              if (sfDir.nonEmpty) Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
+              else Docs.sourceFeatures(docs)
+                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
+                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
+                .toDF()
+            Some(new SpatialJoin.PolygonIndex(SpatialJoin.collectPolys(polysDf)))
+          }
+        new Pipeline.GraftProfile(
+          pointMaxZoom = maxZoom, lineMaxZoom = maxZoom,
+          polyMaxZoom = math.min(7, maxZoom), pip = pipIndex)
+      }
+
+    val metadata = Map(
+      "name" -> args.getString("archive_name", "archive metadata: name", "graft"),
+      "format" -> args.getString("archive_format", "archive metadata: tile format", "pbf")) ++
+      args.withPrefix("meta")
+
+    val tiles = Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
+    Archives.write(tiles, output, metadata, tilesGzipped = gzip)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = Arguments.parse(argv)
+    if (args.helpRequested) {
+      // consume every option once so describe() covers the surface
+      val spark = SparkSession.builder().master("local[1]")
+        .appName("graft-help").getOrCreate()
+      try run(args, spark) catch { case _: Exception => () } finally spark.stop()
+      println("graft tile pipeline options:\n" + args.describe())
+      return
+    }
+    val spark = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        args.getInt("shuffle_partitions", "spark.sql.shuffle.partitions", 32).toString)
+      .master(sys.props.getOrElse("spark.master",
+        args.getString("master", "spark master when not using spark-submit", "local[*]")))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      val n = run(args, spark)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[graft] wrote $n tiles in $sec%.1f s")
+    } finally spark.stop()
+  }
+}

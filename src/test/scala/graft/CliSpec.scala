@@ -1,0 +1,48 @@
+package graft
+
+import graft.cli.{Arguments, GraftCli}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI front end: layered Arguments parsing + an end-to-end pipeline
+  * run driven purely by options. */
+class CliSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("arguments: precedence, types, prefixes, self-documentation") {
+    // config file < CLI
+    val f = java.io.File.createTempFile("graft_args", ".properties")
+    java.nio.file.Files.write(f.toPath,
+      "maxzoom=3\narchive_name=fromfile\nmeta.attribution=Example\n".getBytes("UTF-8"))
+    val a = Arguments.parse(Array(
+      s"--config=${f.getPath}", "--maxzoom=9", "--gzip", "--some-flag"))
+    assert(a.getInt("maxzoom", "max zoom", 8) == 9, "CLI wins over config file")
+    assert(a.getString("archive_name", "name", "graft") == "fromfile")
+    assert(a.getBoolean("gzip", "gzip", default = false), "bare --flag is true")
+    assert(a.getBoolean("some_flag", "flag", default = false), "dashes normalize")
+    assert(a.getInt("partitions", "partitions", 32) == 32, "default when absent")
+    assert(a.withPrefix("meta") == Map("attribution" -> "Example"))
+    val help = a.describe()
+    assert(help.contains("--maxzoom") && help.contains("max zoom"))
+    // typed getters
+    val b = Arguments.of("ratio" -> "0.25", "names" -> "a, b,c")
+    assert(b.getDouble("ratio", "r", 1.0) == 0.25)
+    assert(b.getStrings("names", "n", Nil) == Seq("a", "b", "c"))
+  }
+
+  test("end-to-end: options-driven pipeline writes a readable archive") {
+    val out = java.nio.file.Files.createTempDirectory("graft_cli").toString + "/cli.pmtiles"
+    val n = GraftCli.run(Arguments.of(
+      "sf_dir" -> "/root/testdata/sf0.001",
+      "output" -> out,
+      "maxzoom" -> "4",
+      "partitions" -> "8",
+      "meta.attribution" -> "spec"), spark)
+    assert(n > 0)
+    assert(new java.io.File(out).isFile)
+    val back = spark.read.format("pmtiles").load(out)
+    assert(back.count() == n)
+    val r = new graft.engine.PmtilesArchive.Reader(out)
+    assert(r.metadata.contains("\"attribution\":\"spec\""))
+    r.close()
+  }
+}
