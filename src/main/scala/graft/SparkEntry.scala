@@ -283,6 +283,102 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q49_hilbert" -> ((s, dir) => {
+      // the archive addressing function itself: the codegen'd Hilbert
+      // index over the full 64x64 grid vs a recursive-CTE replay of
+      // the rotate/flip walk in DuckDB (bitwise-exact)
+      import graft.functions.GeoFunctions.hilbert_index
+      val xs = s.range(64).select(col("id").cast("int").as("x"))
+      val ys = s.range(64).select(col("id").cast("int").as("y"))
+      xs.crossJoin(ys)
+        .select(col("x"), col("y"), hilbert_index(lit(6), col("x"), col("y")).as("h"))
+        .orderBy(col("x"), col("y"))
+    }),
+
+    "q48_sortkey" -> ((s, dir) => {
+      // the shuffle meta key (layer | biased sortKey | featureId low
+      // bits, reference FeatureGroup.java:168-196) incl. range
+      // CLAMPING and the descending-reflection bijection, against the
+      // bit-layout arithmetic replayed exactly in DuckDB
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") * 10 + col("l_linenumber")).cast("long").as("k"),
+          pmod(col("l_suppkey"), lit(8)).cast("int").as("layer"),
+          ((col("l_partkey") - 100000) * 37).cast("int").as("sk"),
+          (col("l_orderkey") * 1000003L).cast("long").as("fid"))
+        .as[(Long, Int, Int, Long)]
+        .map { case (k, layer, sk, fid) =>
+          (k, graft.engine.KvCodec.packMeta(layer, sk, fid),
+            graft.engine.KvCodec.packMeta(layer,
+              graft.engine.KvCodec.descendingSortKey(sk), fid))
+        }
+        .toDF("k", "meta", "meta_desc")
+        .orderBy(col("k"))
+    }),
+
+    "q47_encoding" -> ((s, dir) => {
+      // wire-format primitives straight from the engine (MVT zigzag,
+      // protobuf varint byte length, FNV-1a 64 content hash) against
+      // pure-arithmetic oracles — FNV replayed in DuckDB via HUGEINT
+      // mod-2^64, compared as unsigned decimal strings
+      import graft.functions.TextExprs.{fnv1a64, varintLen, zigzag32}
+      t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("k"),
+          when(col("s_suppkey") % 2 === 0, col("s_suppkey"))
+            .otherwise(-col("s_suppkey")).cast("int").as("v"),
+          col("s_name"))
+        .select(col("k"),
+          zigzag32(col("v")).as("zz"),
+          varintLen(zigzag32(col("v")).cast("long")).as("vlen"),
+          conv(hex(fnv1a64(col("s_name"))), 16, 10).as("fnv"))
+        .orderBy(col("k"))
+    }),
+
+    "q45_relation_closure" -> ((s, dir) => {
+      // super-relation transitive closure (iterative broadcast
+      // self-join, cycle guard): a decimal-division forest from orders
+      // PLUS a deliberate 25-node cycle from nation — the closure must
+      // terminate and count every reachable ancestor exactly once
+      val tree = t(s, dir, "orders").select(
+        col("o_orderkey").as("member_id"),
+        expr("o_orderkey div 10").as("relation_id"))
+      val cycle = t(s, dir, "nation").select(
+        (col("n_nationkey") + 1000000L).as("member_id"),
+        (pmod(col("n_nationkey") + 1, lit(25)).cast("long") + 1000000L).as("relation_id"))
+      graft.engine.Relations.transitiveClosure(tree.unionByName(cycle), maxDepth = 30)
+        .select(col("member_id"), col("ancestor_id")).distinct()
+        .groupBy(col("ancestor_id"))
+        .agg(count(lit(1)).as("members"))
+        .orderBy(col("ancestor_id"))
+    }),
+
+    "q46_wikidata_join" -> ((s, dir) => {
+      // wikidata translations: broadcast dim join filling name:xx tags
+      // where the feature doesn't already carry one (existing wins)
+      import graft.functions.GeoFunctions.st_geomfromtext
+      import s.implicits._
+      val base = t(s, dir, "supplier").select(
+        concat(lit("s_"), col("s_suppkey")).as("doc_id"),
+        lit("sup").as("source"),
+        st_geomfromtext(lit("POINT (0 0)")).as("geom"),
+        when(col("s_suppkey") % 3 === 0,
+          map(lit("wikidata"), concat(lit("Q"), pmod(col("s_suppkey"), lit(50))),
+            lit("name:fr"), concat(lit("local_"), col("s_suppkey"))))
+          .otherwise(map(lit("wikidata"), concat(lit("Q"), pmod(col("s_suppkey"), lit(50)))))
+          .as("tags"),
+        lit(0L).as("span_sig")).as[graft.model.SourceFeature]
+      val translations = s.range(50).select(
+        concat(lit("Q"), col("id")).as("qid"),
+        map(lit("fr"), concat(lit("fr_"), col("id")),
+          lit("de"), concat(lit("de_"), col("id"))).as("names"))
+      graft.engine.Wikidata.attachTranslations(base, translations)
+        .toDF()
+        .select(col("doc_id"),
+          col("tags").getItem("name:fr").as("name_fr"),
+          col("tags").getItem("name:de").as("name_de"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q44_way_split" -> ((s, dir) => {
       // ways from lineitem (way = order, nodes = partkeys in
       // linenumber order) split at nodes shared by >=2 ways — puts an
@@ -856,6 +952,96 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q49: the classic rotate/flip Hilbert walk as a recursive CTE,
+    // bitwise-identical to geo/Hilbert.xyToIndex
+    "q49_hilbert" ->
+      """WITH RECURSIVE grid AS (
+           SELECT gx.i AS x0, gy.i AS y0 FROM range(64) gx(i) CROSS JOIN range(64) gy(i)),
+         walk(x0, y0, x, y, d, s) AS (
+           SELECT x0, y0, CAST(x0 AS BIGINT), CAST(y0 AS BIGINT),
+                  CAST(0 AS BIGINT), CAST(32 AS BIGINT) FROM grid
+           UNION ALL
+           SELECT x0, y0,
+             CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) != 0 THEN s - 1 - y ELSE y END ELSE x END,
+             CASE WHEN (y & s) = 0 THEN CASE WHEN (x & s) != 0 THEN s - 1 - x ELSE x END ELSE y END,
+             d + s * s * xor(CASE WHEN (x & s) != 0 THEN CAST(3 AS BIGINT) ELSE 0 END,
+                             CASE WHEN (y & s) != 0 THEN CAST(1 AS BIGINT) ELSE 0 END),
+             s // 2
+           FROM walk WHERE s > 0)
+         SELECT CAST(x0 AS INT) AS x, CAST(y0 AS INT) AS y, d AS h
+         FROM walk WHERE s = 0 ORDER BY x, y""",
+
+    // q48: meta = layer*2^54 + (clamp(sk)+2^21)*2^32 + fid%2^32;
+    // descending key = -1 - clamp(sk) (reflection, still in range)
+    "q48_sortkey" ->
+      """WITH s AS (SELECT CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS k,
+                CAST(l_suppkey % 8 AS BIGINT) AS layer,
+                CAST(GREATEST(-2097152, LEAST(2097151, (l_partkey - 100000) * 37)) AS BIGINT) AS c,
+                CAST((l_orderkey * 1000003) % 4294967296 AS BIGINT) AS fidlow
+              FROM lineitem)
+         SELECT k,
+           CAST(layer * 18014398509481984 + (c + 2097152) * 4294967296 + fidlow AS BIGINT) AS meta,
+           CAST(layer * 18014398509481984 + ((-1 - c) + 2097152) * 4294967296 + fidlow AS BIGINT) AS meta_desc
+         FROM s ORDER BY k""",
+
+    // q47: zigzag = xor(2v, v<0 ? -1 : 0); varint length by range
+    // cases; FNV-1a 64 replayed byte-for-byte in HUGEINT arithmetic
+    "q47_encoding" ->
+      """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k,
+                CAST(CASE WHEN s_suppkey % 2 = 0 THEN s_suppkey
+                          ELSE -s_suppkey END AS BIGINT) AS v,
+                s_name FROM supplier),
+         z AS (SELECT k, s_name,
+                 xor(v * 2, CASE WHEN v < 0 THEN CAST(-1 AS BIGINT)
+                                 ELSE CAST(0 AS BIGINT) END) AS zzv
+               FROM s)
+         SELECT k,
+           CAST(zzv AS INT) AS zz,
+           CAST(CASE WHEN zzv < 128 THEN 1 WHEN zzv < 16384 THEN 2
+                     WHEN zzv < 2097152 THEN 3 WHEN zzv < 268435456 THEN 4
+                     ELSE 5 END AS INT) AS vlen,
+           CAST(list_reduce(
+             list_prepend(CAST('14695981039346656037' AS HUGEINT),
+               list_transform(string_split(s_name, ''), c -> CAST(unicode(c) AS HUGEINT))),
+             (a, b) -> ((a - (a % 256) + xor(CAST(a % 256 AS BIGINT), CAST(b AS BIGINT)))
+                        * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+           ) AS VARCHAR) AS fnv
+         FROM z ORDER BY k""",
+
+    // q45: recursive-CTE closure over the same forest + cycle; the
+    // Spark side dedups (member, ancestor) so plain UNION recursion
+    // (which terminates on the finite pair set) is the exact oracle
+    "q45_relation_closure" ->
+      """WITH RECURSIVE m AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS member_id,
+                  CAST(o_orderkey // 10 AS BIGINT) AS relation_id FROM orders
+           UNION ALL
+           SELECT CAST(n_nationkey + 1000000 AS BIGINT),
+                  CAST(((n_nationkey + 1) % 25) + 1000000 AS BIGINT) FROM nation),
+         c(member_id, ancestor_id) AS (
+           SELECT member_id, relation_id FROM m
+           UNION
+           SELECT c.member_id, m.relation_id
+           FROM c JOIN m ON m.member_id = c.ancestor_id)
+         SELECT ancestor_id, COUNT(*) AS members
+         FROM c GROUP BY 1 ORDER BY 1""",
+
+    // q46: existing name:fr wins; name:de always fills from the dim
+    "q46_wikidata_join" ->
+      """WITH t AS (SELECT 'Q' || CAST(i AS VARCHAR) AS qid,
+                           'fr_' || CAST(i AS VARCHAR) AS fr,
+                           'de_' || CAST(i AS VARCHAR) AS de
+                    FROM range(50) r(i)),
+         s AS (SELECT 's_' || s_suppkey AS doc_id,
+                      'Q' || (s_suppkey % 50) AS qid,
+                      CASE WHEN s_suppkey % 3 = 0
+                           THEN 'local_' || s_suppkey END AS localfr
+               FROM supplier)
+         SELECT doc_id,
+                COALESCE(localfr, t.fr) AS name_fr,
+                t.de AS name_de
+         FROM s LEFT JOIN t USING (qid) ORDER BY doc_id""",
 
     // q44: segments = 1 + interior shared positions; total segment
     // nodes = way length + cuts (each cut duplicates its node)

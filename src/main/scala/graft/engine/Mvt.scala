@@ -333,6 +333,14 @@ object Mvt {
     in.readAllBytes()
   }
 
+  /** Encoded byte length of an (unsigned) varint. */
+  def varintLen(v0: Long): Int = {
+    var v = v0
+    var n = 1
+    while ((v & ~0x7fL) != 0) { v >>>= 7; n += 1 }
+    n
+  }
+
   /** FNV-1a 64-bit hash (content-dedup key, like the reference's
     * `util/Hashing.java`). */
   def fnv1a64(b: Array[Byte]): Long = {

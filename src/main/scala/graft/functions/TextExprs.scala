@@ -279,6 +279,44 @@ object TextExprs {
     override protected def withNewChildInternal(c: Expression): Md5ChainFingerprintExpr = copy(child = c)
   }
 
+  /** The engine's FNV-1a 64 content hash as a codegen'd expression
+    * (the dedup key of `Mvt.fnv1a64` / reference `util/Hashing.java`,
+    * oracle-able via HUGEINT arithmetic). */
+  case class Fnv1a64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.LongType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.engine.Mvt.fnv1a64(v.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.engine.Mvt.fnv1a64($c.getBytes())")
+    override protected def withNewChildInternal(c: Expression): Fnv1a64Expr = copy(child = c)
+  }
+
+  /** MVT zigzag of a signed int (engine `Mvt.zigzag`). */
+  case class ZigzagExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.engine.Mvt.zigzag(v.asInstanceOf[Int])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.engine.Mvt.zigzag($c)")
+    override protected def withNewChildInternal(c: Expression): ZigzagExpr = copy(child = c)
+  }
+
+  /** Encoded byte length of the engine's unsigned varint. */
+  case class VarintLenExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+    override protected def nullSafeEval(v: Any): Any =
+      graft.engine.Mvt.varintLen(v.asInstanceOf[Long])
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+      defineCodeGen(ctx, ev, c => s"graft.engine.Mvt.varintLen($c)")
+    override protected def withNewChildInternal(c: Expression): VarintLenExpr = copy(child = c)
+  }
+
   def shingles(text: Column, n: Int): Column =
     SqlBridge.col(ShinglesExpr(SqlBridge.expr(text), n))
   def simhash60(text: Column): Column =
@@ -291,4 +329,10 @@ object TextExprs {
     SqlBridge.col(LangQualityExpr(SqlBridge.expr(text)))
   def md5ChainFingerprint(text: Column): Column =
     SqlBridge.col(Md5ChainFingerprintExpr(SqlBridge.expr(text)))
+  def fnv1a64(text: Column): Column =
+    SqlBridge.col(Fnv1a64Expr(SqlBridge.expr(text)))
+  def zigzag32(v: Column): Column =
+    SqlBridge.col(ZigzagExpr(SqlBridge.expr(v)))
+  def varintLen(v: Column): Column =
+    SqlBridge.col(VarintLenExpr(SqlBridge.expr(v)))
 }
