@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * DataSource V2 provider for OSM PBF files —
+ * `spark.read.format("osmpbf").load(path)` over the from-scratch
+ * [[OsmPbf]] codec.
+ *
+ * Scale shape: the PBF format is a sequence of independently
+ * decodable zlib blobs (~8k entities each), so the driver indexes
+ * blob offsets with a cheap header-only scan and plans one
+ * `InputPartition` per contiguous byte-balanced blob range — a planet
+ * file (~70k blobs / 70 GB) decodes with full cluster parallelism,
+ * the same block-parallel design as the reference's
+ * `reader/osm/OsmInputFile.java` worker pool, expressed as a Spark
+ * scan.
+ *
+ * Pushdown: `kind` equality/IN filters reach the decoder, which skips
+ * non-matching primitive groups before their packed arrays are
+ * parsed (a ways-only pass over a planet file never delta-decodes the
+ * ~8×10⁹ dense-node arrays).
+ */
+class OsmPbfDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "osmpbf"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmPbfDataSource.Schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OsmPbfTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)))
+}
+
+object OsmPbfDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("lat", DoubleType, nullable = true),
+    StructField("lon", DoubleType, nullable = true),
+    StructField("tags", MapType(StringType, StringType, valueContainsNull = false), nullable = false),
+    StructField("refs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("member_types", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("member_ids", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("member_roles", ArrayType(StringType, containsNull = false), nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("timestamp", LongType, nullable = false),
+    StructField("changeset", LongType, nullable = false),
+    StructField("uid", IntegerType, nullable = false),
+    StructField("user", StringType, nullable = false)))
+}
+
+private[sources] class OsmPbfTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"osmpbf(${paths.mkString(",")})"
+  override def schema(): StructType = OsmPbfDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmPbfScanBuilder(paths, options)
+}
+
+private[sources] class OsmPbfScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters {
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("kind", _: String) => true
+      case In("kind", vs) => vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    pushed = accepted
+    rejected // kind filters are group-level skips, not exact row filters per se,
+    // but they ARE exact here (every emitted row matches), so Spark may
+    // still re-check; returning them rejected=false keeps plans simple.
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    val target = Option(options.get("maxpartitions")).map(_.toInt)
+      .getOrElse(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
+    val kinds: Set[String] = pushed.flatMap {
+      case EqualTo("kind", v: String) => Seq(v)
+      case In("kind", vs) => vs.toSeq.map(_.toString)
+      case _ => Seq.empty[String]
+    }.toSet
+    new OsmPbfScan(paths, kinds, math.max(target, 1))
+  }
+}
+
+private[sources] case class OsmPbfInputPartition(
+    path: String, offsets: Array[Long], sizes: Array[Int]) extends InputPartition
+
+private[sources] class OsmPbfScan(paths: Seq[String], kinds: Set[String], target: Int)
+    extends Scan with Batch {
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+
+  /** Contiguous blob ranges balanced by compressed bytes. */
+  private lazy val partitions: Array[InputPartition] = {
+    val refs = paths.flatMap(p => OsmPbf.indexBlobs(p, conf.value)).filterNot(_.isHeader)
+    if (refs.isEmpty) Array.empty
+    else {
+      val totalBytes = refs.map(_.size.toLong).sum
+      val perPart = math.max(1L, totalBytes / target)
+      val out = Array.newBuilder[InputPartition]
+      var cur = List.empty[OsmPbf.BlobRef]
+      var curBytes = 0L
+      def flush(): Unit = if (cur.nonEmpty) {
+        val rs = cur.reverse
+        out += OsmPbfInputPartition(rs.head.path, rs.map(_.offset).toArray, rs.map(_.size).toArray)
+        cur = Nil; curBytes = 0L
+      }
+      refs.foreach { r =>
+        if (cur.nonEmpty && (cur.head.path != r.path || curBytes >= perPart)) flush()
+        cur = r :: cur
+        curBytes += r.size
+      }
+      flush()
+      out.result()
+    }
+  }
+
+  override def readSchema(): StructType = OsmPbfDataSource.Schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"osmpbf scan, blobRangePartitions=${partitions.length}, pushedKinds=[${kinds.toSeq.sorted.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] = partitions
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OsmPbfReaderFactory(conf, kinds)
+}
+
+private[sources] class OsmPbfReaderFactory(conf: SerializableConfiguration, kinds: Set[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmPbfInputPartition]
+    new OsmPbfPartitionReader(p, conf.value, kinds)
+  }
+}
+
+private[sources] class OsmPbfPartitionReader(
+    part: OsmPbfInputPartition, conf: org.apache.hadoop.conf.Configuration, kinds: Set[String])
+    extends PartitionReader[InternalRow] {
+  private val fsPath = new org.apache.hadoop.fs.Path(part.path)
+  private val in = fsPath.getFileSystem(conf).open(fsPath)
+
+  private val iter: Iterator[OsmPbf.Entity] =
+    part.offsets.indices.iterator.flatMap { i =>
+      val b = new Array[Byte](part.sizes(i))
+      in.seek(part.offsets(i))
+      in.readFully(b)
+      OsmPbf.decodeBlobEntities(b, kinds)
+    }
+
+  private var cur: OsmPbf.Entity = _
+  override def next(): Boolean =
+    if (iter.hasNext) { cur = iter.next(); true } else false
+
+  private def utf8Array(a: Array[String]): GenericArrayData =
+    new GenericArrayData(a.map(s => UTF8String.fromString(s): Any))
+
+  override def get(): InternalRow = {
+    val e = cur
+    val tags = new ArrayBasedMapData(
+      new GenericArrayData(e.tags.map(t => UTF8String.fromString(t._1): Any).toArray),
+      new GenericArrayData(e.tags.map(t => UTF8String.fromString(t._2): Any).toArray))
+    InternalRow(
+      UTF8String.fromString(e.kind), e.id,
+      if (e.lat.isNaN) null else e.lat,
+      if (e.lon.isNaN) null else e.lon,
+      tags,
+      new GenericArrayData(e.refs),
+      utf8Array(e.memberTypes),
+      new GenericArrayData(e.memberIds),
+      utf8Array(e.memberRoles),
+      e.version, e.timestamp, e.changeset, e.uid, UTF8String.fromString(e.user))
+  }
+
+  override def close(): Unit = in.close()
+}
