@@ -283,6 +283,44 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q50_osmpbf_scan" -> ((s, dir) => {
+      // OSM PBF through the gate: nation rows become tagged dense
+      // nodes, regions become ways over their nations' nodes; written
+      // to a PBF via the from-scratch encoder, read back through
+      // format("osmpbf"), and reduced to integer-exact columns the
+      // oracle recomputes arithmetically (coords at OSM's native
+      // 1e-7-degree grid, so the round trip is lossless)
+      val rows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      def lonOf(k: Int) = (k.toLong * 9973 % 36000) / 100.0 - 180.0
+      def latOf(k: Int) = (k.toLong * 7919 % 17000) / 100.0 - 85.0
+      val e0 = Array.empty[Long]; val s0 = Array.empty[String]
+      val nodes = rows.map { case (k, name, _) =>
+        graft.sources.OsmPbf.Entity("node", k + 1L, latOf(k), lonOf(k),
+          Seq("name" -> name), e0, s0, e0, s0, 1, 0L, 0L, 0, "") }
+      val ways = rows.groupBy(_._3).toSeq.sortBy(_._1).map { case (r, ns) =>
+        graft.sources.OsmPbf.Entity("way", 1000L + r, Double.NaN, Double.NaN,
+          Seq("name" -> s"region_$r"), ns.map(_._1 + 1L).sorted.toArray, s0, e0, s0, 1, 0L, 0L, 0, "") }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q50").resolve("n.osm.pbf").toString
+      graft.sources.OsmPbf.write(tmp, s.sparkContext.hadoopConfiguration,
+        (nodes ++ ways).iterator, blockSize = 10)
+      val df = s.read.format("osmpbf").load(tmp)
+      val nullL = lit(null).cast("long")
+      val nodesOut = df.where(col("kind") === "node").select(
+        col("kind"), col("id"),
+        try_element_at(col("tags"), lit("name")).as("name"),
+        round(col("lon") * 1e7).cast("long").as("lon_e7"),
+        round(col("lat") * 1e7).cast("long").as("lat_e7"),
+        lit(0L).as("refs_n"), lit(0L).as("refs_sum"))
+      val waysOut = df.where(col("kind") === "way").select(
+        col("kind"), col("id"),
+        try_element_at(col("tags"), lit("name")).as("name"),
+        nullL.as("lon_e7"), nullL.as("lat_e7"),
+        size(col("refs")).cast("long").as("refs_n"),
+        aggregate(col("refs"), lit(0L), (a, x) => a + x).as("refs_sum"))
+      nodesOut.unionByName(waysOut).orderBy(col("kind"), col("id"))
+    }),
+
     "q49_hilbert" -> ((s, dir) => {
       // the archive addressing function itself: the codegen'd Hilbert
       // index over the full 64x64 grid vs a recursive-CTE replay of
@@ -952,6 +990,22 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q50: the PBF round trip is lossless at the 1e-7-degree grid, so
+    // the oracle rebuilds the node coords and the per-region way
+    // membership from nation alone
+    "q50_osmpbf_scan" ->
+      """SELECT 'node' AS kind, CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+           CAST((CAST(n_nationkey AS BIGINT) * 9973 % 36000) * 100000 - 1800000000 AS BIGINT) AS lon_e7,
+           CAST((CAST(n_nationkey AS BIGINT) * 7919 % 17000) * 100000 - 850000000 AS BIGINT) AS lat_e7,
+           CAST(0 AS BIGINT) AS refs_n, CAST(0 AS BIGINT) AS refs_sum
+         FROM nation
+         UNION ALL
+         SELECT 'way', CAST(1000 + n_regionkey AS BIGINT), 'region_' || CAST(n_regionkey AS VARCHAR),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey + 1) AS BIGINT)
+         FROM nation GROUP BY n_regionkey
+         ORDER BY kind, id""",
 
     // q49: the classic rotate/flip Hilbert walk as a recursive CTE,
     // bitwise-identical to geo/Hilbert.xyToIndex

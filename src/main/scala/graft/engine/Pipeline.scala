@@ -98,6 +98,24 @@ object Pipeline {
     TileAssembler.assemble(renderedFromDocs(docs, profile, rebalance = numPartitions),
       profile, numPartitions, gzipTiles)
 
+  /** Pre-built SourceFeatures (e.g. an OSM PBF ingest, [[Osm]]) ->
+    * rendered Kv rows, with the same end-of-source flush. */
+  def renderedFromFeatures(sf: Dataset[SourceFeature], profile: Profile): Dataset[Kv] = {
+    val spark = sf.sparkSession
+    import spark.implicits._
+    val specs = sf.flatMap(profile.processFeature _)
+    val withFinish =
+      if (profile.sources.isEmpty) specs
+      else specs.unionByName(
+        spark.createDataset(profile.sources.flatMap(profile.finish).toSeq))
+    Render.renderKv(withFinish, profile.layers)
+  }
+
+  /** SourceFeatures -> encoded tiles (full assemble path). */
+  def tilesFromFeatures(sf: Dataset[SourceFeature], profile: Profile = new GraftProfile(),
+                        numPartitions: Int = 32, gzipTiles: Boolean = true): Dataset[TileBytes] =
+    TileAssembler.assemble(renderedFromFeatures(sf, profile), profile, numPartitions, gzipTiles)
+
   /**
    * Stage snapshot: compute-or-resume. If `dir` holds a committed
    * snapshot, read it (executor-loss / rerun resume path); otherwise
