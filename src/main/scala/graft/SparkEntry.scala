@@ -283,6 +283,104 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q53_merge_points" -> ((s, dir) => {
+      // merge-points-to-multipoint through the gate: per tile group,
+      // same-attrs point features collapse to ONE multipoint carrying
+      // every input point (duplicates kept) and the smallest input id;
+      // integer MVT grid makes the oracle a plain lineitem rollup
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_returnflag").as("flag"))
+        .as[(Long, Int, String)]
+      li.groupByKey(_._1 % 64).flatMapGroups { (grp, it) =>
+        val feats = it.toSeq
+          .map { case (ok, ln, flag) =>
+            graft.engine.Mvt.LayerFeature.of(
+              ok * 10 + ln, 1,
+              graft.engine.Mvt.encodePoints(Array((
+                ((ok * 7 + ln * 3) % 4096).toInt, ((ok * 11 + ln * 5) % 4096).toInt))),
+              Map("f" -> flag))
+          }.sortBy(_.id)
+        graft.engine.FeatureMerge.mergeMultiPoint(feats).map { f =>
+          val pts = graft.engine.Mvt.decodeCommands(1, f.commands).flatMap(_._2)
+          (grp, f.attrsMap("f"), 1L, pts.length.toLong,
+            pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum, f.id)
+        }.iterator
+      }.toDF("grp", "flag", "n_feats", "n_points", "x_sum", "y_sum", "min_id")
+        .groupBy(col("grp"), col("flag"))
+        .agg(sum(col("n_feats")).as("n_feats"), sum(col("n_points")).as("n_points"),
+          sum(col("x_sum")).as("x_sum"), sum(col("y_sum")).as("y_sum"),
+          min(col("min_id")).as("min_id"))
+        .orderBy(col("grp"), col("flag"))
+    }),
+
+    "q51_line_merge" -> ((s, dir) => {
+      // the graph line merger through the gate: each order's lineitem
+      // chain arrives as shuffled, alternately reversed 2-point
+      // segments; the merger must stitch exactly one polyline per
+      // order with every vertex once. Sums are integer-exact on the
+      // tile grid, so the oracle recomputes them from lineitem alone.
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("grp"),
+          col("l_linenumber").cast("int").as("ln"))
+        .withColumn("x", (col("ln") * 37 + pmod(col("grp"), lit(11)).cast("int")).cast("int"))
+        .withColumn("y", pmod(col("grp") * 13 + col("ln") * 29, lit(3000)).cast("int"))
+        .as[(Long, Int, Int, Int)]
+      li.groupByKey(_._1).flatMapGroups { (g, it) =>
+        // the synthetic lineitem carries duplicate (order, linenumber)
+        // pairs — the chain is over distinct vertices
+        val ps = it.toSeq.distinct.sortBy(_._2).map(p => (p._3, p._4))
+        if (ps.length < 3) Iterator.empty
+        else {
+          val segs = ps.sliding(2).zipWithIndex.map { case (pair, i) =>
+            val a = Array(pair.head, pair.last)
+            if (i % 2 == 1) a.reverse else a
+          }.toSeq
+          // shuffle the segment order deterministically
+          val mixed = segs.sortBy(seg => (seg.head._2 * 31 + seg.last._1) % 7)
+          val merged = graft.engine.LineMerger.merge(mixed, graft.engine.LineMerger.Params())
+          val vs = merged.flatten
+          Iterator.single((g, merged.length.toLong, vs.length.toLong,
+            vs.map(_._1.toLong).sum, vs.map(_._2.toLong).sum))
+        }
+      }.toDF("grp", "n_lines", "n_vertices", "x_sum", "y_sum")
+        .orderBy(col("grp"))
+    }),
+
+    "q52_simplify_dp" -> ((s, dir) => {
+      // Douglas-Peucker through the gate: each order's chain is a
+      // "tent" (rise to an apex at linenumber 4, then fall), so DP at
+      // tolerance 50 must keep exactly {first, apex, last} — the
+      // split point is the global max-deviation vertex and both
+      // flanks collapse as collinear. Oracle is closed-form.
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("grp"),
+          col("l_linenumber").cast("int").as("ln"))
+        .as[(Long, Int)]
+      li.groupByKey(_._1).flatMapGroups { (g, it) =>
+        // distinct linenumbers; the tent apex (ln=4) must be present
+        // and interior, so {first, apex, last} is the provable DP
+        // output whatever the gaps (each flank is a collinear subset,
+        // and the apex is the unique max-deviation vertex >= tol)
+        val lns = it.map(_._2).toSeq.distinct.sorted
+        if (!(lns.contains(4) && lns.head < 4 && lns.last > 4)) Iterator.empty
+        else {
+          val coords = lns.map { ln =>
+            new org.locationtech.jts.geom.Coordinate(
+              ln * 100.0, (4 - math.abs(ln - 4)) * 100.0)
+          }.toArray
+          val kept = graft.geo.Simplify.douglasPeucker(coords, 50.0, ring = false)
+          Iterator.single((g, kept.length.toLong,
+            kept.map(c => math.round(c.x)).sum, kept.map(c => math.round(c.y)).sum))
+        }
+      }.toDF("grp", "kept", "x_sum", "y_sum")
+        .orderBy(col("grp"))
+    }),
+
     "q50_osmpbf_scan" -> ((s, dir) => {
       // OSM PBF through the gate: nation rows become tagged dense
       // nodes, regions become ways over their nations' nodes; written
@@ -990,6 +1088,39 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q53: one multipoint per (tile group, flag) with every point and
+    // the minimum feature id — merge provably lossless and complete
+    "q53_merge_points" ->
+      """SELECT CAST(l_orderkey % 64 AS BIGINT) AS grp, l_returnflag AS flag,
+           CAST(1 AS BIGINT) AS n_feats, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM((l_orderkey * 7 + l_linenumber * 3) % 4096) AS BIGINT) AS x_sum,
+           CAST(SUM((l_orderkey * 11 + l_linenumber * 5) % 4096) AS BIGINT) AS y_sum,
+           CAST(MIN(l_orderkey * 10 + l_linenumber) AS BIGINT) AS min_id
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // q51: one merged polyline per order, every chain vertex exactly
+    // once; l_linenumber is 1..n consecutive, so the sums close over
+    // lineitem directly
+    "q51_line_merge" ->
+      """WITH pts AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+         SELECT CAST(l_orderkey AS BIGINT) AS grp, CAST(1 AS BIGINT) AS n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(l_linenumber * 37 + l_orderkey % 11) AS BIGINT) AS x_sum,
+           CAST(SUM((l_orderkey * 13 + l_linenumber * 29) % 3000) AS BIGINT) AS y_sum
+         FROM pts GROUP BY l_orderkey HAVING COUNT(*) >= 3 ORDER BY grp""",
+
+    // q52: DP on the tent keeps {first, apex(ln=4), last}; closed form
+    // from the distinct linenumber extremes (min < 4 < max required)
+    "q52_simplify_dp" ->
+      """WITH pts AS (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)
+         SELECT CAST(l_orderkey AS BIGINT) AS grp, CAST(3 AS BIGINT) AS kept,
+           CAST(100 * (MIN(l_linenumber) + 4 + MAX(l_linenumber)) AS BIGINT) AS x_sum,
+           CAST(100 * (MIN(l_linenumber) - MAX(l_linenumber)) + 1200 AS BIGINT) AS y_sum
+         FROM pts GROUP BY l_orderkey
+         HAVING MIN(l_linenumber) < 4 AND MAX(l_linenumber) > 4
+            AND MAX(CASE WHEN l_linenumber = 4 THEN 1 ELSE 0 END) = 1
+         ORDER BY grp""",
 
     // q50: the PBF round trip is lossless at the 1e-7-degree grid, so
     // the oracle rebuilds the node coords and the per-region way

@@ -24,8 +24,9 @@ object GraftCli {
     val sfDir = args.getString("sf_dir",
       "testdata directory with the TPC-H-ish tables (docs synthesized)", "")
     val input = args.getString("input",
-      "parquet directory holding an already-materialized interleaved docs table", "")
+      "input: a parquet docs-table directory, or an .osm.pbf file", "")
     require(sfDir.nonEmpty || input.nonEmpty, "one of --input / --sf-dir is required")
+    val isOsm = input.endsWith(".osm.pbf") || input.endsWith(".pbf")
     val output = args.getString("output",
       "output archive URI (.mbtiles/.pmtiles/.pb/.csv/.json or a {z}/{x}/{y}.pbf dir)", "")
     require(output.nonEmpty, "--output is required")
@@ -40,8 +41,11 @@ object GraftCli {
       "declarative profile (.json or .yml custommap dialect); default built-in profile", "")
 
     val docs =
-      if (input.nonEmpty) spark.read.parquet(input)
+      if (isOsm) null // OSM path renders from SourceFeatures directly
+      else if (input.nonEmpty) spark.read.parquet(input)
       else Docs.docs(spark, sfDir)
+    lazy val osmFeatures = graft.engine.Osm.sourceFeatures(
+      spark.read.format("osmpbf").load(input))
 
     val profile: graft.engine.Profile =
       if (profilePath.nonEmpty) {
@@ -57,7 +61,11 @@ object GraftCli {
             // polygon layer: synthesized for --sf-dir; filtered out of
             // the docs table itself for --input
             val polysDf =
-              if (sfDir.nonEmpty) Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
+              if (isOsm) osmFeatures
+                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
+                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
+                .toDF()
+              else if (sfDir.nonEmpty) Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
               else Docs.sourceFeatures(docs)
                 .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
                   .isInstanceOf[org.locationtech.jts.geom.Polygonal])
@@ -74,7 +82,10 @@ object GraftCli {
       "format" -> args.getString("archive_format", "archive metadata: tile format", "pbf")) ++
       args.withPrefix("meta")
 
-    val tiles = Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
+    val tiles =
+      if (isOsm) Pipeline.tilesFromFeatures(osmFeatures, profile,
+        numPartitions = partitions, gzipTiles = gzip)
+      else Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
     Archives.write(tiles, output, metadata, tilesGzipped = gzip)
   }
 

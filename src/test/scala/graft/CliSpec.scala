@@ -45,4 +45,19 @@ class CliSpec extends AnyFunSuite {
     assert(r.metadata.contains("\"attribution\":\"spec\""))
     r.close()
   }
+
+  test("end-to-end: --input=.osm.pbf drives the OSM reader pipeline") {
+    val monaco = "/root/reference/planetiler-core/src/test/resources/monaco-latest.osm.pbf"
+    assume(new java.io.File(monaco).canRead)
+    val out = java.nio.file.Files.createTempDirectory("graft_cli_osm").toString + "/monaco.mbtiles"
+    val n = GraftCli.run(Arguments.of(
+      "input" -> monaco,
+      "output" -> out,
+      "maxzoom" -> "7",
+      "partitions" -> "8"), spark)
+    assert(n > 0)
+    val back = spark.read.format("mbtiles").load(out)
+    assert(back.count() == n)
+    assert(back.where("z = 0").count() == 1)
+  }
 }
