@@ -283,6 +283,31 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q54_marching_squares" -> ((s, dir) => {
+      // raster vectorization through the gate: each order seeds a 9x9
+      // binary DEM; marching squares (with the below-threshold padding
+      // border) must produce polygons whose EXACT shoelace area and
+      // boundary segment count match the per-cell case table — which
+      // the oracle replays in SQL over a padded range-join grid.
+      // Midpoint crossings are exact halves, so doubles are lossless.
+      import s.implicits._
+      val orders = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("grp"))
+        .as[Long]
+      orders.map { ok =>
+        val bits = (i: Int, j: Int) => (ok * 7 + i * 13 + j * 31) % 5 < 2
+        val f = new Array[Float](81)
+        for (j <- 0 until 9; i <- 0 until 9) f(j * 9 + i) = if (bits(i, j)) 100f else 0f
+        val g = graft.raster.Raster.marchingSquares(f, 9, 9, 50.0)
+        val rings = (0 until g.getNumGeometries).flatMap { k =>
+          val p = g.getGeometryN(k).asInstanceOf[org.locationtech.jts.geom.Polygon]
+          (p.getExteriorRing +: (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
+            .map(_.getCoordinates.length - 1)
+        }
+        (ok, math.round(g.getArea * 8), rings.sum.toLong)
+      }.toDF("grp", "area_x8", "segs")
+        .orderBy(col("grp"))
+    }),
+
     "q53_merge_points" -> ((s, dir) => {
       // merge-points-to-multipoint through the gate: per tile group,
       // same-attrs point features collapse to ONE multipoint carrying
@@ -1088,6 +1113,32 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q54: the marching-squares case table replayed over a padded
+    // range-join grid — area in exact eighth-cells, segments per case
+    "q54_marching_squares" ->
+      """WITH cells AS (
+           SELECT o_orderkey AS grp, ci.i AS i, cj.i AS j,
+             CASE WHEN ci.i BETWEEN 0 AND 8 AND cj.i BETWEEN 0 AND 8
+                   AND (o_orderkey*7 + ci.i*13 + cj.i*31) % 5 < 2 THEN 1 ELSE 0 END AS tl,
+             CASE WHEN ci.i+1 BETWEEN 0 AND 8 AND cj.i BETWEEN 0 AND 8
+                   AND (o_orderkey*7 + (ci.i+1)*13 + cj.i*31) % 5 < 2 THEN 1 ELSE 0 END AS tr,
+             CASE WHEN ci.i+1 BETWEEN 0 AND 8 AND cj.i+1 BETWEEN 0 AND 8
+                   AND (o_orderkey*7 + (ci.i+1)*13 + (cj.i+1)*31) % 5 < 2 THEN 1 ELSE 0 END AS br,
+             CASE WHEN ci.i BETWEEN 0 AND 8 AND cj.i+1 BETWEEN 0 AND 8
+                   AND (o_orderkey*7 + ci.i*13 + (cj.i+1)*31) % 5 < 2 THEN 1 ELSE 0 END AS bl
+           FROM orders CROSS JOIN range(-1, 9) ci(i) CROSS JOIN range(-1, 9) cj(i))
+         SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(SUM(CASE tl+tr+br+bl
+             WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 3 THEN 7 WHEN 4 THEN 8
+             ELSE CASE WHEN (tl=1 AND br=1) OR (tr=1 AND bl=1) THEN 2 ELSE 4 END
+           END) AS BIGINT) AS area_x8,
+           CAST(SUM(CASE tl+tr+br+bl
+             WHEN 1 THEN 1 WHEN 3 THEN 1
+             WHEN 2 THEN CASE WHEN (tl=1 AND br=1) OR (tr=1 AND bl=1) THEN 2 ELSE 1 END
+             ELSE 0
+           END) AS BIGINT) AS segs
+         FROM cells GROUP BY grp ORDER BY grp""",
 
     // q53: one multipoint per (tile group, flag) with every point and
     // the minimum feature id — merge provably lossless and complete

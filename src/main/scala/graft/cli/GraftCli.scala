@@ -39,6 +39,9 @@ object GraftCli {
       "assign each point its containing admin polygon (broadcast PIP)", default = true)
     val profilePath = args.getString("profile",
       "declarative profile (.json or .yml custommap dialect); default built-in profile", "")
+    val hillshade = args.getBoolean("hillshade",
+      "hillshade each doc's media-ref DEM and add the shade bands as a polygon layer",
+      default = false)
 
     val docs =
       if (isOsm) null // OSM path renders from SourceFeatures directly
@@ -85,7 +88,14 @@ object GraftCli {
     val tiles =
       if (isOsm) Pipeline.tilesFromFeatures(osmFeatures, profile,
         numPartitions = partitions, gzipTiles = gzip)
-      else Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
+      else if (hillshade) {
+        // raster→vector merge: shade-band polygons union into the same
+        // feature stream — "just another polygon layer"
+        val features = Docs.sourceFeatures(docs)
+          .unionByName(graft.raster.Raster.hillshadeFeatures(docs))
+        Pipeline.tilesFromFeatures(features, profile,
+          numPartitions = partitions, gzipTiles = gzip)
+      } else Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
     Archives.write(tiles, output, metadata, tilesGzipped = gzip)
   }
 

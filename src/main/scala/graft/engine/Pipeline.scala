@@ -33,7 +33,7 @@ object Pipeline {
   class GraftProfile(pointMaxZoom: Int = 8, lineMaxZoom: Int = 8, polyMaxZoom: Int = 7,
                      pip: Option[SpatialJoin.PolygonIndex] = None)
       extends Profile {
-    override val layers: IndexedSeq[String] = Vector("admin", "lines", "points")
+    override val layers: IndexedSeq[String] = Vector("admin", "lines", "points", "hillshade")
     override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
       val geom = Geo.fromWkb(sf.geom)
       val world = Geo.latLonToWorld(geom)
@@ -60,10 +60,13 @@ object Pipeline {
             sortKey = (id % 1000).toInt, minzoom = 4, maxzoom = lineMaxZoom,
             attrs = Map("text" -> sf.tags.getOrElse("text", ""))))
         case _: JtsPolygon | _: MultiPolygon =>
+          // raster-derived shade bands ride as their own polygon layer
+          val layer = if (sf.tags.get("layer").contains("hillshade")) "hillshade" else "admin"
           Iterator.single(FeatureSpec(
-            layer = "admin", geom = Geo.toWkb(world), id = id,
+            layer = layer, geom = Geo.toWkb(world), id = id,
             sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = polyMaxZoom,
-            attrs = Map("text" -> sf.tags.getOrElse("text", ""))))
+            attrs = Map("text" -> sf.tags.getOrElse("text", "")) ++
+              sf.tags.get("band").map("band" -> _)))
         case _ => Iterator.empty
       }
     }
