@@ -497,7 +497,7 @@ object OsmPbf {
     bos.toByteArray
   }
 
-  private def writeFrame(out: DataOutputStream, typ: String, payload: Array[Byte]): Unit = {
+  private[sources] def writeFrame(out: DataOutputStream, typ: String, payload: Array[Byte]): Unit = {
     val z = deflate(payload)
     val blob = new PbOut
     blob.int(2, payload.length.toLong)
@@ -525,7 +525,7 @@ object OsmPbf {
   private val Granularity = 100L
 
   /** Encode one homogeneous batch as a PrimitiveBlock payload. */
-  private def encodeBlock(batch: Seq[Entity]): Array[Byte] = {
+  private[sources] def encodeBlock(batch: Seq[Entity]): Array[Byte] = {
     val st = new StringTable
     val group = new PbOut
     batch.head.kind match {
@@ -610,6 +610,35 @@ object OsmPbf {
    * `blockSize` run of same-kind entities (nodes must carry finite
    * lat/lon; timestamps in epoch seconds).
    */
+  /** Writes the OSMHeader frame. */
+  private[sources] def writeHeaderFrame(out: DataOutputStream,
+      bbox: Option[(Double, Double, Double, Double)]): Unit = {
+    val header = new PbOut
+    bbox.foreach { case (left, bottom, right, top) =>
+      val bb = new PbOut
+      bb.sint(1, math.round(left * 1e9))
+      bb.sint(2, math.round(right * 1e9))
+      bb.sint(3, math.round(top * 1e9))
+      bb.sint(4, math.round(bottom * 1e9))
+      header.msg(1, bb)
+    }
+    header.str(4, "OsmSchema-V0.6")
+    header.str(4, "DenseNodes")
+    header.str(16, "graft")
+    writeFrame(out, "OSMHeader", header.result)
+  }
+
+  /** Buffers same-kind runs and flushes each as one OSMData frame. */
+  private[sources] final class BlockWriter(out: DataOutputStream, blockSize: Int = 8000) {
+    private val buf = ArrayBuffer[Entity]()
+    def add(e: Entity): Unit = {
+      if (buf.nonEmpty && (buf.head.kind != e.kind || buf.length >= blockSize)) flush()
+      buf += e
+    }
+    def flush(): Unit =
+      if (buf.nonEmpty) { writeFrame(out, "OSMData", encodeBlock(buf.toSeq)); buf.clear() }
+  }
+
   def write(path: String, conf: Configuration, entities: Iterator[Entity],
             bbox: Option[(Double, Double, Double, Double)] = None,
             blockSize: Int = 8000): Unit = {
@@ -617,27 +646,10 @@ object OsmPbf {
     val fs = p.getFileSystem(conf)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20))
     try {
-      val header = new PbOut
-      bbox.foreach { case (left, bottom, right, top) =>
-        val bb = new PbOut
-        bb.sint(1, math.round(left * 1e9))
-        bb.sint(2, math.round(right * 1e9))
-        bb.sint(3, math.round(top * 1e9))
-        bb.sint(4, math.round(bottom * 1e9))
-        header.msg(1, bb)
-      }
-      header.str(4, "OsmSchema-V0.6")
-      header.str(4, "DenseNodes")
-      header.str(16, "graft")
-      writeFrame(out, "OSMHeader", header.result)
-
-      val buf = ArrayBuffer[Entity]()
-      def flush(): Unit = if (buf.nonEmpty) { writeFrame(out, "OSMData", encodeBlock(buf.toSeq)); buf.clear() }
-      entities.foreach { e =>
-        if (buf.nonEmpty && (buf.head.kind != e.kind || buf.length >= blockSize)) flush()
-        buf += e
-      }
-      flush()
+      writeHeaderFrame(out, bbox)
+      val bw = new BlockWriter(out, blockSize)
+      entities.foreach(bw.add)
+      bw.flush()
     } finally out.close()
   }
 }

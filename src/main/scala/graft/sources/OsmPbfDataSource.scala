@@ -37,6 +37,8 @@ import scala.jdk.CollectionConverters._
 class OsmPbfDataSource extends TableProvider with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "osmpbf"
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = OsmPbfDataSource.Schema
+  // writes arrive with the DataFrame's own (osmpbf-shaped) schema
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new OsmPbfTable(MbtilesDataSource.pathsOf(new CaseInsensitiveStringMap(properties)))
@@ -60,12 +62,168 @@ object OsmPbfDataSource {
     StructField("user", StringType, nullable = false)))
 }
 
-private[sources] class OsmPbfTable(paths: Seq[String]) extends Table with SupportsRead {
+private[sources] class OsmPbfTable(paths: Seq[String]) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"osmpbf(${paths.mkString(",")})"
   override def schema(): StructType = OsmPbfDataSource.Schema
-  override def capabilities(): util.Set[TableCapability] = Set(TableCapability.BATCH_READ).asJava
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OsmPbfScanBuilder(paths, options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo): org.apache.spark.sql.connector.write.WriteBuilder =
+    new OsmPbfWriteBuilder(paths.head, info)
+}
+
+/**
+ * DSv2 WRITE: `entities.write.format("osmpbf").save(path)`.
+ *
+ * PBF data blobs are self-contained (each carries its own string
+ * table and delta baselines), so parallelism is free: every task
+ * streams its partition as framed OSMData blobs into a shard via the
+ * Hadoop FileSystem, and commit writes `OSMHeader` + a byte-level
+ * concatenation of the shards in partition order — no re-encode, no
+ * driver-side row work. `.option("bbox", "left,bottom,right,top")`
+ * populates the header bbox.
+ */
+private[sources] class OsmPbfWriteBuilder(
+    path: String, info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  import org.apache.spark.sql.connector.write._
+  override def truncate(): WriteBuilder = this
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val bbox = Option(info.options().get("bbox")).map { s =>
+        val a = s.split(",").map(_.trim.toDouble)
+        require(a.length == 4, "bbox must be left,bottom,right,top")
+        (a(0), a(1), a(2), a(3))
+      }
+      new OsmPbfBatchWrite(path, info.schema(), bbox)
+    }
+  }
+}
+
+private[sources] case class OsmPbfShardMsg(pid: Int, path: String, entities: Long)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class OsmPbfBatchWrite(path: String, schema: StructType,
+                                        bbox: Option[(Double, Double, Double, Double)])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+  private val shardDir = path + ".shards"
+  private val conf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+  Seq("kind", "id", "tags", "refs").foreach { c =>
+    require(schema.fieldNames.contains(c), s"osmpbf write needs column '$c' (osmpbf schema)")
+  }
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new OsmPbfWriterFactory(shardDir, schema, conf)
+
+  private def deleteShardDir(): Unit = {
+    val p = new org.apache.hadoop.fs.Path(shardDir)
+    p.getFileSystem(conf.value).delete(p, true)
+    ()
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val shards = messages.collect { case m: OsmPbfShardMsg if m.entities > 0 => m }.sortBy(_.pid)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf.value)
+    val out = new java.io.DataOutputStream(
+      new java.io.BufferedOutputStream(fs.create(dst, true), 1 << 20))
+    try {
+      OsmPbf.writeHeaderFrame(out, bbox)
+      val buf = new Array[Byte](1 << 20)
+      shards.foreach { m =>
+        val sp = new org.apache.hadoop.fs.Path(m.path)
+        val in = sp.getFileSystem(conf.value).open(sp)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally {
+      out.close()
+      deleteShardDir()
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = deleteShardDir()
+}
+
+private[sources] class OsmPbfWriterFactory(shardDir: String, schema: StructType,
+                                           conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new OsmPbfDataWriter(shardDir, partitionId, taskId, schema, conf.value)
+}
+
+private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long,
+                                        schema: StructType,
+                                        conf: org.apache.hadoop.conf.Configuration)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.spark.sql.connector.write.WriterCommitMessage
+  private val idx = OsmPbfDataSource.Schema.fieldNames.map(n => n -> schema.fieldIndex(n)).toMap
+  private var localFile: java.io.File = _
+  private var out: java.io.DataOutputStream = _
+  private var bw: OsmPbf.BlockWriter = _
+  private var n = 0L
+
+  private def strArray(row: InternalRow, field: String): Array[String] = {
+    val a = row.getArray(idx(field))
+    (0 until a.numElements()).map(a.getUTF8String(_).toString).toArray
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (out == null) {
+      localFile = java.io.File.createTempFile(f"osmpbf-shard-$pid%05d-$taskId-", ".bin")
+      out = new java.io.DataOutputStream(
+        new java.io.BufferedOutputStream(new java.io.FileOutputStream(localFile), 1 << 20))
+      bw = new OsmPbf.BlockWriter(out)
+    }
+    val tagsData = row.getMap(idx("tags"))
+    val tags = (0 until tagsData.numElements()).map { i =>
+      tagsData.keyArray().getUTF8String(i).toString ->
+        tagsData.valueArray().getUTF8String(i).toString
+    }
+    val refsData = row.getArray(idx("refs"))
+    bw.add(OsmPbf.Entity(
+      row.getUTF8String(idx("kind")).toString,
+      row.getLong(idx("id")),
+      if (row.isNullAt(idx("lat"))) Double.NaN else row.getDouble(idx("lat")),
+      if (row.isNullAt(idx("lon"))) Double.NaN else row.getDouble(idx("lon")),
+      tags,
+      (0 until refsData.numElements()).map(refsData.getLong).toArray,
+      strArray(row, "member_types"),
+      row.getArray(idx("member_ids")).toLongArray(),
+      strArray(row, "member_roles"),
+      row.getInt(idx("version")),
+      row.getLong(idx("timestamp")),
+      row.getLong(idx("changeset")),
+      row.getInt(idx("uid")),
+      row.getUTF8String(idx("user")).toString))
+    n += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (out == null) return OsmPbfShardMsg(pid, null, 0L)
+    bw.flush()
+    out.close()
+    val dst = new org.apache.hadoop.fs.Path(f"$shardDir/part-$pid%05d-$taskId.bin")
+    val fs = dst.getFileSystem(conf)
+    fs.mkdirs(dst.getParent)
+    fs.copyFromLocalFile(true, true, new org.apache.hadoop.fs.Path(localFile.getPath), dst)
+    OsmPbfShardMsg(pid, dst.toString, n)
+  }
+
+  override def abort(): Unit = {
+    if (out != null) out.close()
+    if (localFile != null) { localFile.delete(); () }
+  }
+  override def close(): Unit = ()
 }
 
 private[sources] class OsmPbfScanBuilder(paths: Seq[String], options: CaseInsensitiveStringMap)

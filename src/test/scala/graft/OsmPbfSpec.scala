@@ -150,6 +150,28 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(df.count() == 120L)
   }
 
+  test("dsv2 write: parallel shards concatenate to one valid pbf") {
+    val src = spark.read.format("osmpbf").load(fixturePath)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_pbf_w")
+    val out = outDir.resolve("out.osm.pbf").toString
+    src.repartition(4).write.format("osmpbf").mode("overwrite")
+      .option("bbox", "-180,-85,180,85").save(out)
+    assert(!new java.io.File(out + ".shards").exists, "shard dir must be cleaned up")
+    val back = spark.read.format("osmpbf").load(out)
+    assert(back.count() == src.count())
+    val a = src.select("kind", "id", "tags", "refs", "user").collect()
+      .map(_.toString).sorted.toSeq
+    val b = back.select("kind", "id", "tags", "refs", "user").collect()
+      .map(_.toString).sorted.toSeq
+    assert(a == b)
+    val h = OsmPbf.readHeader(out, conf).get
+    assert(h.left == -180.0 && h.top == 85.0)
+    // monaco-grade check: our own reader isn't the only consumer —
+    // the blob framing must index cleanly too
+    assert(OsmPbf.indexBlobs(out, conf).count(!_.isHeader) >= 4,
+      "expected at least one data blob per shard")
+  }
+
   test("dsv2: monaco via spark matches reference counts at partition parallelism") {
     assume(monacoAvailable)
     val df = spark.read.format("osmpbf").option("maxpartitions", "8").load(monacoPath)
