@@ -283,6 +283,82 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q57_geopackage_scan" -> ((s, dir) => {
+      // GeoPackage through the gate: nation points written as a real
+      // gpkg via the from-scratch SQLite page writer (meta tables +
+      // GP geometry blobs), read back through the b-tree parser
+      import s.implicits._
+      val rows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      def lonOf(k: Int) = (k.toLong * 9973 % 36000) / 100.0 - 180.0
+      def latOf(k: Int) = (k.toLong * 7919 % 17000) / 100.0 - 85.0
+      val path = java.nio.file.Files.createTempDirectory("graft_q57").resolve("n.gpkg").toString
+      graft.sources.GeoPackage.writePoints(path, "pts", Seq("key", "name"),
+        rows.map { case (k, n) => (lonOf(k), latOf(k), Seq((k + 1L).toString, n)) }.toSeq)
+      graft.sources.GeoPackage.read(s, path)
+        .select(col("attrs"), col("geom"))
+        .as[(Map[String, String], Array[Byte])]
+        .map { case (attrs, wkb) =>
+          val c = graft.geo.Geo.fromWkb(wkb).getCoordinate
+          (attrs("key").toLong, attrs("name"),
+            math.round(c.x * 1e7), math.round(c.y * 1e7))
+        }
+        .toDF("id", "name", "lon_e7", "lat_e7")
+        .orderBy(col("id"))
+    }),
+
+    "q56_shapefile_scan" -> ((s, dir) => {
+      // shapefile I/O through the gate: nation points written with the
+      // from-scratch .shp/.dbf writer, read back through the parser,
+      // coords integer-exact on the 1e-7 grid
+      import s.implicits._
+      val rows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      def lonOf(k: Int) = (k.toLong * 9973 % 36000) / 100.0 - 180.0
+      def latOf(k: Int) = (k.toLong * 7919 % 17000) / 100.0 - 85.0
+      val pts = rows.map { case (k, name) =>
+        (lonOf(k), latOf(k), Seq((k + 1L).toString, name)) }.toSeq
+      val base = java.nio.file.Files.createTempDirectory("graft_q56").resolve("n").toString
+      graft.sources.Shapefile.writePoints(base, pts,
+        Seq(("KEY", 6), ("NAME", 32)), s.sparkContext.hadoopConfiguration)
+      graft.sources.Shapefile.read(s, base + ".shp")
+        .select(col("attrs"), col("geom"))
+        .as[(Map[String, String], Array[Byte])]
+        .map { case (attrs, wkb) =>
+          val c = graft.geo.Geo.fromWkb(wkb).getCoordinate
+          (attrs("KEY").toLong, attrs("NAME"),
+            math.round(c.x * 1e7), math.round(c.y * 1e7))
+        }
+        .toDF("id", "name", "lon_e7", "lat_e7")
+        .orderBy(col("id"))
+    }),
+
+    "q55_ring_assembly" -> ((s, dir) => {
+      // the multipolygon ring stitcher through the gate: each order's
+      // outer rectangle and inner hole arrive as shuffled partial
+      // chains; assembly must close both rings, nest the hole, and
+      // reproduce the closed-form area (all coords are exact halves)
+      import s.implicits._
+      val orders = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("grp"))
+        .as[Long]
+      orders.map { ok =>
+        val w = (2 + ok % 4).toDouble; val h = (2 + ok % 3).toDouble
+        def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
+        // outer ring as 4 edges, hole as 2 L-shaped chains
+        val segs: Seq[Array[org.locationtech.jts.geom.Coordinate]] = Seq(
+          Array(c(0, 0), c(w, 0)), Array(c(w, 0), c(w, h)),
+          Array(c(w, h), c(0, h)), Array(c(0, h), c(0, 0)),
+          Array(c(0.5, 0.5), c(1.5, 0.5), c(1.5, 1.5)),
+          Array(c(1.5, 1.5), c(0.5, 1.5), c(0.5, 0.5)))
+        // deterministic shuffle
+        val mixed = segs.zipWithIndex.sortBy { case (_, i) => (i * 31 + ok) % 7 }.map(_._1)
+        val g = graft.geo.RingAssembler.assemble(mixed)
+        val poly = g.asInstanceOf[org.locationtech.jts.geom.Polygon]
+        (ok, math.round(g.getArea), poly.getNumInteriorRing.toLong, 1L)
+      }.toDF("grp", "area", "holes", "shells")
+        .orderBy(col("grp"))
+    }),
+
     "q54_marching_squares" -> ((s, dir) => {
       // raster vectorization through the gate: each order seeds a 9x9
       // binary DEM; marching squares (with the below-threshold padding
@@ -1113,6 +1189,28 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q57: same closed form as q56 — the gpkg round trip is lossless
+    "q57_geopackage_scan" ->
+      """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+           CAST((CAST(n_nationkey AS BIGINT) * 9973 % 36000) * 100000 - 1800000000 AS BIGINT) AS lon_e7,
+           CAST((CAST(n_nationkey AS BIGINT) * 7919 % 17000) * 100000 - 850000000 AS BIGINT) AS lat_e7
+         FROM nation ORDER BY id""",
+
+    // q56: the shapefile round trip is lossless (doubles in .shp, the
+    // same coords the oracle rebuilds from nation)
+    "q56_shapefile_scan" ->
+      """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+           CAST((CAST(n_nationkey AS BIGINT) * 9973 % 36000) * 100000 - 1800000000 AS BIGINT) AS lon_e7,
+           CAST((CAST(n_nationkey AS BIGINT) * 7919 % 17000) * 100000 - 850000000 AS BIGINT) AS lat_e7
+         FROM nation ORDER BY id""",
+
+    // q55: outer (2+k%4)x(2+k%3) rectangle minus the unit hole
+    "q55_ring_assembly" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS grp,
+           CAST((2 + o_orderkey % 4) * (2 + o_orderkey % 3) - 1 AS BIGINT) AS area,
+           CAST(1 AS BIGINT) AS holes, CAST(1 AS BIGINT) AS shells
+         FROM orders ORDER BY grp""",
 
     // q54: the marching-squares case table replayed over a padded
     // range-join grid — area in exact eighth-cells, segments per case

@@ -179,4 +179,85 @@ object Shapefile {
     }
     (fields.toSeq, records.toSeq)
   }
+
+  // -------------------------------------------------------------------------
+  // writer (point shapefiles — fixtures + a minimal export sink)
+  // -------------------------------------------------------------------------
+
+  /**
+   * Write a point shapefile (`.shp` + `.dbf`, WGS84 — no `.prj`
+   * needed under the historical default): the inverse of the reader
+   * for shape type 1 with C-typed attributes. `fields` fixes the
+   * column order; every value is space-padded to its field length.
+   */
+  def writePoints(basePath: String,
+                  rows: Seq[(Double, Double, Seq[String])],
+                  fields: Seq[(String, Int)],
+                  conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // --- .shp
+    val recBytes = 8 + 4 + 16 // record header + shape type + x,y
+    val shpLen = 100 + rows.length * recBytes
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2) // length in 16-bit words
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000) // version
+    shp.putInt(32, 1)    // point
+    val (xs, ys) = (rows.map(_._1), rows.map(_._2))
+    if (rows.nonEmpty) {
+      shp.putDouble(36, xs.min); shp.putDouble(44, ys.min)
+      shp.putDouble(52, xs.max); shp.putDouble(60, ys.max)
+    }
+    var off = 100
+    rows.zipWithIndex.foreach { case ((x, y, _), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)       // 1-based record number
+      shp.putInt(off + 4, 10)      // content words: 4 + 16 bytes
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(off + 8, 1)
+      shp.putDouble(off + 12, x)
+      shp.putDouble(off + 20, y)
+      off += recBytes
+    }
+    // --- .dbf (dBase III)
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._2).sum
+    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, rows.length)
+    dbf.putShort(8, headerSize.toShort)
+    dbf.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, len), fi) =>
+      val base = 32 + 32 * fi
+      val nb = name.getBytes("ISO-8859-1").take(10)
+      nb.indices.foreach(k => dbf.put(base + k, nb(k)))
+      dbf.put(base + 11, 'C'.toByte)
+      dbf.put(base + 16, len.toByte)
+    }
+    dbf.put(headerSize - 1, 0x0d.toByte)
+    var rp = headerSize
+    rows.foreach { case (_, _, vals) =>
+      dbf.put(rp, 0x20.toByte)
+      var fo = rp + 1
+      fields.zipWithIndex.foreach { case ((_, len), fi) =>
+        val v = (if (fi < vals.length) vals(fi) else "").getBytes("ISO-8859-1")
+        var k = 0
+        while (k < len) { dbf.put(fo + k, if (k < v.length) v(k) else ' '.toByte); k += 1 }
+        fo += len
+      }
+      rp += recordSize
+    }
+    dbf.put(dbf.capacity() - 1, 0x1a.toByte)
+    def save(suffix: String, bytes: Array[Byte]): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(basePath + suffix)
+      val outS = hp.getFileSystem(conf).create(hp, true)
+      try outS.write(bytes) finally outS.close()
+    }
+    save(".shp", shp.array())
+    save(".dbf", dbf.array())
+  }
 }
+

@@ -66,6 +66,48 @@ object GeoPackage {
     java.util.Arrays.copyOfRange(blob, 8 + envBytes, blob.length)
   }
 
+  /** Wrap standard WKB in a GeoPackage geometry blob (LE srs_id, no
+    * envelope). */
+  private[sources] def wrapGpkgGeometry(wkb: Array[Byte], srsId: Int = 4326): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + wkb.length)
+    bb.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    bb.put(0x01.toByte) // flags: little-endian header, no envelope
+    bb.order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(srsId)
+    bb.put(wkb)
+    bb.array()
+  }
+
+  /**
+   * Write a WGS84 point-feature GeoPackage through the from-scratch
+   * SQLite page writer ([[graft.engine.SqliteWriter]]): the three
+   * required meta tables + one feature table, readable by [[read]]
+   * (and by stock sqlite3). Attr columns come from `attrCols`;
+   * feature fids are 1..n in input order.
+   */
+  def writePoints(path: String, table: String, attrCols: Seq[String],
+                  rows: Seq[(Double, Double, Seq[String])]): Unit = {
+    import graft.engine.SqliteWriter
+    val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
+    val attrsSql = attrCols.map(c => s"$c TEXT").mkString(", ")
+    val featureRows = rows.map { case (lon, lat, vals) =>
+      val wkb = graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(lon, lat)))
+      (vals.map(v => v: Any) :+ (wrapGpkgGeometry(wkb): Any)).toArray
+    }
+    SqliteWriter.write(path, Seq(
+      SqliteWriter.Table("gpkg_spatial_ref_sys",
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT, srs_id INTEGER, organization TEXT, organization_coordsys_id INTEGER, definition TEXT)",
+        Seq(Array[Any]("WGS 84", 4326L, "EPSG", 4326L, wgs84))),
+      SqliteWriter.Table("gpkg_contents",
+        "CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT, identifier TEXT, srs_id INTEGER)",
+        Seq(Array[Any](table, "features", table, 4326L))),
+      SqliteWriter.Table("gpkg_geometry_columns",
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER)",
+        Seq(Array[Any](table, "geom", "POINT", 4326L))),
+      SqliteWriter.Table(table,
+        s"CREATE TABLE $table ($attrsSql, geom BLOB)", featureRows)))
+  }
+
   /**
    * All feature tables (or one) as (table, fid, geom WKB, attrs).
    * Each table's `srs_id` (from `gpkg_contents`, definitions resolved

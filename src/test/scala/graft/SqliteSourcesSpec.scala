@@ -185,4 +185,35 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(r.getAs[Map[String, String]]("attrs")("name") == "Lake One")
     assert(r.getAs[Map[String, String]]("attrs")("scalerank") == "2")
   }
+
+  test("geopackage writer: real sqlite3 integrity + reader round trip") {
+    val path = java.nio.file.Files.createTempDirectory("graft_gpkg_w").resolve("w.gpkg").toString
+    val rows = (0 until 40).map { k =>
+      (k * 1.5 - 20.0, k * 0.5 - 10.0, Seq(k.toString, s"name_$k"))
+    }
+    GeoPackage.writePoints(path, "pts", Seq("key", "name"), rows)
+    // stock sqlite3 must accept the page image and see the meta tables
+    val py =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |assert con.execute('PRAGMA integrity_check').fetchone()[0] == 'ok'
+         |assert con.execute('SELECT COUNT(*) FROM pts').fetchone()[0] == 40
+         |t, d = con.execute('SELECT table_name, data_type FROM gpkg_contents').fetchone()
+         |assert (t, d) == ('pts', 'features'), (t, d)
+         |g = con.execute('SELECT geom FROM pts LIMIT 1').fetchone()[0]
+         |assert g[:2] == b'GP', g[:2]
+         |print('OK')
+         |""".stripMargin
+    val outBuf = new StringBuilder
+    val code = scala.sys.process.Process(Seq("python3", "-c", py))
+      .!(scala.sys.process.ProcessLogger(l => outBuf.append(l).append('\n'), l => outBuf.append(l).append('\n')))
+    assert(code == 0, s"python sqlite3 failed: $outBuf")
+    // our own reader sees the same features with unwrapped WKB
+    val back = GeoPackage.read(spark, path).collect()
+    assert(back.length == 40)
+    val byKey = back.map(r => r.getAs[Map[String, String]]("attrs")("key") -> r).toMap
+    val g7 = graft.geo.Geo.fromWkb(byKey("7").getAs[Array[Byte]]("geom"))
+    assert(g7.getCoordinate.x == 7 * 1.5 - 20.0 && g7.getCoordinate.y == 7 * 0.5 - 10.0)
+    assert(byKey("7").getAs[Map[String, String]]("attrs")("name") == "name_7")
+  }
 }
