@@ -340,6 +340,7 @@ object SparkEntry {
       // reproduce the closed-form area (all coords are exact halves)
       import s.implicits._
       val orders = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("grp"))
+        .repartition(64)
         .as[Long]
       orders.map { ok =>
         val w = (2 + ok % 4).toDouble; val h = (2 + ok % 3).toDouble
@@ -367,7 +368,10 @@ object SparkEntry {
       // the oracle replays in SQL over a padded range-join grid.
       // Midpoint crossings are exact halves, so doubles are lossless.
       import s.implicits._
+      // rebalance first: the small parquet arrives as one split, and
+      // ~100us of vectorization per row would otherwise pin one core
       val orders = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("grp"))
+        .repartition(64)
         .as[Long]
       orders.map { ok =>
         val bits = (i: Int, j: Int) => (ok * 7 + i * 13 + j * 31) % 5 < 2

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
  * witnessing reachability (minimal among paths seen when the pair is
  * first discovered).
  *
- * Spark shape: PATH DOUBLING — each round joins the closure with
- * itself, so reachable depth doubles per round and a depth-d nest
+ * Spark shape: PATH DOUBLING ("smart" transitive closure) — each
+ * round joins the newly-discovered frontier against the closure, so
+ * reachable depth doubles per round and a depth-d nest
  * closes in O(log d) rounds instead of d frontier expansions (the
  * same log-round argument as the large-star/small-star components in
  * [[graft.dedup.Dedup]]). A deliberate 25-relation cycle therefore
@@ -29,15 +30,21 @@ object Relations {
       .distinct()
       .localCheckpoint(eager = true)
     var closure = base
+    var frontier = base
     var reached = 1L
     var done = false
     while (!done && reached < maxDepth) {
-      // re-alias the right/guard sides so the self-join and the later
-      // union see disjoint attribute ids
+      // "smart" doubling: join the FRONTIER (pairs first discovered
+      // last round) against the closure. Complete for doubling — a
+      // shortest path of length L in (d, 2d] splits at its midpoint
+      // into a prefix of exactly ceil(L/2) in (d/2, d] (frontier) and
+      // a suffix <= d (closure) — and the frontier collapses to the
+      // few deep pairs once the shallow part of the graph closes, so
+      // late rounds join a tiny side instead of closure x closure.
       val m = closure.select(col("member_id").as("m_member"),
         col("ancestor_id").as("m_anc"), col("depth").as("m_depth"))
       val known = closure.select(col("member_id").as("km"), col("ancestor_id").as("ka"))
-      val next = closure
+      val next = frontier
         .join(m, col("ancestor_id") === col("m_member"))
         .select(col("member_id").as("nm"), col("m_anc").as("na"),
           (col("depth") + col("m_depth")).as("nd"))
@@ -49,9 +56,10 @@ object Relations {
         .localCheckpoint(eager = true)
       if (next.isEmpty) done = true
       else {
-        // closure is read three times next round (both join sides +
-        // the anti guard) — keep it materialized, lineage flat
+        // closure is read twice next round (join side + anti guard) —
+        // keep it materialized, lineage flat
         closure = closure.unionByName(next).localCheckpoint(eager = true)
+        frontier = next
         reached *= 2
       }
     }
