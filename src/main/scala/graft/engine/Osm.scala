@@ -45,15 +45,33 @@ object Osm {
     }
   }
 
-  /** way_id, tags, closed, coords (ordered lon/lat pairs). One
-    * shuffle join (refs ⋈ node ids) + one aggregation. */
+  /**
+   * way_id, tags, coords (ordered lon/lat pairs).
+   *
+   * Location-padded ways (LocationsOnWays, the osmium
+   * add-locations-to-ways convention) already carry their node
+   * coordinates — those project DIRECTLY with no join, which at
+   * planet scale removes the engine's biggest shuffle (the ~8×10⁹-row
+   * refs ⋈ nodes exchange). Unpadded ways take the pass-2 shape: ONE
+   * shuffle join (refs ⋈ node ids) + one aggregation.
+   */
   def wayCoords(entities: DataFrame): DataFrame = {
+    val ways = entities.filter(col("kind") === "way")
+      .select(col("id").as("way_id"), col("tags"), col("refs"),
+        col("ref_lats"), col("ref_lons"))
+      .where(size(col("refs")) >= 2)
+
+    val padded = ways
+      .where(size(col("ref_lats")) === size(col("refs")))
+      .select(col("way_id"), col("tags"),
+        transform(arrays_zip(col("ref_lons"), col("ref_lats")),
+          x => struct(x.getField("ref_lons").as("lon"), x.getField("ref_lats").as("lat")))
+          .as("coords"))
+
     val nodes = entities.filter(col("kind") === "node")
       .select(col("id").as("ref"), col("lat"), col("lon"))
-    val ways = entities.filter(col("kind") === "way")
-      .select(col("id").as("way_id"), col("tags"), col("refs"))
-      .where(size(col("refs")) >= 2)
-    ways
+    val joined = ways
+      .where(size(col("ref_lats")) =!= size(col("refs")))
       .select(col("way_id"), col("tags"), size(col("refs")).as("want"),
         posexplode(col("refs")).as(Seq("pos", "ref")))
       .join(nodes, "ref")
@@ -68,6 +86,8 @@ object Osm {
       // reference's incomplete-way handling
       .where(col("got") === col("want"))
       .select(col("way_id"), col("tags"), col("coords"))
+
+    padded.unionByName(joined)
   }
 
   /** Encoder-friendly lon/lat pair (matches the `coords` struct by name). */

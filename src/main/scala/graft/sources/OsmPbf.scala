@@ -44,7 +44,11 @@ object OsmPbf {
       timestamp: Long, // epoch seconds, 0 if absent
       changeset: Long,
       uid: Int,
-      user: String)
+      user: String,
+      // LocationsOnWays (osmium add-locations-to-ways): per-ref
+      // coordinates carried on the way itself — empty when absent
+      refLats: Array[Double] = Array.empty,
+      refLons: Array[Double] = Array.empty)
 
   final case class Header(
       left: Double, bottom: Double, right: Double, top: Double,
@@ -417,6 +421,7 @@ object OsmPbf {
           if (want("way")) {
             var id = 0L
             var keys = EmptyLongs; var vals = EmptyLongs; var refs = EmptyLongs
+            var wlats = EmptyLongs; var wlons = EmptyLongs
             var info = NoInfo
             while (w.hasMore) w.tag() match {
               case (1, 0) => id = w.varint()
@@ -427,11 +432,20 @@ object OsmPbf {
                 val deltas = w.packedVarints().map(w.zigzag)
                 var acc = 0L
                 refs = deltas.map { d => acc += d; acc }
+              case (9, 2) => // LocationsOnWays: delta-coded lat per ref
+                val deltas = w.packedVarints().map(w.zigzag)
+                var acc = 0L
+                wlats = deltas.map { d => acc += d; acc }
+              case (10, 2) =>
+                val deltas = w.packedVarints().map(w.zigzag)
+                var acc = 0L
+                wlons = deltas.map { d => acc += d; acc }
               case (_, ww) => w.skip(ww)
             }
             out += Entity("way", id, Double.NaN, Double.NaN, tagsOf(keys, vals, st),
               refs, EmptyStrs, EmptyLongs, EmptyStrs,
-              info.version, info.timestamp, info.changeset, info.uid, info.user)
+              info.version, info.timestamp, info.changeset, info.uid, info.user,
+              refLats = wlats.map(deg(latOff, _)), refLons = wlons.map(deg(lonOff, _)))
           }
         case (4, 2) => // Relation
           val w = pb.lenWindow()
@@ -572,6 +586,19 @@ object OsmPbf {
           m.msg(4, info)
           var prev = 0L
           m.packed(8, e.refs.toSeq.map { r => val d = r - prev; prev = r; d }, zz = true)
+          if (e.refLats.nonEmpty) {
+            require(e.refLats.length == e.refs.length && e.refLons.length == e.refs.length,
+              s"way ${e.id}: LocationsOnWays arrays must match refs")
+            def rawDeltas(vs: Array[Double]): Seq[Long] = {
+              var p = 0L
+              vs.toSeq.map { v =>
+                val raw = math.round(v * 1e9) / Granularity
+                val d = raw - p; p = raw; d
+              }
+            }
+            m.packed(9, rawDeltas(e.refLats), zz = true)
+            m.packed(10, rawDeltas(e.refLons), zz = true)
+          }
           group.msg(3, m)
         }
       case "relation" =>
@@ -612,7 +639,8 @@ object OsmPbf {
    */
   /** Writes the OSMHeader frame. */
   private[sources] def writeHeaderFrame(out: DataOutputStream,
-      bbox: Option[(Double, Double, Double, Double)]): Unit = {
+      bbox: Option[(Double, Double, Double, Double)],
+      locationsOnWays: Boolean = false): Unit = {
     val header = new PbOut
     bbox.foreach { case (left, bottom, right, top) =>
       val bb = new PbOut
@@ -624,6 +652,7 @@ object OsmPbf {
     }
     header.str(4, "OsmSchema-V0.6")
     header.str(4, "DenseNodes")
+    if (locationsOnWays) header.str(5, "LocationsOnWays")
     header.str(16, "graft")
     writeFrame(out, "OSMHeader", header.result)
   }
@@ -641,12 +670,12 @@ object OsmPbf {
 
   def write(path: String, conf: Configuration, entities: Iterator[Entity],
             bbox: Option[(Double, Double, Double, Double)] = None,
-            blockSize: Int = 8000): Unit = {
+            blockSize: Int = 8000, locationsOnWays: Boolean = false): Unit = {
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(fs.create(p, true), 1 << 20))
     try {
-      writeHeaderFrame(out, bbox)
+      writeHeaderFrame(out, bbox, locationsOnWays)
       val bw = new BlockWriter(out, blockSize)
       entities.foreach(bw.add)
       bw.flush()

@@ -59,7 +59,11 @@ object OsmPbfDataSource {
     StructField("timestamp", LongType, nullable = false),
     StructField("changeset", LongType, nullable = false),
     StructField("uid", IntegerType, nullable = false),
-    StructField("user", StringType, nullable = false)))
+    StructField("user", StringType, nullable = false),
+    // LocationsOnWays: per-ref coordinates on the way itself (empty
+    // when the file is not location-padded)
+    StructField("ref_lats", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("ref_lons", ArrayType(DoubleType, containsNull = false), nullable = false)))
 }
 
 private[sources] class OsmPbfTable(paths: Seq[String]) extends Table with SupportsRead
@@ -204,7 +208,9 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
       row.getLong(idx("timestamp")),
       row.getLong(idx("changeset")),
       row.getInt(idx("uid")),
-      row.getUTF8String(idx("user")).toString))
+      row.getUTF8String(idx("user")).toString,
+      refLats = row.getArray(idx("ref_lats")).toDoubleArray(),
+      refLons = row.getArray(idx("ref_lons")).toDoubleArray()))
     n += 1
   }
 
@@ -340,7 +346,8 @@ private[sources] class OsmPbfPartitionReader(
       utf8Array(e.memberTypes),
       new GenericArrayData(e.memberIds),
       utf8Array(e.memberRoles),
-      e.version, e.timestamp, e.changeset, e.uid, UTF8String.fromString(e.user))
+      e.version, e.timestamp, e.changeset, e.uid, UTF8String.fromString(e.user),
+      new GenericArrayData(e.refLats), new GenericArrayData(e.refLons))
   }
 
   override def close(): Unit = in.close()

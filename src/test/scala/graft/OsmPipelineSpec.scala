@@ -104,6 +104,35 @@ class OsmPipelineSpec extends AnyFunSuite {
       Seq("node/1", "relation/200", "way/100", "way/101", "way/102"))
   }
 
+  test("LocationsOnWays: padded file yields identical features with NO node join") {
+    val nodeLoc = entities.filter(_.kind == "node").map(n => n.id -> (n.lat, n.lon)).toMap
+    val padded = entities.map { e =>
+      if (e.kind != "way") e
+      else e.copy(
+        refLats = e.refs.map(r => nodeLoc(r)._1),
+        refLons = e.refs.map(r => nodeLoc(r)._2))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_osm_low")
+    val p = dir.resolve("padded.osm.pbf").toString
+    OsmPbf.write(p, conf, padded.iterator, locationsOnWays = true)
+    // decode round trip keeps the per-ref coords
+    val backWay = OsmPbf.readAll(p, conf).find(e => e.kind == "way" && e.id == 100).get
+    assert(backWay.refLats.toSeq == Seq(50.0, 50.0, 50.005))
+    assert(backWay.refLons.toSeq == Seq(10.0, 10.01, 10.02))
+    // identical features, and the padded branch carries every way (the
+    // join branch input is empty)
+    val df = spark.read.format("osmpbf").load(p)
+    val fs = Osm.sourceFeatures(df).collect().map(f => f.doc_id -> f.geom.toSeq).toMap
+    val want = features.map { case (k, f) => k -> f.geom.toSeq }
+    assert(fs == want, "padded pipeline must reproduce the joined pipeline exactly")
+    val wc = Osm.wayCoords(df)
+    assert(wc.count() == 5)
+    // all ways resolve through the no-join branch: dropping every node
+    // row must change nothing
+    val noNodes = Osm.wayCoords(df.where(org.apache.spark.sql.functions.col("kind") =!= "node"))
+    assert(noNodes.count() == 5)
+  }
+
   test("pbf -> tiles end-to-end") {
     val tiles = Osm.tiles(spark, pbfPath, numPartitions = 4).collect()
     assert(tiles.nonEmpty)
