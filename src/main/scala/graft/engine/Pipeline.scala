@@ -34,6 +34,16 @@ object Pipeline {
                      pip: Option[SpatialJoin.PolygonIndex] = None)
       extends Profile {
     override val layers: IndexedSeq[String] = Vector("admin", "lines", "points", "hillshade")
+
+    /** Raster shade bands merge per tile through the same
+      * mergeNearbyPolygons semantics as any polygon layer (SURVEY
+      * §7.6: "just another polygon layer"): same-band patches within
+      * half a pixel union into one (multi)polygon. */
+    override def postProcessLayer(layer: String, zoom: Int,
+                                  features: Seq[Mvt.LayerFeature]): Seq[Mvt.LayerFeature] =
+      if (layer == "hillshade")
+        FeatureMerge.mergeNearbyPolygons(features, minDistPx = 0.5)
+      else features
     override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
       val geom = Geo.fromWkb(sf.geom)
       val world = Geo.latLonToWorld(geom)

@@ -128,4 +128,28 @@ class RasterSpec extends AnyFunSuite {
     assert(shade.nonEmpty, "hillshade layer missing from the densest z7 tile")
     assert(shade.head.attrs("band") == "160")
   }
+
+  test("same-band shade patches merge per tile via mergeNearbyPolygons") {
+    import graft.engine.Mvt
+    def square(id: Long, x0: Int, y0: Int, s: Int): Mvt.LayerFeature = {
+      val g = graft.engine.TileGeom.factory.createPolygon(Array(
+        new org.locationtech.jts.geom.Coordinate(x0, y0),
+        new org.locationtech.jts.geom.Coordinate(x0 + s, y0),
+        new org.locationtech.jts.geom.Coordinate(x0 + s, y0 + s),
+        new org.locationtech.jts.geom.Coordinate(x0, y0 + s),
+        new org.locationtech.jts.geom.Coordinate(x0, y0)))
+      val (gt, cmds) = graft.engine.TileGeom.fromJts(g).head
+      Mvt.LayerFeature.of(id, gt, cmds, Map("band" -> "160"))
+    }
+    val profile = new graft.engine.Pipeline.GraftProfile()
+    // two ADJACENT squares (within half a pixel) + one far square
+    val merged = profile.postProcessLayer("hillshade", 7,
+      Seq(square(1, 0, 0, 100), square(2, 100, 0, 100), square(3, 2000, 2000, 100)))
+    assert(merged.length < 3, s"adjacent same-band squares must union: $merged")
+    val areas = merged.map(f => graft.engine.TileGeom.toJts(f.geomType, f.commands).getArea)
+    assert(math.abs(areas.sum - 3 * 100 * 100) < 200, s"area preserved: $areas")
+    // the admin layer is untouched by the hook
+    val same = profile.postProcessLayer("admin", 7, Seq(square(1, 0, 0, 100)))
+    assert(same.length == 1)
+  }
 }
