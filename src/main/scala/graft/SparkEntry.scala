@@ -283,6 +283,36 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q58_naturalearth_scan" -> ((s, dir) => {
+      // Natural Earth theme-table scan through the gate: plain-WKB
+      // GEOMETRY blobs in a sqlite table, written by the from-scratch
+      // page writer, read by the b-tree parser
+      import s.implicits._
+      val rows = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      def lonOf(k: Int) = (k.toLong * 9973 % 36000) / 100.0 - 180.0
+      def latOf(k: Int) = (k.toLong * 7919 % 17000) / 100.0 - 85.0
+      val path = java.nio.file.Files.createTempDirectory("graft_q58").resolve("ne.sqlite").toString
+      graft.engine.SqliteWriter.write(path, Seq(graft.engine.SqliteWriter.Table(
+        "ne_10m_populated_places",
+        "CREATE TABLE ne_10m_populated_places (key TEXT, NAME TEXT, GEOMETRY BLOB)",
+        rows.map { case (k, n) =>
+          val wkb = graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
+            new org.locationtech.jts.geom.Coordinate(lonOf(k), latOf(k))))
+          Array[Any]((k + 1L).toString, n, wkb)
+        }.toSeq)))
+      graft.sources.NaturalEarth.read(s, path, "ne_10m_populated_places")
+        .select(col("attrs"), col("geom"))
+        .as[(Map[String, String], Array[Byte])]
+        .map { case (attrs, wkb) =>
+          val c = graft.geo.Geo.fromWkb(wkb).getCoordinate
+          (attrs("key").toLong, attrs("NAME"),
+            math.round(c.x * 1e7), math.round(c.y * 1e7))
+        }
+        .toDF("id", "name", "lon_e7", "lat_e7")
+        .orderBy(col("id"))
+    }),
+
     "q57_geopackage_scan" -> ((s, dir) => {
       // GeoPackage through the gate: nation points written as a real
       // gpkg via the from-scratch SQLite page writer (meta tables +
@@ -1193,6 +1223,13 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q58: same closed form — the NE sqlite round trip is lossless
+    "q58_naturalearth_scan" ->
+      """SELECT CAST(n_nationkey + 1 AS BIGINT) AS id, n_name AS name,
+           CAST((CAST(n_nationkey AS BIGINT) * 9973 % 36000) * 100000 - 1800000000 AS BIGINT) AS lon_e7,
+           CAST((CAST(n_nationkey AS BIGINT) * 7919 % 17000) * 100000 - 850000000 AS BIGINT) AS lat_e7
+         FROM nation ORDER BY id""",
 
     // q57: same closed form as q56 — the gpkg round trip is lossless
     "q57_geopackage_scan" ->

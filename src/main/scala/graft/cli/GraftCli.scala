@@ -42,6 +42,8 @@ object GraftCli {
     val hillshade = args.getBoolean("hillshade",
       "hillshade each doc's media-ref DEM and add the shade bands as a polygon layer",
       default = false)
+    require(!(isOsm && hillshade),
+      "--hillshade applies to docs inputs (media-ref DEMs); .osm.pbf inputs carry no rasters")
 
     val docs =
       if (isOsm) null // OSM path renders from SourceFeatures directly
@@ -90,9 +92,11 @@ object GraftCli {
         numPartitions = partitions, gzipTiles = gzip)
       else if (hillshade) {
         // raster→vector merge: shade-band polygons union into the same
-        // feature stream — "just another polygon layer"
-        val features = Docs.sourceFeatures(docs)
-          .unionByName(graft.raster.Raster.hillshadeFeatures(docs))
+        // feature stream — "just another polygon layer". Rebalance the
+        // docs ONCE before both CPU-heavy branches (single-split guard).
+        val balanced = docs.repartition(partitions)
+        val features = Docs.sourceFeatures(balanced)
+          .unionByName(graft.raster.Raster.hillshadeFeatures(balanced))
         Pipeline.tilesFromFeatures(features, profile,
           numPartitions = partitions, gzipTiles = gzip)
       } else Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)

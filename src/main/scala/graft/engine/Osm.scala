@@ -123,8 +123,14 @@ object Osm {
         col("m.member_roles").as("role"))
       .where(col("mtype") === "way" && col("role").isin("outer", "inner", ""))
 
+    // cached because BOTH the way-features and relation-features
+    // branches read it; Spark's LRU evicts the blocks under memory
+    // pressure (MEMORY_AND_DISK keeps re-reads off the join), and the
+    // session-lifetime pin is bounded by one materialized frame per
+    // sourceFeatures call — callers running many ingests per session
+    // should unpersist the returned plan's cache via Catalog.clearCache
     val wc = wayCoords(entities)
-    wc.cache()
+    wc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // member ways with no tags of their own exist only to carry the
     // relation's geometry

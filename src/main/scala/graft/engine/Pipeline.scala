@@ -91,18 +91,8 @@ object Pipeline {
    */
   def renderedFromDocs(docs: DataFrame, profile: Profile,
                        rebalance: Int = 0): Dataset[Kv] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val balanced = if (rebalance > 0) docs.repartition(rebalance) else docs
-    val sf = Docs.sourceFeatures(balanced)
-    val specs = sf.flatMap(profile.processFeature _)
-    // end-of-source flush (Profile.finish, reference Profile.java:226):
-    // extra features emitted once per declared source join the stream
-    val withFinish =
-      if (profile.sources.isEmpty) specs
-      else specs.unionByName(
-        spark.createDataset(profile.sources.flatMap(profile.finish).toSeq))
-    Render.renderKv(withFinish, profile.layers)
+    renderedFromFeatures(Docs.sourceFeatures(balanced), profile)
   }
 
   /** Full pipeline: docs -> encoded tiles dataset. */
@@ -112,11 +102,16 @@ object Pipeline {
       profile, numPartitions, gzipTiles)
 
   /** Pre-built SourceFeatures (e.g. an OSM PBF ingest, [[Osm]]) ->
-    * rendered Kv rows, with the same end-of-source flush. */
-  def renderedFromFeatures(sf: Dataset[SourceFeature], profile: Profile): Dataset[Kv] = {
+    * rendered Kv rows, with the same end-of-source flush
+    * (Profile.finish, reference Profile.java:226). `rebalance`
+    * round-robins BEFORE the CPU-heavy flatMap — same single-split
+    * hazard as [[renderedFromDocs]]. */
+  def renderedFromFeatures(sf: Dataset[SourceFeature], profile: Profile,
+                           rebalance: Int = 0): Dataset[Kv] = {
     val spark = sf.sparkSession
     import spark.implicits._
-    val specs = sf.flatMap(profile.processFeature _)
+    val balanced = if (rebalance > 0) sf.repartition(rebalance) else sf
+    val specs = balanced.flatMap(profile.processFeature _)
     val withFinish =
       if (profile.sources.isEmpty) specs
       else specs.unionByName(
@@ -124,10 +119,16 @@ object Pipeline {
     Render.renderKv(withFinish, profile.layers)
   }
 
-  /** SourceFeatures -> encoded tiles (full assemble path). */
+  /** SourceFeatures -> encoded tiles (full assemble path). `rebalance`
+    * stays opt-in here: join-produced features (the OSM path) are
+    * already spread across shuffle partitions and an unconditional
+    * repartition would just add an exchange; pass it when the features
+    * derive from a small file scan. */
   def tilesFromFeatures(sf: Dataset[SourceFeature], profile: Profile = new GraftProfile(),
-                        numPartitions: Int = 32, gzipTiles: Boolean = true): Dataset[TileBytes] =
-    TileAssembler.assemble(renderedFromFeatures(sf, profile), profile, numPartitions, gzipTiles)
+                        numPartitions: Int = 32, gzipTiles: Boolean = true,
+                        rebalance: Int = 0): Dataset[TileBytes] =
+    TileAssembler.assemble(renderedFromFeatures(sf, profile, rebalance),
+      profile, numPartitions, gzipTiles)
 
   /**
    * Stage snapshot: compute-or-resume. If `dir` holds a committed

@@ -21,6 +21,12 @@ import org.apache.spark.sql.functions._
  * known-pair anti-join + the `maxDepth` bound; per-round eager
  * `localCheckpoint` keeps the lineage flat. The fixpoint test is an
  * emptiness probe, not a count.
+ *
+ * `maxDepth` is a TERMINATION FUSE, not an output filter: rounds stop
+ * once doubling reaches it, so pairs up to the next power of two past
+ * it may be included (e.g. maxDepth=10 can emit depth-16 pairs from
+ * the final 8+8 composition). Callers use the closure for
+ * reachability; depth is a witness, not a shortest-path guarantee.
  */
 object Relations {
 

@@ -170,9 +170,16 @@ object OsmPbf {
         }
         require(datasize >= 0, s"osmpbf: BlobHeader without datasize at offset $off in $path")
         val blobOff = off + 4 + headerLen
-        out += BlobRef(path, blobOff, datasize, typ == "OSMHeader")
+        require(blobOff + datasize <= len,
+          s"osmpbf: truncated file — blob at $blobOff declares $datasize bytes past EOF in $path")
         var toSkip = datasize.toLong
-        while (toSkip > 0) toSkip -= in.skip(toSkip)
+        while (toSkip > 0) {
+          val skipped = in.skip(toSkip)
+          if (skipped <= 0) throw new java.io.EOFException(
+            s"osmpbf: unexpected EOF while skipping blob at $blobOff in $path")
+          toSkip -= skipped
+        }
+        out += BlobRef(path, blobOff, datasize, typ == "OSMHeader")
         off = blobOff + datasize
       }
     } catch { case _: EOFException => () } finally in.close()
@@ -212,9 +219,15 @@ object OsmPbf {
       require(zlib != null, "osmpbf: blob has neither raw nor zlib_data")
       val inf = new Inflater()
       inf.setInput(zlib)
-      val out = new Array[Byte](if (rawSize > 0) rawSize else zlib.length * 8)
+      var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(1 << 16, zlib.length * 8))
       var n = 0
-      while (!inf.finished() && n < out.length) n += inf.inflate(out, n, out.length - n)
+      while (!inf.finished()) {
+        if (n == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        val got = inf.inflate(out, n, out.length - n)
+        n += got
+        if (got == 0 && !inf.finished())
+          throw new IllegalArgumentException("osmpbf: truncated or corrupt zlib blob")
+      }
       inf.end()
       if (n == out.length) out else java.util.Arrays.copyOf(out, n)
     }
@@ -551,8 +564,10 @@ object OsmPbf {
         var i = 0
         batch.foreach { e =>
           ids(i) = e.id
-          lats(i) = math.round(e.lat * 1e9) / Granularity
-          lons(i) = math.round(e.lon * 1e9) / Granularity
+          // round to the NEAREST granularity unit (truncating after a
+          // nanodegree round would bias toward zero by up to a cell)
+          lats(i) = math.round(e.lat * 1e9 / Granularity)
+          lons(i) = math.round(e.lon * 1e9 / Granularity)
           e.tags.foreach { case (k, v) => keysVals += st.id(k).toLong; keysVals += st.id(v).toLong }
           keysVals += 0L
           i += 1
@@ -592,7 +607,7 @@ object OsmPbf {
             def rawDeltas(vs: Array[Double]): Seq[Long] = {
               var p = 0L
               vs.toSeq.map { v =>
-                val raw = math.round(v * 1e9) / Granularity
+                val raw = math.round(v * 1e9 / Granularity)
                 val d = raw - p; p = raw; d
               }
             }

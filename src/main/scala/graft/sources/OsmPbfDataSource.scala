@@ -109,7 +109,8 @@ private[sources] class OsmPbfWriteBuilder(
   }
 }
 
-private[sources] case class OsmPbfShardMsg(pid: Int, path: String, entities: Long)
+private[sources] case class OsmPbfShardMsg(pid: Int, path: String, entities: Long,
+                                           hasWayLocations: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class OsmPbfBatchWrite(path: String, schema: StructType,
@@ -119,8 +120,11 @@ private[sources] class OsmPbfBatchWrite(path: String, schema: StructType,
   private val shardDir = path + ".shards"
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-  Seq("kind", "id", "tags", "refs").foreach { c =>
-    require(schema.fieldNames.contains(c), s"osmpbf write needs column '$c' (osmpbf schema)")
+  // the executor-side writer reads every schema field — demand them
+  // all up front with one clear driver-side error
+  OsmPbfDataSource.Schema.fieldNames.foreach { c =>
+    require(schema.fieldNames.contains(c), s"osmpbf write needs column '$c' " +
+      s"(full osmpbf schema: ${OsmPbfDataSource.Schema.fieldNames.mkString(", ")})")
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -139,7 +143,8 @@ private[sources] class OsmPbfBatchWrite(path: String, schema: StructType,
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(fs.create(dst, true), 1 << 20))
     try {
-      OsmPbf.writeHeaderFrame(out, bbox)
+      OsmPbf.writeHeaderFrame(out, bbox,
+        locationsOnWays = shards.exists(_.hasWayLocations))
       val buf = new Array[Byte](1 << 20)
       shards.foreach { m =>
         val sp = new org.apache.hadoop.fs.Path(m.path)
@@ -175,6 +180,7 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
   private var out: java.io.DataOutputStream = _
   private var bw: OsmPbf.BlockWriter = _
   private var n = 0L
+  private var hasWayLocations = false
 
   private def strArray(row: InternalRow, field: String): Array[String] = {
     val a = row.getArray(idx(field))
@@ -211,6 +217,7 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
       row.getUTF8String(idx("user")).toString,
       refLats = row.getArray(idx("ref_lats")).toDoubleArray(),
       refLons = row.getArray(idx("ref_lons")).toDoubleArray()))
+    if (row.getArray(idx("ref_lats")).numElements() > 0) hasWayLocations = true
     n += 1
   }
 
@@ -222,7 +229,7 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
     val fs = dst.getFileSystem(conf)
     fs.mkdirs(dst.getParent)
     fs.copyFromLocalFile(true, true, new org.apache.hadoop.fs.Path(localFile.getPath), dst)
-    OsmPbfShardMsg(pid, dst.toString, n)
+    OsmPbfShardMsg(pid, dst.toString, n, hasWayLocations)
   }
 
   override def abort(): Unit = {
@@ -252,11 +259,17 @@ private[sources] class OsmPbfScanBuilder(paths: Seq[String], options: CaseInsens
   override def build(): Scan = {
     val target = Option(options.get("maxpartitions")).map(_.toInt)
       .getOrElse(org.apache.spark.sql.SparkSession.active.sparkContext.defaultParallelism)
-    val kinds: Set[String] = pushed.flatMap {
-      case EqualTo("kind", v: String) => Seq(v)
-      case In("kind", vs) => vs.toSeq.map(_.toString)
-      case _ => Seq.empty[String]
-    }.toSet
+    // INTERSECT the accepted filters (they are conjuncts): two
+    // surviving IN filters must narrow, not widen
+    val sets: Seq[Set[String]] = pushed.toSeq.collect {
+      case EqualTo("kind", v: String) => Set(v)
+      case In("kind", vs) => vs.map(_.toString).toSet
+    }
+    val kinds: Set[String] = sets.reduceOption(_ intersect _) match {
+      case None => Set.empty // no kind filter: all kinds
+      case Some(s) if s.nonEmpty => s
+      case Some(_) => Set("__none__") // contradictory conjuncts: match nothing
+    }
     new OsmPbfScan(paths, kinds, math.max(target, 1))
   }
 }

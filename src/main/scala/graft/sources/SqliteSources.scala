@@ -88,7 +88,7 @@ object GeoPackage {
                   rows: Seq[(Double, Double, Seq[String])]): Unit = {
     import graft.engine.SqliteWriter
     val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
-    val attrsSql = attrCols.map(c => s"$c TEXT").mkString(", ")
+    val attrsSql = attrCols.map(c => s"$c TEXT, ").mkString
     val featureRows = rows.map { case (lon, lat, vals) =>
       val wkb = graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
         new org.locationtech.jts.geom.Coordinate(lon, lat)))
@@ -105,7 +105,7 @@ object GeoPackage {
         "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER)",
         Seq(Array[Any](table, "geom", "POINT", 4326L))),
       SqliteWriter.Table(table,
-        s"CREATE TABLE $table ($attrsSql, geom BLOB)", featureRows)))
+        s"CREATE TABLE $table (${attrsSql}geom BLOB)", featureRows)))
   }
 
   /**

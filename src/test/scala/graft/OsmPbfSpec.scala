@@ -150,6 +150,15 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(df.count() == 120L)
   }
 
+  test("dsv2: conjunctive kind filters intersect (not union)") {
+    val df = spark.read.format("osmpbf").load(fixturePath)
+      .filter(col("kind").isin("node", "way") && col("kind").isin("way", "relation"))
+    assert(df.count() == 120L, "only ways satisfy both IN filters")
+    val none = spark.read.format("osmpbf").load(fixturePath)
+      .filter(col("kind").isin("node") && col("kind").isin("way"))
+    assert(none.count() == 0L, "contradictory kind conjuncts must match nothing")
+  }
+
   test("dsv2 write: parallel shards concatenate to one valid pbf") {
     val src = spark.read.format("osmpbf").load(fixturePath)
     val outDir = java.nio.file.Files.createTempDirectory("graft_pbf_w")
