@@ -283,6 +283,58 @@ object SparkEntry {
         .orderBy(col("poly_id"))
     }),
 
+    "q60_point_buffer" -> ((s, dir) => {
+      // the tile-buffer point filter: single-point features survive
+      // iff inside [-buf, extent+buf] on both axes (buf = 4px = 64
+      // tile units at extent 4096) — bounds the oracle replays exactly
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("int").as("ln"))
+        .as[(Long, Int)]
+      li.groupByKey(_._1 % 32).mapGroups { (grp, it) =>
+        val feats = it.map { case (ok, ln) =>
+          val x = ((ok * 17 + ln * 29) % 4352 - 128).toInt
+          val y = ((ok * 23 + ln * 31) % 4352 - 128).toInt
+          graft.engine.Mvt.LayerFeature.of(ok * 10 + ln, 1,
+            graft.engine.Mvt.encodePoints(Array((x, y))), Map.empty)
+        }.toSeq
+        val kept = graft.engine.FeatureMerge.removePointsOutsideBuffer(feats, 4.0)
+        val pts = kept.flatMap(f => graft.engine.Mvt.decodeCommands(1, f.commands).flatMap(_._2))
+        (grp, kept.length.toLong, pts.map(_._1.toLong).sum, pts.map(_._2.toLong).sum)
+      }.toDF("grp", "kept", "x_sum", "y_sum")
+        .orderBy(col("grp"))
+    }),
+
+    "q59_layer_attr_stats" -> ((s, dir) => {
+      // the tilejson vector_layers statistics operator: per (layer,
+      // attr) type inference (mixed types collapse to String) + zoom
+      // range rollup, with the value types known by construction so
+      // the oracle can replay the inference in SQL
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_linenumber").cast("int").as("ln"),
+          col("l_returnflag").as("rf"))
+        .as[(Long, Int, String)]
+      val specs = li.map { case (ok, ln, rf) =>
+        val value = (ok % 3) match {
+          case 0 => "true"
+          case 1 => ok.toString
+          case _ => s"v$ln"
+        }
+        graft.model.FeatureSpec(
+          layer = s"l_$rf", geom = Array.emptyByteArray, id = ok,
+          sortKey = 0, minzoom = ln % 5, maxzoom = ln % 5 + (ok % 4).toInt,
+          attrs = Map(s"k${ln % 3}" -> value))
+      }
+      graft.engine.TileStats.layerAttrStats(specs)
+        .select(col("layer"), col("key"), col("type"),
+          col("minzoom").cast("long").as("minzoom"),
+          col("maxzoom").cast("long").as("maxzoom"))
+        .orderBy(col("layer"), col("key"))
+    }),
+
     "q58_naturalearth_scan" -> ((s, dir) => {
       // Natural Earth theme-table scan through the gate: plain-WKB
       // GEOMETRY blobs in a sqlite table, written by the from-scratch
@@ -1223,6 +1275,35 @@ object SparkEntry {
             ROUND(mx / 6378137.0 * (180.0 / pi()), 6) AS lon,
             ROUND((2.0 * atan(exp(my / 6378137.0)) - pi() / 2.0) * (180.0 / pi()), 6) AS lat
           FROM m ORDER BY k""",
+
+    // q60: keep iff both coords in [-64, 4160]
+    "q60_point_buffer" ->
+      """WITH p AS (
+           SELECT l_orderkey % 32 AS grp,
+             (l_orderkey * 17 + l_linenumber * 29) % 4352 - 128 AS x,
+             (l_orderkey * 23 + l_linenumber * 31) % 4352 - 128 AS y
+           FROM lineitem)
+         SELECT CAST(grp AS BIGINT) AS grp,
+           CAST(SUM(CASE WHEN x BETWEEN -64 AND 4160 AND y BETWEEN -64 AND 4160 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(SUM(CASE WHEN x BETWEEN -64 AND 4160 AND y BETWEEN -64 AND 4160 THEN x ELSE 0 END) AS BIGINT) AS x_sum,
+           CAST(SUM(CASE WHEN x BETWEEN -64 AND 4160 AND y BETWEEN -64 AND 4160 THEN y ELSE 0 END) AS BIGINT) AS y_sum
+         FROM p GROUP BY grp ORDER BY grp""",
+
+    // q59: type per row is known by construction (ok%3: bool/number/
+    // string); groups with >1 distinct type collapse to String
+    "q59_layer_attr_stats" ->
+      """WITH f AS (
+           SELECT 'l_' || l_returnflag AS layer,
+             'k' || CAST(l_linenumber % 3 AS VARCHAR) AS key,
+             CASE l_orderkey % 3 WHEN 0 THEN 'Boolean' WHEN 1 THEN 'Number'
+               ELSE 'String' END AS typ,
+             l_linenumber % 5 AS mz,
+             l_linenumber % 5 + l_orderkey % 4 AS xz
+           FROM lineitem)
+         SELECT layer, key,
+           CASE WHEN COUNT(DISTINCT typ) > 1 THEN 'String' ELSE MIN(typ) END AS type,
+           CAST(MIN(mz) AS BIGINT) AS minzoom, CAST(MAX(xz) AS BIGINT) AS maxzoom
+         FROM f GROUP BY layer, key ORDER BY layer, key""",
 
     // q58: same closed form — the NE sqlite round trip is lossless
     "q58_naturalearth_scan" ->
