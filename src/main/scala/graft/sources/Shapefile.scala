@@ -43,35 +43,40 @@ object Shapefile {
     require(shpPaths.nonEmpty, s"no .shp files under $path")
     spark.createDataset(shpPaths)
       .repartition(math.min(shpPaths.length, 64))
-      .flatMap { shp =>
-        val fs = new org.apache.hadoop.fs.Path(shp).getFileSystem(conf.value)
-        def slurp(p: String): Array[Byte] = {
-          val hp = new org.apache.hadoop.fs.Path(p)
-          if (!fs.exists(hp)) Array.emptyByteArray
-          else {
-            val in = fs.open(hp)
-            try {
-              val out = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](1 << 16)
-              var n = in.read(buf)
-              while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-              out.toByteArray
-            } finally in.close()
-          }
-        }
-        val geoms = parseShp(slurp(shp))
-        val base = shp.stripSuffix(".shp")
-        val (fields, records) = parseDbf(slurp(base + ".dbf"))
-        val srs = graft.geo.Crs.parseWkt(new String(slurp(base + ".prj"), "UTF-8"))
-        geoms.zipWithIndex.map { case ((recNo, g), i) =>
-          val attrs: Map[String, String] =
-            if (i < records.length) fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
-            else Map.empty
-          ShpRow(shp, recNo,
-            if (g == null) Array.emptyByteArray
-            else Geo.toWkb(graft.geo.Crs.toWgs84(g, srs)), attrs)
-        }
-      }.toDF()
+      .flatMap(shp => readOne(shp, conf.value))
+      .toDF()
+  }
+
+  /** Per-file parse, shared by [[read]] and the DSv2 provider. */
+  private[sources] def readOne(shp: String,
+                               conf: org.apache.hadoop.conf.Configuration): Seq[ShpRow] = {
+    val fs = new org.apache.hadoop.fs.Path(shp).getFileSystem(conf)
+    def slurp(p: String): Array[Byte] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Array.emptyByteArray
+      else {
+        val in = fs.open(hp)
+        try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      }
+    }
+    val geoms = parseShp(slurp(shp))
+    val base = shp.stripSuffix(".shp")
+    val (fields, records) = parseDbf(slurp(base + ".dbf"))
+    val srs = graft.geo.Crs.parseWkt(new String(slurp(base + ".prj"), "UTF-8"))
+    geoms.zipWithIndex.map { case ((recNo, g), i) =>
+      val attrs: Map[String, String] =
+        if (i < records.length) fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
+        else Map.empty
+      ShpRow(shp, recNo,
+        if (g == null) Array.emptyByteArray
+        else Geo.toWkb(graft.geo.Crs.toWgs84(g, srs)), attrs)
+    }
   }
 
   private def listShp(spark: SparkSession, path: String): Seq[String] = {

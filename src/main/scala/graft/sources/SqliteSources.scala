@@ -117,7 +117,12 @@ object GeoPackage {
    */
   def read(spark: SparkSession, path: String, table: Option[String] = None): DataFrame = {
     import spark.implicits._
-    perFile[FeatureRow](spark, path) { db =>
+    perFile[FeatureRow](spark, path)(readDb(_, table)).toDF()
+  }
+
+  /** Per-db scan body, shared by [[read]] and the DSv2 provider. */
+  private[sources] def readDb(db: Sqlite.Db, table: Option[String]): Iterator[FeatureRow] = {
+    {
       val geomCols: Map[String, String] = db.rows("gpkg_geometry_columns").map { case (_, m) =>
         m("table_name").toString -> m("column_name").toString
       }.toMap
@@ -148,7 +153,7 @@ object GeoPackage {
           FeatureRow(t, fid, geom, attrsOf(m, Set(gcol)))
         }
       }
-    }.toDF()
+    }
   }
 }
 

@@ -216,4 +216,34 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(g7.getCoordinate.x == 7 * 1.5 - 20.0 && g7.getCoordinate.y == 7 * 0.5 - 10.0)
     assert(byKey("7").getAs[Map[String, String]]("attrs")("name") == "name_7")
   }
+
+  test("dsv2 format(shapefile)/format(geopackage) match the library readers") {
+    // shapefile fixture via the writer
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_vec")
+    val base = dir.resolve("pts").toString
+    val rows = (0 until 30).map(k => (k * 2.0 - 20.0, k * 1.0 - 10.0, Seq(s"n$k")))
+    Shapefile.writePoints(base, rows, Seq(("NAME", 16)),
+      spark.sparkContext.hadoopConfiguration)
+    val viaFormat = spark.read.format("shapefile").load(base + ".shp").collect()
+    val viaLib = Shapefile.read(spark, base + ".shp").collect()
+    assert(viaFormat.length == 30 && viaLib.length == 30)
+    val a = viaFormat.map(r => (r.getLong(r.fieldIndex("fid")),
+      r.getAs[Map[String, String]]("attrs")("NAME"))).toSet
+    val b = viaLib.map(r => (r.getInt(r.fieldIndex("record")).toLong,
+      r.getAs[Map[String, String]]("attrs")("NAME"))).toSet
+    assert(a == b)
+
+    // geopackage fixture via the writer; option("table") restricts
+    val gp = dir.resolve("x.gpkg").toString
+    GeoPackage.writePoints(gp, "pts", Seq("key"),
+      (0 until 12).map(k => (k * 1.0, k * 0.5, Seq(k.toString))))
+    val g1 = spark.read.format("geopackage").load(gp)
+    assert(g1.count() == 12)
+    assert(g1.select("source").distinct().collect().map(_.getString(0)).toSeq == Seq("pts"))
+    val none = spark.read.format("geopackage").option("table", "absent").load(gp)
+    assert(none.count() == 0)
+    val k7 = g1.collect().find(_.getAs[Map[String, String]]("attrs")("key") == "7").get
+    val geom = graft.geo.Geo.fromWkb(k7.getAs[Array[Byte]]("geom"))
+    assert(geom.getCoordinate.x == 7.0 && geom.getCoordinate.y == 3.5)
+  }
 }
