@@ -24,9 +24,13 @@ object GraftCli {
     val sfDir = args.getString("sf_dir",
       "testdata directory with the TPC-H-ish tables (docs synthesized)", "")
     val input = args.getString("input",
-      "input: a parquet docs-table directory, or an .osm.pbf file", "")
+      "input: a parquet docs-table directory, an .osm.pbf file, a .shp, or a .gpkg", "")
     require(sfDir.nonEmpty || input.nonEmpty, "one of --input / --sf-dir is required")
     val isOsm = input.endsWith(".osm.pbf") || input.endsWith(".pbf")
+    val vectorFormat = // direct vector-file ingest via the DSv2 providers
+      if (input.endsWith(".shp")) Some("shapefile")
+      else if (input.endsWith(".gpkg")) Some("geopackage")
+      else None
     val output = args.getString("output",
       "output archive URI (.mbtiles/.pmtiles/.pb/.csv/.json or a {z}/{x}/{y}.pbf dir)", "")
     require(output.nonEmpty, "--output is required")
@@ -42,15 +46,29 @@ object GraftCli {
     val hillshade = args.getBoolean("hillshade",
       "hillshade each doc's media-ref DEM and add the shade bands as a polygon layer",
       default = false)
-    require(!(isOsm && hillshade),
-      "--hillshade applies to docs inputs (media-ref DEMs); .osm.pbf inputs carry no rasters")
+    require(!((isOsm || vectorFormat.isDefined) && hillshade),
+      "--hillshade applies to docs inputs (media-ref DEMs); file-feature inputs carry no rasters")
 
     val docs =
-      if (isOsm) null // OSM path renders from SourceFeatures directly
+      if (isOsm || vectorFormat.isDefined) null // feature-stream paths
       else if (input.nonEmpty) spark.read.parquet(input)
       else Docs.docs(spark, sfDir)
     lazy val osmFeatures = graft.engine.Osm.sourceFeatures(
       spark.read.format("osmpbf").load(input))
+    lazy val vectorFeatures: org.apache.spark.sql.Dataset[graft.model.SourceFeature] = {
+      import spark.implicits._
+      spark.read.format(vectorFormat.get).load(input)
+        .select(org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.col("fid"),
+          org.apache.spark.sql.functions.col("geom"),
+          org.apache.spark.sql.functions.col("attrs"))
+        .as[(String, Long, Array[Byte], Map[String, String])]
+        .flatMap { case (source, fid, geom, attrs) =>
+          if (geom == null || geom.isEmpty) Iterator.empty
+          else Iterator.single(graft.model.SourceFeature(
+            s"${vectorFormat.get}/$fid", source, geom, attrs, fid))
+        }
+    }
 
     val profile: graft.engine.Profile =
       if (profilePath.nonEmpty) {
@@ -67,6 +85,10 @@ object GraftCli {
             // the docs table itself for --input
             val polysDf =
               if (isOsm) osmFeatures
+                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
+                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
+                .toDF()
+              else if (vectorFormat.isDefined) vectorFeatures
                 .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
                   .isInstanceOf[org.locationtech.jts.geom.Polygonal])
                 .toDF()
@@ -90,6 +112,9 @@ object GraftCli {
     val tiles =
       if (isOsm) Pipeline.tilesFromFeatures(osmFeatures, profile,
         numPartitions = partitions, gzipTiles = gzip)
+      else if (vectorFormat.isDefined)
+        Pipeline.tilesFromFeatures(vectorFeatures, profile,
+          numPartitions = partitions, gzipTiles = gzip, rebalance = partitions)
       else if (hillshade) {
         // raster→vector merge: shade-band polygons union into the same
         // feature stream — "just another polygon layer". Rebalance the

@@ -60,4 +60,23 @@ class CliSpec extends AnyFunSuite {
     assert(back.count() == n)
     assert(back.where("z = 0").count() == 1)
   }
+
+  test("end-to-end: --input=.shp drives the vector-file ingest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_shp")
+    val base = dir.resolve("pts").toString
+    val rows = (0 until 50).map { k =>
+      (k * 6.0 - 150.0, k * 2.0 - 50.0, Seq(s"place_$k"))
+    }
+    graft.sources.Shapefile.writePoints(base, rows, Seq(("NAME", 16)),
+      spark.sparkContext.hadoopConfiguration)
+    val out = dir.resolve("shp.pmtiles").toString
+    val n = GraftCli.run(Arguments.of(
+      "input" -> (base + ".shp"),
+      "output" -> out,
+      "maxzoom" -> "5",
+      "pip" -> "false",
+      "partitions" -> "4"), spark)
+    assert(n > 0)
+    assert(spark.read.format("pmtiles").load(out).count() == n)
+  }
 }
