@@ -56,8 +56,12 @@ object OsmPbf {
       writingProgram: String, source: String,
       replicationTimestamp: Long, replicationSequence: Long, replicationBaseUrl: String)
 
-  /** Driver-side blob index entry: where the Blob message bytes live. */
-  final case class BlobRef(path: String, offset: Long, size: Int, isHeader: Boolean)
+  /** Driver-side blob index entry: where the Blob message bytes live.
+    * `kindHint` comes from the BlobHeader's indexdata when the writer
+    * recorded one (graft writes "node"/"way"/"relation"; other
+    * producers leave it empty = unknown). */
+  final case class BlobRef(path: String, offset: Long, size: Int, isHeader: Boolean,
+                           kindHint: String = "")
 
   // ---------------------------------------------------------------------------
   // protobuf wire primitives
@@ -160,10 +164,12 @@ object OsmPbf {
         // BlobHeader: 1=type string, 2=indexdata, 3=datasize
         val pb = new Pb(hb, 0, hb.length)
         var typ = ""
+        var indexdata = ""
         var datasize = -1
         while (pb.hasMore) {
           pb.tag() match {
             case (1, 2) => typ = pb.stringValue()
+            case (2, 2) => indexdata = pb.stringValue()
             case (3, 0) => datasize = pb.varint().toInt
             case (_, w) => pb.skip(w)
           }
@@ -179,7 +185,8 @@ object OsmPbf {
             s"osmpbf: unexpected EOF while skipping blob at $blobOff in $path")
           toSkip -= skipped
         }
-        out += BlobRef(path, blobOff, datasize, typ == "OSMHeader")
+        out += BlobRef(path, blobOff, datasize, typ == "OSMHeader",
+          kindHint = if (Set("node", "way", "relation")(indexdata)) indexdata else "")
         off = blobOff + datasize
       }
     } catch { case _: EOFException => () } finally in.close()
@@ -524,7 +531,8 @@ object OsmPbf {
     bos.toByteArray
   }
 
-  private[sources] def writeFrame(out: DataOutputStream, typ: String, payload: Array[Byte]): Unit = {
+  private[sources] def writeFrame(out: DataOutputStream, typ: String, payload: Array[Byte],
+                                  indexdata: String = ""): Unit = {
     val z = deflate(payload)
     val blob = new PbOut
     blob.int(2, payload.length.toLong)
@@ -532,6 +540,10 @@ object OsmPbf {
     val blobBytes = blob.result
     val header = new PbOut
     header.str(1, typ)
+    // the spec's opaque indexdata field: graft records the block's
+    // entity kind, letting its own scans skip non-matching blobs
+    // WITHOUT inflating them (foreign readers ignore the field)
+    if (indexdata.nonEmpty) header.str(2, indexdata)
     header.int(3, blobBytes.length.toLong)
     val hb = header.result
     out.writeInt(hb.length)
@@ -680,7 +692,10 @@ object OsmPbf {
       buf += e
     }
     def flush(): Unit =
-      if (buf.nonEmpty) { writeFrame(out, "OSMData", encodeBlock(buf.toSeq)); buf.clear() }
+      if (buf.nonEmpty) {
+        writeFrame(out, "OSMData", encodeBlock(buf.toSeq), indexdata = buf.head.kind)
+        buf.clear()
+      }
   }
 
   def write(path: String, conf: Configuration, entities: Iterator[Entity],

@@ -282,9 +282,16 @@ private[sources] class OsmPbfScan(paths: Seq[String], kinds: Set[String], target
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
-  /** Contiguous blob ranges balanced by compressed bytes. */
+  /** Contiguous blob ranges balanced by compressed bytes. Blobs whose
+    * indexdata kind hint (graft-written files) contradicts the pushed
+    * kind filter are dropped at PLANNING time — never fetched, never
+    * inflated. */
   private lazy val partitions: Array[InputPartition] = {
-    val refs = paths.flatMap(p => OsmPbf.indexBlobs(p, conf.value)).filterNot(_.isHeader)
+    val all = paths.flatMap(p => OsmPbf.indexBlobs(p, conf.value)).filterNot(_.isHeader)
+    val refs =
+      if (kinds.isEmpty) all
+      else all.filter(r => r.kindHint.isEmpty || kinds(r.kindHint))
+    prunedBlobs = all.length - refs.length
     if (refs.isEmpty) Array.empty
     else {
       val totalBytes = refs.map(_.size.toLong).sum
@@ -307,10 +314,14 @@ private[sources] class OsmPbfScan(paths: Seq[String], kinds: Set[String], target
     }
   }
 
+  private var prunedBlobs: Int = 0
   override def readSchema(): StructType = OsmPbfDataSource.Schema
   override def toBatch: Batch = this
-  override def description(): String =
-    s"osmpbf scan, blobRangePartitions=${partitions.length}, pushedKinds=[${kinds.toSeq.sorted.mkString(",")}]"
+  override def description(): String = {
+    val p = partitions // force planning so prunedBlobs is final
+    s"osmpbf scan, blobRangePartitions=${p.length}, " +
+      s"pushedKinds=[${kinds.toSeq.sorted.mkString(",")}], prunedBlobs=$prunedBlobs"
+  }
   override def planInputPartitions(): Array[InputPartition] = partitions
   override def createReaderFactory(): PartitionReaderFactory =
     new OsmPbfReaderFactory(conf, kinds)

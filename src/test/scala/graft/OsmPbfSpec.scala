@@ -147,7 +147,18 @@ class OsmPbfSpec extends AnyFunSuite {
     val df = spark.read.format("osmpbf").load(fixturePath).filter(col("kind") === "way")
     val desc = df.queryExecution.executedPlan.toString
     assert(desc.contains("pushedKinds=[way]"), s"plan missing pushdown:\n$desc")
+    // graft-written files carry per-blob kind hints in the BlobHeader
+    // indexdata: non-matching blobs are pruned at PLANNING time
+    // (fixture: 1000 nodes at blockSize 300 = 4 node blobs + 1
+    // relation blob never fetched)
+    assert(desc.contains("prunedBlobs=5"), s"expected 5 pruned blobs:\n$desc")
     assert(df.count() == 120L)
+    // a hint-free producer (monaco) prunes nothing but stays correct —
+    // covered by the monaco counts test; here verify hints round-trip
+    // through the index
+    val hints = graft.sources.OsmPbf.indexBlobs(fixturePath, conf)
+      .filterNot(_.isHeader).map(_.kindHint)
+    assert(hints.count(_ == "node") == 4 && hints.contains("way") && hints.contains("relation"))
   }
 
   test("dsv2: conjunctive kind filters intersect (not union)") {
