@@ -240,41 +240,58 @@ object Bench {
 
     // SPARK_GRAFT_ONLY=q24_minhash_lsh,q25_simhash filters the query
     // list (quick per-operator perf iteration).
-    // Each gate query is measured BEST-OF-2 (the flagship's pattern):
-    // the queries run cold exactly once each, so a single multi-minute
-    // host-noise burst otherwise lands entirely on whichever query it
-    // hits and the artifact stops reflecting the engine. The cold first
-    // run is kept in a separate "cold" field.
-    val coldTimes = scala.collection.mutable.LinkedHashMap[String, Double]()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    //
+    // Noise-proof measurement (round-5 fix): host co-tenant noise comes
+    // in multi-minute bursts, so cold/warm runs of the SAME query must
+    // not be back-to-back — a burst longer than one query's two runs
+    // would corrupt a contiguous block of the artifact. Instead the
+    // FULL query list runs twice in two interleaved passes (pass 1 all
+    // queries, pass 2 all queries) and the reported value is the min of
+    // the two: a burst can sit on one pass's measurement of a query but
+    // never on both, because the same query's runs are the whole list
+    // apart in time. Pass-1 (cold: codegen/JIT ramp) times go ONLY to
+    // the BENCH_LOCAL.json file copy — the stdout line the driver tail-
+    // captures (last ~2000 chars) stays short: warm map only, 3-decimal
+    // values, printed as the very last line.
+    val queryList = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-        catch {
-          case _: Throwable =>
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        }
-        (System.nanoTime() - t0) / 1e9
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case _: Throwable =>
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       }
-      val cold = once()
-      val warm = once()
-      coldTimes += (name -> cold)
-      results += (name -> math.min(cold, warm))
+      (System.nanoTime() - t0) / 1e9
     }
+    val passTimes = Array.fill(2)(scala.collection.mutable.LinkedHashMap[String, Double]())
+    for (pass <- 0 to 1; (name, fn) <- queryList)
+      passTimes(pass) += (name -> once(fn))
+    for ((name, _) <- queryList)
+      results += (name -> math.min(passTimes(0)(name), passTimes(1)(name)))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val colds = coldTimes.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def fmtAt(v: Double, dp: Int): String =
+      BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    def fmt(v: Double): String = fmtAt(v, 3)
+    def jmapAt(m: scala.collection.Map[String, Double], dp: Int): String =
+      m.map { case (k, v) => "\"" + k + "\":" + fmtAt(v, dp) }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String = jmapAt(m, 3)
     val total = results.values.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$colds,"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${tiles / tileSec}}"""
-    // stdout (unprefixed via build.sbt outputStrategy) + a file copy so
-    // the metric line survives any log interleaving
-    println(json)
+    def lineAt(dp: Int): String =
+      s"""{"metric":"total","value":${fmtAt(total, dp)},"unit":"sec","queries":${jmapAt(results, dp)},"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${fmtAt(tiles / tileSec, 1)}}"""
+    // the driver tail-captures ~2000 chars and sbt's trailer takes ~80;
+    // drop decimal places until the line is safely inside that window
+    val json = (3 to 1 by -1).map(lineAt).find(_.length <= 1800).getOrElse(lineAt(1))
+    // full detail (both passes) goes to the file copy only
+    val fileJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},"pass1":${jmap(passTimes(0))},"pass2":${jmap(passTimes(1))},"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${fmt(tiles / tileSec)}}"""
     try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
-      try w.println(json) finally w.close()
+      try w.println(fileJson) finally w.close()
     } catch { case _: Exception => () }
     spark.stop()
+    // the driver parses the LAST line of the captured tail: print the
+    // short warm-map line after everything else (incl. spark shutdown
+    // logs) so nothing lands between it and sbt's trailer
+    println(json)
   }
 }
