@@ -606,6 +606,52 @@ object SparkEntry {
       nodesOut.unionByName(waysOut).orderBy(col("kind"), col("id"))
     }),
 
+    "q61_relation_info" -> ((s, dir) => {
+      // relation info on member ways through the FULL osm pipeline
+      // (pbf write -> scan -> relation-info joins incl. super-relation
+      // closure): supplier rows become padded ways, each way joins one
+      // of 10 bus routes (role by parity), each route joins one of 3
+      // super-routes; the oracle replays the membership arithmetic
+      val rows = t(s, dir, "supplier").select(col("s_suppkey"))
+        .collect().map(_.get(0).asInstanceOf[Number].intValue).sorted
+      def lonOf(k: Long, i: Long) = ((k * 97 + i * 13) % 36000) / 100.0 - 180.0
+      def latOf(k: Long, i: Long) = ((k * 61 + i * 7) % 17000) / 100.0 - 85.0
+      val e0 = Array.empty[Long]; val s0 = Array.empty[String]
+      val ways = rows.map { k =>
+        graft.sources.OsmPbf.Entity("way", k.toLong, Double.NaN, Double.NaN,
+          Seq("highway" -> "primary"), Array(3L * k, 3L * k + 1, 3L * k + 2),
+          s0, e0, s0, 1, 0L, 0L, 0, "",
+          refLats = Array(latOf(k, 0), latOf(k, 1), latOf(k, 2)),
+          refLons = Array(lonOf(k, 0), lonOf(k, 1), lonOf(k, 2)))
+      }
+      val routes = (0 until 10).map { r =>
+        val members = rows.filter(_ % 10 == r)
+        graft.sources.OsmPbf.Entity("relation", 5000L + r, Double.NaN, Double.NaN,
+          Seq("type" -> "route", "route" -> "bus", "ref" -> s"R$r"), e0,
+          members.map(_ => "way").toArray, members.map(_.toLong).toArray,
+          members.map(k => if (k % 2 == 0) "forward" else "").toArray, 1, 0L, 0L, 0, "")
+      }
+      val supers = (0 until 3).map { m =>
+        val children = (0 until 10).filter(_ % 3 == m)
+        graft.sources.OsmPbf.Entity("relation", 6000L + m, Double.NaN, Double.NaN,
+          Seq("type" -> "route", "route" -> "bus", "ref" -> s"SR$m"), e0,
+          children.map(_ => "relation").toArray, children.map(r => 5000L + r).toArray,
+          children.map(_ => "").toArray, 1, 0L, 0L, 0, "")
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q61").resolve("r.osm.pbf").toString
+      graft.sources.OsmPbf.write(tmp, s.sparkContext.hadoopConfiguration,
+        (ways ++ routes ++ supers).iterator, locationsOnWays = true)
+      graft.engine.Osm.sourceFeatures(s.read.format("osmpbf").load(tmp))
+        .toDF()
+        .where(col("doc_id").startsWith("way/"))
+        .select(col("span_sig").as("way_id"),
+          size(col("relations")).as("n_rels"),
+          array_join(transform(col("relations"),
+            m => m.getField("rel_tags").getItem("ref")), ",").as("refs_csv"),
+          array_join(transform(col("relations"), m => m.getField("role")), ",").as("roles_csv"))
+        .orderBy(col("way_id"))
+    }),
+
     "q49_hilbert" -> ((s, dir) => {
       // the archive addressing function itself: the codegen'd Hilbert
       // index over the full 64x64 grid vs a recursive-CTE replay of
@@ -689,7 +735,9 @@ object SparkEntry {
             lit("name:fr"), concat(lit("local_"), col("s_suppkey"))))
           .otherwise(map(lit("wikidata"), concat(lit("Q"), pmod(col("s_suppkey"), lit(50)))))
           .as("tags"),
-        lit(0L).as("span_sig")).as[graft.model.SourceFeature]
+        lit(0L).as("span_sig"),
+        typedLit(Seq.empty[graft.model.RelMember]).as("relations"))
+        .as[graft.model.SourceFeature]
       val translations = s.range(50).select(
         concat(lit("Q"), col("id")).as("qid"),
         map(lit("fr"), concat(lit("fr_"), col("id")),
@@ -1408,6 +1456,17 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT), CAST(SUM(n_nationkey + 1) AS BIGINT)
          FROM nation GROUP BY n_regionkey
          ORDER BY kind, id""",
+
+    // q61: memberships are pure arithmetic — way k joins route
+    // R(k%10) (role by parity) and inherits super-route SR((k%10)%3);
+    // relations sort by (rel_id, role) = direct route then super
+    "q61_relation_info" ->
+      """SELECT CAST(s_suppkey AS BIGINT) AS way_id,
+           CAST(2 AS INT) AS n_rels,
+           'R' || CAST(s_suppkey % 10 AS VARCHAR) ||
+             ',SR' || CAST((s_suppkey % 10) % 3 AS VARCHAR) AS refs_csv,
+           (CASE WHEN s_suppkey % 2 = 0 THEN 'forward' ELSE '' END) || ',' AS roles_csv
+         FROM supplier ORDER BY way_id""",
 
     // q49: the classic rotate/flip Hilbert walk as a recursive CTE,
     // bitwise-identical to geo/Hilbert.xyToIndex

@@ -159,7 +159,7 @@ object Docs {
   /** Version stamp for synthesized fixture output: bump whenever the
     * synthesis logic changes so tmpfs caches from older binaries are
     * invalidated instead of silently reused (Bench.ensureFixtureVersion). */
-  val SynthVersion = "r4-001"
+  val SynthVersion = "r5-001"
 
   @volatile var fixtureDir: Option[String] = None
 

@@ -1,8 +1,8 @@
 package graft.engine
 
 import graft.geo.{Geo, RingAssembler}
-import graft.model.SourceFeature
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.model.{RelMember, SourceFeature}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.locationtech.jts.geom.Coordinate
 
@@ -36,6 +36,12 @@ object Osm {
     "building", "landuse", "natural", "leisure", "amenity", "boundary",
     "place", "shop", "tourism", "aeroway", "military", "building:part")
 
+  /** Ring assembly groups one relation's member coords into one task
+    * row; relations with more way members than this are skipped loudly
+    * (accumulator + executor-log warning). OSM's largest real
+    * relations (coastline/boundary) run ~10^5 members. */
+  @volatile var MaxRelationMembers: Long = 150000L
+
   def isPolygonWay(tags: Map[String, String], closed: Boolean): Boolean = {
     if (!closed) false
     else tags.get("area") match {
@@ -46,7 +52,7 @@ object Osm {
   }
 
   /**
-   * way_id, tags, coords (ordered lon/lat pairs).
+   * way_id, tags, refs, coords (ordered lon/lat pairs).
    *
    * Location-padded ways (LocationsOnWays, the osmium
    * add-locations-to-ways convention) already carry their node
@@ -63,7 +69,7 @@ object Osm {
 
     val padded = ways
       .where(size(col("ref_lats")) === size(col("refs")))
-      .select(col("way_id"), col("tags"),
+      .select(col("way_id"), col("tags"), col("refs"),
         transform(arrays_zip(col("ref_lons"), col("ref_lats")),
           x => struct(x.getField("ref_lons").as("lon"), x.getField("ref_lats").as("lat")))
           .as("coords"))
@@ -78,14 +84,16 @@ object Osm {
       .groupBy(col("way_id"))
       .agg(
         first(col("tags")).as("tags"),
-        transform(array_sort(collect_list(struct(col("pos"), col("lon"), col("lat")))),
-          x => struct(x.getField("lon").as("lon"), x.getField("lat").as("lat"))).as("coords"),
+        array_sort(collect_list(struct(col("pos"), col("ref"), col("lon"), col("lat")))).as("prll"),
         count(lit(1)).as("got"),
         first(col("want")).as("want"))
       // ways referencing nodes missing from the extract drop, like the
       // reference's incomplete-way handling
       .where(col("got") === col("want"))
-      .select(col("way_id"), col("tags"), col("coords"))
+      .select(col("way_id"), col("tags"),
+        transform(col("prll"), x => x.getField("ref")).as("refs"),
+        transform(col("prll"),
+          x => struct(x.getField("lon").as("lon"), x.getField("lat").as("lat"))).as("coords"))
 
     padded.unionByName(joined)
   }
@@ -93,14 +101,45 @@ object Osm {
   /** Encoder-friendly lon/lat pair (matches the `coords` struct by name). */
   case class LonLat(lon: Double, lat: Double)
 
+  /** Default relation-info predicate: store info for `type=route`
+    * relations — the dominant `Profile.preprocessOsmRelation` use case
+    * (route refs/networks reaching member ways; reference
+    * `Profile.java:90-140`). */
+  def defaultRelationInfoPred(tags: Column): Column =
+    try_element_at(tags, lit("type")) === "route"
+
   /**
    * Entity frame → typed SourceFeatures:
    * tagged nodes as points, non-polygon ways as lines, polygon ways
-   * as polygons, `type=multipolygon` relations ring-stitched from
-   * member ways (member ways without own tags are suppressed as
-   * standalone features).
+   * as polygons, `type=multipolygon`/`boundary`/`land_area` relations
+   * ring-stitched from member ways (member ways without own tags are
+   * suppressed as standalone features).
+   *
+   * `relationInfoPred` is the analog of
+   * `Profile.preprocessOsmRelation` (reference `Profile.java:90-140`,
+   * attachment `OsmReader.java:563-607,683-701`): relations whose tag
+   * map satisfies the predicate have (rel_id, role, rel_tags)
+   * attached to every member way's `relations` field — including
+   * memberships inherited through super-relations, resolved with the
+   * cycle-guarded [[Relations.transitiveClosure]]. For an inherited
+   * membership the role is the smallest role on a stored edge entering
+   * that ancestor from the way's relation chain (the reference records
+   * the first path's entering-edge role, which is iteration-order
+   * dependent; min is the deterministic choice).
+   *
+   * `splitWays` is the pipeline-level analog of
+   * `Profile.splitOsmWayAtIntersections` (reference
+   * `Profile.java:79-81`, applied `OsmReader.java:439-450`): LINE ways
+   * are split at interior nodes shared with >=2 line ways (cut node
+   * duplicated as both segment endpoints), each segment emitted as
+   * `way/<id>/<segIdx>`. Unlike the reference — where the profile
+   * receives both the full way and the segments and chooses per
+   * feature — the flag replaces the full line with its segments;
+   * polygon ways are never split.
    */
-  def sourceFeatures(entities: DataFrame): Dataset[SourceFeature] = {
+  def sourceFeatures(entities: DataFrame,
+                     relationInfoPred: Column => Column = defaultRelationInfoPred,
+                     splitWays: Boolean = false): Dataset[SourceFeature] = {
     val spark = entities.sparkSession
     import spark.implicits._
 
@@ -113,15 +152,66 @@ object Osm {
       }
 
     val rels = entities.filter(col("kind") === "relation")
+    // geometry-carrying relations (reference OsmReader.isMultipolygon,
+    // `OsmReader.java:322-325`: multipolygon | boundary | land_area);
+    // ALL way members contribute rings regardless of role, matching
+    // the reference's MultipolygonSourceFeature (`OsmReader.java:938-957`)
     val mpMembers = rels
-      .where(try_element_at(col("tags"), lit("type")) === "multipolygon")
+      .where(try_element_at(col("tags"), lit("type"))
+        .isin("multipolygon", "boundary", "land_area"))
       .select(col("id").as("rel_id"), col("tags").as("rel_tags"),
         posexplode(arrays_zip(col("member_types"), col("member_ids"), col("member_roles")))
           .as(Seq("mpos", "m")))
       .select(col("rel_id"), col("rel_tags"),
         col("m.member_types").as("mtype"), col("m.member_ids").as("mid"),
         col("m.member_roles").as("role"))
-      .where(col("mtype") === "way" && col("role").isin("outer", "inner", ""))
+      .where(col("mtype") === "way")
+
+    // ---- relation info -> member ways (pass-1 side table analog) ----
+    // every frame here is relation-sized (~10^6 rows at planet scale,
+    // vs ~10^9 ways) so AQE broadcasts these joins; nothing touches
+    // the node table
+    val storedMembers = rels.where(relationInfoPred(col("tags")))
+      .select(col("id").as("rel_id"), col("tags").as("rtags"),
+        posexplode(arrays_zip(col("member_types"), col("member_ids"), col("member_roles")))
+          .as(Seq("mpos", "m")))
+      .select(col("rel_id"), col("rtags"),
+        col("m.member_types").as("mtype"), col("m.member_ids").as("mid"),
+        col("m.member_roles").as("role"))
+    val storedTags = storedMembers.groupBy(col("rel_id")).agg(first(col("rtags")).as("rtags"))
+    val directWay = storedMembers.where(col("mtype") === "way")
+      .select(col("mid").as("way_id"), col("rel_id"), col("role"))
+    // super-relation edges among stored relations: child -> parent
+    val relEdges = storedMembers.where(col("mtype") === "relation")
+      .select(col("mid").as("child"), col("rel_id").as("parent"), col("role"))
+    // (descendant relation, ancestor relation, entering-edge role):
+    // reach = {R} ∪ ancestors(R); an edge mid->parent with mid in
+    // reach(R) witnesses parent in ancestors(R)
+    val ancPairs = Relations.transitiveClosure(
+      relEdges.select(col("child").as("member_id"), col("parent").as("relation_id")))
+      .select(col("member_id").as("desc_rel"), col("ancestor_id").as("mid_rel"))
+    val reach = ancPairs
+      .unionByName(storedTags.select(col("rel_id").as("desc_rel"), col("rel_id").as("mid_rel")))
+    val indirect = reach
+      .join(relEdges.select(col("child").as("mid_rel"), col("parent").as("rel_id"), col("role")),
+        "mid_rel")
+      .groupBy(col("desc_rel"), col("rel_id"))
+      .agg(min(col("role")).as("role"))
+    val wayIndirect = directWay.select(col("way_id"), col("rel_id").as("desc_rel"))
+      .join(indirect, "desc_rel")
+      .select(col("way_id"), col("rel_id"), col("role"))
+    val wayRels = directWay.unionByName(wayIndirect).distinct()
+      .join(storedTags, "rel_id")
+      .groupBy(col("way_id"))
+      .agg(collect_list(struct(col("rel_id"), col("role"), col("rtags").as("rel_tags")))
+        .as("rels_raw"))
+      .select(col("way_id"),
+        array_sort(col("rels_raw"), (l, r) =>
+          when(l.getField("rel_id") < r.getField("rel_id"), -1)
+            .when(l.getField("rel_id") > r.getField("rel_id"), 1)
+            .when(l.getField("role") < r.getField("role"), -1)
+            .when(l.getField("role") > r.getField("role"), 1)
+            .otherwise(0)).as("relations"))
 
     // cached because BOTH the way-features and relation-features
     // branches read it; Spark's LRU evicts the blocks under memory
@@ -136,31 +226,97 @@ object Osm {
     // relation's geometry
     val memberWayIds = mpMembers.select(col("mid").as("way_id")).distinct()
 
-    val wayFeatures = wc
+    // polygon-vs-line decided ONCE as a column (single source of truth
+    // for both the cut-node detection and geometry construction)
+    val polyKeysArr = array(PolygonKeys.toSeq.sorted.map(lit(_)): _*)
+    val closedCol = size(col("coords")) >= 4 &&
+      col("coords").getItem(0) === element_at(col("coords"), -1)
+    val isPolyCol = closedCol && (
+      when(try_element_at(col("tags"), lit("area")) === "no", lit(false))
+        .when(try_element_at(col("tags"), lit("area")) === "yes", lit(true))
+        .otherwise(exists(map_keys(col("tags")),
+          k => array_contains(polyKeysArr, k))))
+
+    val wayBase = wc
       .join(memberWayIds.withColumn("is_member", lit(true)), Seq("way_id"), "left")
       .where(col("is_member").isNull || size(col("tags")) > 0)
-      .select(col("way_id"), col("tags"), col("coords"))
-      .as[(Long, Map[String, String], Seq[LonLat])]
-      .flatMap { case (id, tags, coords) =>
+      .withColumn("is_poly", isPolyCol)
+      .select(col("way_id"), col("tags"), col("refs"), col("coords"), col("is_poly"))
+
+    // optional intersection splitting: cut positions from the
+    // distributed WaySplitter (same 3-shuffle shape as
+    // splitAtSharedNodes; participating ways = tagged line ways)
+    val withCuts =
+      if (!splitWays) wayBase.withColumn("cut_pos", lit(null).cast("array<int>"))
+      else wayBase.join(
+        WaySplitter.cutPositions(
+          wayBase.where(!col("is_poly") && size(col("tags")) > 0)
+            .select(col("way_id"), col("refs").as("nodes"))),
+        Seq("way_id"), "left")
+
+    val wayFeatures = withCuts
+      .join(wayRels, Seq("way_id"), "left")
+      .select(col("way_id"), col("tags"), col("coords"), col("is_poly"),
+        col("cut_pos"), col("relations"))
+      .as[(Long, Map[String, String], Seq[LonLat], Boolean, Seq[Int], Seq[RelMember])]
+      .flatMap { case (id, tags, coords, isPoly, cutPosOrNull, relsOrNull) =>
         if (tags.isEmpty) Iterator.empty
         else {
+          val relInfo = Option(relsOrNull).getOrElse(Seq.empty)
           val arr = coords.map(c => new Coordinate(c.lon, c.lat)).toArray
-          val closed = arr.length >= 4 && arr.head.equals2D(arr.last)
-          val g =
-            if (isPolygonWay(tags, closed)) {
-              // snap at OSM's own 1e-7-degree resolution (NOT the tile-space
-              // default, which would collapse building-sized rings)
-              val fixed = graft.geo.PolygonFixer.snapAndFix(
-                Geo.factory.createPolygon(arr),
-                new org.locationtech.jts.geom.PrecisionModel(1e7))
-              if (fixed == null || fixed.isEmpty) null else fixed
-            } else Geo.factory.createLineString(arr)
-          if (g == null) Iterator.empty
-          else Iterator.single(SourceFeature(s"way/$id", "osm", Geo.toWkb(g), tags, id))
+          if (isPoly) {
+            // snap at OSM's own 1e-7-degree resolution (NOT the tile-space
+            // default, which would collapse building-sized rings)
+            val fixed = graft.geo.PolygonFixer.snapAndFix(
+              Geo.factory.createPolygon(arr),
+              new org.locationtech.jts.geom.PrecisionModel(1e7))
+            if (fixed == null || fixed.isEmpty) Iterator.empty
+            else Iterator.single(
+              SourceFeature(s"way/$id", "osm", Geo.toWkb(fixed), tags, id, relInfo))
+          } else {
+            val cuts = Option(cutPosOrNull).getOrElse(Seq.empty)
+              .filter(i => i > 0 && i < arr.length - 1)
+            if (cuts.isEmpty)
+              Iterator.single(SourceFeature(s"way/$id", "osm",
+                Geo.toWkb(Geo.factory.createLineString(arr)), tags, id, relInfo))
+            else {
+              // split at interior cut positions, cut coord duplicated
+              // as both segment endpoints (reference OsmReader.java:439-450)
+              val bounds = (0 +: cuts) :+ (arr.length - 1)
+              bounds.sliding(2).zipWithIndex.flatMap { case (Seq(a, b), segIdx) =>
+                if (b <= a) Iterator.empty
+                else Iterator.single(SourceFeature(s"way/$id/$segIdx", "osm",
+                  Geo.toWkb(Geo.factory.createLineString(arr.slice(a, b + 1))),
+                  tags, id, relInfo))
+              }
+            }
+          }
         }
       }
 
+    // Giant-relation guard: ring assembly groups ALL member coords of
+    // one relation into one task row, so a degenerate relation (far
+    // beyond OSM's largest ~10^5-member coastlines) would become a
+    // multi-GB group. Relations over [[MaxRelationMembers]] are
+    // skipped LOUDLY: counted in the `osm_relation_member_cap_skips`
+    // accumulator and warned per relation in the executor log.
+    val capSkips = spark.sparkContext.longAccumulator("osm_relation_member_cap_skips")
+    val cap = MaxRelationMembers
+    val capOk = mpMembers.groupBy(col("rel_id")).agg(count(lit(1)).as("n_members"))
+      .as[(Long, Long)]
+      .filter { case (relId, n) =>
+        val ok = n <= cap
+        if (!ok) {
+          capSkips.add(1)
+          org.slf4j.LoggerFactory.getLogger("graft.engine.Osm").warn(
+            s"skipping relation $relId: $n way members exceeds MaxRelationMembers=$cap")
+        }
+        ok
+      }
+      .toDF("rel_id", "n_members").select(col("rel_id"))
+
     val relFeatures = mpMembers
+      .join(capOk, "rel_id")
       .join(wc.select(col("way_id").as("mid"), col("coords")), "mid")
       .groupBy(col("rel_id"))
       .agg(first(col("rel_tags")).as("tags"), collect_list(col("coords")).as("segs"))
@@ -180,8 +336,10 @@ object Osm {
     * the Spark engine. */
   def tiles(spark: SparkSession, pbfPath: String,
             profile: Profile = new Pipeline.GraftProfile(),
-            numPartitions: Int = 32): Dataset[graft.model.TileBytes] = {
+            numPartitions: Int = 32,
+            splitWays: Boolean = false): Dataset[graft.model.TileBytes] = {
     val entities = spark.read.format("osmpbf").load(pbfPath)
-    Pipeline.tilesFromFeatures(sourceFeatures(entities), profile, numPartitions)
+    Pipeline.tilesFromFeatures(
+      sourceFeatures(entities, splitWays = splitWays), profile, numPartitions)
   }
 }

@@ -21,12 +21,12 @@ import org.apache.spark.sql.functions._
  */
 object WaySplitter {
 
-  /** ways(way_id BIGINT, nodes ARRAY<BIGINT>) ->
-    * (way_id, seg_idx, nodes). */
-  def splitAtSharedNodes(ways: DataFrame): DataFrame = {
-    val spark = ways.sparkSession
-    import spark.implicits._
-
+  /** ways(way_id BIGINT, nodes ARRAY<BIGINT>) -> (way_id, cut_pos
+    * ARRAY<INT>): per way, the sorted node positions that sit on a
+    * node shared by >= 2 ways. Only ways with at least one shared
+    * position appear. Positions may include endpoints — segmenting
+    * callers apply the interior (0 < i < n-1) filter themselves. */
+  def cutPositions(ways: DataFrame): DataFrame = {
     val exploded = ways
       .select(col("way_id"), posexplode(col("nodes")).as(Seq("idx", "node")))
 
@@ -36,21 +36,32 @@ object WaySplitter {
       .groupBy(col("node"))
       .agg(count(lit(1)).as("ways"))
       .where(col("ways") >= 2)
-      .select(col("node"), lit(true).as("is_cut"))
+      .select(col("node"))
 
     exploded
-      .join(sharedNodes, Seq("node"), "left")
+      .join(sharedNodes, Seq("node"))
       .groupBy(col("way_id"))
-      .agg(sort_array(collect_list(struct(
-        col("idx"), col("node"), coalesce(col("is_cut"), lit(false)).as("is_cut")))).as("ns"))
-      .as[(Long, Seq[(Int, Long, Boolean)])]
-      .flatMap { case (wayId, ns) =>
+      .agg(sort_array(collect_list(col("idx"))).as("cut_pos"))
+  }
+
+  /** ways(way_id BIGINT, nodes ARRAY<BIGINT>) ->
+    * (way_id, seg_idx, nodes). */
+  def splitAtSharedNodes(ways: DataFrame): DataFrame = {
+    val spark = ways.sparkSession
+    import spark.implicits._
+
+    ways
+      .join(cutPositions(ways), Seq("way_id"), "left")
+      .select(col("way_id"), col("nodes"), col("cut_pos"))
+      .as[(Long, Seq[Long], Seq[Int])]
+      .flatMap { case (wayId, nodes, cutPosOrNull) =>
+        val cuts = Option(cutPosOrNull).getOrElse(Seq.empty)
+          .filter(i => i > 0 && i < nodes.length - 1).toSet
         val segs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
         var cur = scala.collection.mutable.ArrayBuffer.empty[Long]
-        ns.foreach { case (i, n, isCut) =>
+        nodes.zipWithIndex.foreach { case (n, i) =>
           cur += n
-          val interior = i > 0 && i < ns.length - 1
-          if (interior && isCut && cur.length >= 2) {
+          if (cuts(i) && cur.length >= 2) {
             segs += cur.toSeq
             cur = scala.collection.mutable.ArrayBuffer(n)
           }

@@ -37,7 +37,7 @@ object Wikidata {
             map_filter(transform_keys(col("__names"), (k, _) => concat(lit("name:"), k)),
               (k, _) => !map_contains_key(col("tags"), k)),
             col("tags"))).as("tags"),
-        col("span_sig"))
+        col("span_sig"), col("relations"))
       .as[SourceFeature]
   }
 }

@@ -16,17 +16,28 @@ case class Span(kind: String, text: String, media_ref: String, offset: Int)
 case class Doc(doc_id: String, spans: Seq[Span])
 
 /**
+ * One relation membership attached to a source feature: the id, this
+ * member's role, and the relation's stored tag info (the analog of the
+ * reference's `OsmRelationInfo` + `RelationMember`, planetiler
+ * `Profile.java:90-140`, `reader/osm/OsmReader.java:563-607`).
+ */
+case class RelMember(rel_id: Long, role: String, rel_tags: Map[String, String])
+
+/**
  * A source feature extracted from a document: geometry as WKB plus the
  * open-world tag map; `span_sig` is the order-sensitive checksum of the
  * full span sequence (kind, text, media_ref, order) — the per-row
- * invariant that must survive every shuffle.
+ * invariant that must survive every shuffle. `relations` carries the
+ * relation memberships of OSM member ways (direct plus super-relation
+ * ancestors), sorted by (rel_id, role) — empty for non-OSM sources.
  */
 case class SourceFeature(
     doc_id: String,
     source: String,
     geom: Array[Byte], // WKB, lon/lat
     tags: Map[String, String],
-    span_sig: Long)
+    span_sig: Long,
+    relations: Seq[RelMember] = Seq.empty)
 
 /**
  * Logical output feature spec emitted by a profile (the analog of

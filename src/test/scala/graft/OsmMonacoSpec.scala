@@ -34,6 +34,26 @@ class OsmMonacoSpec extends AnyFunSuite {
       s"${outside.size} features outside monaco bbox")
   }
 
+  test("monaco: boundary relations assemble and route info reaches member ways") {
+    assume(available)
+    val fs = Osm.sourceFeatures(spark.read.format("osmpbf").load(monacoPath)).collect()
+    // monaco carries admin boundary relations (country + quartiers):
+    // type=boundary must ring-assemble into polygonal relation features
+    val boundaries = fs.filter(f => f.doc_id.startsWith("relation/") &&
+      f.tags.get("boundary").contains("administrative"))
+    assert(boundaries.length >= 5, s"admin boundaries=${boundaries.length}")
+    assert(boundaries.forall { f =>
+      val g = graft.geo.Geo.fromWkb(f.geom)
+      g.isInstanceOf[org.locationtech.jts.geom.Polygon] ||
+        g.isInstanceOf[org.locationtech.jts.geom.MultiPolygon]
+    })
+    // monaco's bus routes: member ways must carry route-relation info
+    val withRoutes = fs.filter(f => f.doc_id.startsWith("way/") &&
+      f.relations.exists(_.rel_tags.get("type").contains("route")))
+    assert(withRoutes.length > 50, s"ways with route info=${withRoutes.length}")
+    assert(withRoutes.exists(_.relations.exists(_.rel_tags.contains("ref"))))
+  }
+
   test("monaco: full tile pyramid renders deterministically") {
     assume(available)
     val tiles = Osm.tiles(spark, monacoPath, numPartitions = 8).collect()
