@@ -70,6 +70,47 @@ object GraftCli {
         }
     }
 
+    // unified feature stream (rebalance folded in where the CPU-heavy
+    // parse/render fan-out would otherwise pin to one input split)
+    val baseFeatures: org.apache.spark.sql.Dataset[graft.model.SourceFeature] =
+      if (isOsm) osmFeatures
+      else if (vectorFormat.isDefined) vectorFeatures
+      else if (hillshade) {
+        // raster→vector merge: shade-band polygons union into the same
+        // feature stream — "just another polygon layer". Rebalance the
+        // docs ONCE before both CPU-heavy branches (single-split guard).
+        val balanced = docs.repartition(partitions)
+        Docs.sourceFeatures(balanced)
+          .unionByName(graft.raster.Raster.hillshadeFeatures(balanced))
+      } else Docs.sourceFeatures(docs.repartition(partitions))
+
+    // PIP routing: broadcast index when the polygon layer fits the cap;
+    // otherwise pre-tag points via the partitioned grid join (identical
+    // smallest-id assignment, no driver collect) and let the profile
+    // read the pre-attached tag — a planet-scale polygon layer degrades
+    // to the scale path instead of failing the job
+    var pipIndex: Option[SpatialJoin.PolygonIndex] = None
+    val features: org.apache.spark.sql.Dataset[graft.model.SourceFeature] =
+      if (!pip || profilePath.nonEmpty) baseFeatures
+      else {
+        // polygon layer: synthesized for --sf-dir; filtered out of
+        // the feature stream itself for --input
+        val polysDf =
+          if (sfDir.nonEmpty && !isOsm && vectorFormat.isEmpty)
+            Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
+          else baseFeatures
+            .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
+              .isInstanceOf[org.locationtech.jts.geom.Polygonal])
+            .toDF()
+        SpatialJoin.collectPolysIfSmall(polysDf) match {
+          case Some(polys) =>
+            pipIndex = Some(new SpatialJoin.PolygonIndex(polys))
+            baseFeatures
+          case None =>
+            SpatialJoin.attachContainingPolygonTag(baseFeatures, polysDf)
+        }
+      }
+
     val profile: graft.engine.Profile =
       if (profilePath.nonEmpty) {
         val text = new String(java.nio.file.Files.readAllBytes(
@@ -77,54 +118,18 @@ object GraftCli {
         if (profilePath.endsWith(".yml") || profilePath.endsWith(".yaml"))
           graft.dsl.ConfigProfile.compileYaml(text)
         else graft.dsl.ConfigProfile.compile(text)
-      } else {
-        val pipIndex =
-          if (!pip) None
-          else {
-            // polygon layer: synthesized for --sf-dir; filtered out of
-            // the docs table itself for --input
-            val polysDf =
-              if (isOsm) osmFeatures
-                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
-                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
-                .toDF()
-              else if (vectorFormat.isDefined) vectorFeatures
-                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
-                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
-                .toDF()
-              else if (sfDir.nonEmpty) Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
-              else Docs.sourceFeatures(docs)
-                .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
-                  .isInstanceOf[org.locationtech.jts.geom.Polygonal])
-                .toDF()
-            Some(new SpatialJoin.PolygonIndex(SpatialJoin.collectPolys(polysDf)))
-          }
-        new Pipeline.GraftProfile(
-          pointMaxZoom = maxZoom, lineMaxZoom = maxZoom,
-          polyMaxZoom = math.min(7, maxZoom), pip = pipIndex)
-      }
+      } else new Pipeline.GraftProfile(
+        pointMaxZoom = maxZoom, lineMaxZoom = maxZoom,
+        polyMaxZoom = math.min(7, maxZoom), pip = pipIndex)
 
     val metadata = Map(
       "name" -> args.getString("archive_name", "archive metadata: name", "graft"),
       "format" -> args.getString("archive_format", "archive metadata: tile format", "pbf")) ++
       args.withPrefix("meta")
 
-    val tiles =
-      if (isOsm) Pipeline.tilesFromFeatures(osmFeatures, profile,
-        numPartitions = partitions, gzipTiles = gzip)
-      else if (vectorFormat.isDefined)
-        Pipeline.tilesFromFeatures(vectorFeatures, profile,
-          numPartitions = partitions, gzipTiles = gzip, rebalance = partitions)
-      else if (hillshade) {
-        // raster→vector merge: shade-band polygons union into the same
-        // feature stream — "just another polygon layer". Rebalance the
-        // docs ONCE before both CPU-heavy branches (single-split guard).
-        val balanced = docs.repartition(partitions)
-        val features = Docs.sourceFeatures(balanced)
-          .unionByName(graft.raster.Raster.hillshadeFeatures(balanced))
-        Pipeline.tilesFromFeatures(features, profile,
-          numPartitions = partitions, gzipTiles = gzip)
-      } else Pipeline.tiles(docs, profile, numPartitions = partitions, gzipTiles = gzip)
+    val tiles = Pipeline.tilesFromFeatures(features, profile,
+      numPartitions = partitions, gzipTiles = gzip,
+      rebalance = if (vectorFormat.isDefined) partitions else 0)
     Archives.write(tiles, output, metadata, tilesGzipped = gzip)
   }
 

@@ -51,7 +51,11 @@ object Pipeline {
       geom match {
         case p: JtsPoint =>
           val c = p.getCoordinate
+          // broadcast index when present; else a pre-attached "adm" tag
+          // (the partitioned-PIP scale path,
+          // SpatialJoin.attachContainingPolygonTag)
           val adm = pip.flatMap(_.firstContaining(c.x, c.y)).map(_.id)
+            .orElse(sf.tags.get("adm"))
           Iterator.single(FeatureSpec(
             layer = "points", geom = Geo.toWkb(world), id = id,
             sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = pointMaxZoom,

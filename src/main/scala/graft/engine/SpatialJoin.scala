@@ -79,8 +79,23 @@ object SpatialJoin {
    */
   /** Cap on the broadcast polygon side: like any broadcast join, the
     * build side must fit in executor memory. Callers with a bigger
-    * polygon layer should tile-partition it first. */
-  val MaxBroadcastPolys = 2000000
+    * polygon layer auto-route to [[pointInPolygonPartitioned]] via
+    * [[collectPolysIfSmall]] / [[attachContainingPolygonTag]].
+    * A `var` so specs can exercise the fallback on small corpora. */
+  @volatile var MaxBroadcastPolys = 2000000
+
+  /** [[collectPolys]] that returns None instead of failing when the
+    * polygon side exceeds [[MaxBroadcastPolys]] — the guard callers
+    * use to auto-route to the partitioned grid join. */
+  def collectPolysIfSmall(polysDf: DataFrame,
+                          idCol: String = "doc_id", geomCol: String = "geom",
+                          tagsCol: String = "tags"): Option[Array[Poly]] = {
+    val rows = polysDf.select(col(idCol), col(geomCol), col(tagsCol))
+      .limit(MaxBroadcastPolys + 1).collect()
+    if (rows.length > MaxBroadcastPolys) None
+    else Some(rows.map(r => Poly(r.getString(0), r.getAs[Array[Byte]](1),
+      r.getAs[Map[String, String]](2))))
+  }
 
   /** Collect a polygon DataFrame (doc_id, geom WKB, tags) into the
     * broadcastable form, refusing unboundedly large sides — keeps the
@@ -88,13 +103,50 @@ object SpatialJoin {
   def collectPolys(polysDf: DataFrame,
                    idCol: String = "doc_id", geomCol: String = "geom",
                    tagsCol: String = "tags"): Array[Poly] = {
-    val rows = polysDf.select(col(idCol), col(geomCol), col(tagsCol))
-      .limit(MaxBroadcastPolys + 1).collect()
-    require(rows.length <= MaxBroadcastPolys,
-      s"polygon side exceeds $MaxBroadcastPolys rows — too large to broadcast; " +
-        "tile-partition the polygon layer and use a partitioned join instead")
-    rows.map(r => Poly(r.getString(0), r.getAs[Array[Byte]](1),
-      r.getAs[Map[String, String]](2)))
+    collectPolysIfSmall(polysDf, idCol, geomCol, tagsCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"polygon side exceeds $MaxBroadcastPolys rows — too large to broadcast; " +
+          "tile-partition the polygon layer and use a partitioned join instead"))
+  }
+
+  /**
+   * Scale path for the pipeline's PIP stage: tag every POINT feature
+   * with the id of its containing polygon (smallest-id tie-break,
+   * identical to the broadcast path) via the partitioned grid join —
+   * no driver collect, no broadcast, survives polygon layers of any
+   * size. Non-point features pass through untouched. The tag key set
+   * here is what [[Pipeline.GraftProfile]] falls back to when its
+   * broadcast `pip` index is absent.
+   */
+  def attachContainingPolygonTag(features: org.apache.spark.sql.Dataset[graft.model.SourceFeature],
+                                 polysDf: DataFrame,
+                                 tagKey: String = "adm",
+                                 gridZoom: Int = 7): org.apache.spark.sql.Dataset[graft.model.SourceFeature] = {
+    val spark = features.sparkSession
+    import spark.implicits._
+    val pts = features.flatMap { f =>
+      Geo.fromWkb(f.geom) match {
+        case p: org.locationtech.jts.geom.Point =>
+          Some((f.doc_id, f.source, f.geom, f.tags, f.span_sig, f.relations, p.getX, p.getY))
+        case _ => None
+      }
+    }.toDF("doc_id", "source", "geom", "tags", "span_sig", "relations", "__lon", "__lat")
+      // join-back key: duplicates (same doc + same location) are safe —
+      // the assignment is identical for every duplicate row
+      .withColumn("__pk", concat_ws("", col("doc_id"), col("__lon"), col("__lat")))
+    val assigned = pointInPolygonPartitioned(pts, polysDf, gridZoom = gridZoom,
+        idCol = "__pk", lonCol = "__lon", latCol = "__lat", left = true)
+      .withColumn("tags",
+        when(col("poly_id").isNull, col("tags"))
+          .otherwise(map_concat(
+            map_filter(col("tags"), (k, _) => k =!= lit(tagKey)),
+            map(lit(tagKey), col("poly_id")))))
+      .select(col("doc_id"), col("source"), col("geom"), col("tags"),
+        col("span_sig"), col("relations"))
+      .as[graft.model.SourceFeature]
+    val nonPts = features.filter(f =>
+      !Geo.fromWkb(f.geom).isInstanceOf[org.locationtech.jts.geom.Point])
+    assigned.unionByName(nonPts)
   }
 
   def pointInPolygon(points: DataFrame, polys: Array[Poly],

@@ -44,6 +44,27 @@ object TileAssembler {
     * whole grouped output). */
   val PartialLimitMaxGroups = 1 << 16
 
+  /** Total order matching the post-shuffle `sortWithinPartitions(key,
+    * meta, value)`: the map-side partial must keep exactly the rows the
+    * exact in-run counter would keep, so ties in sort_key break on
+    * (meta, value) — NOT on arrival order, which would make tile bytes
+    * depend on upstream row order. */
+  private val kvHeapOrdering: Ordering[Kv] = new Ordering[Kv] {
+    def compare(a: Kv, b: Kv): Int = {
+      val m = java.lang.Long.compare(a.meta, b.meta)
+      if (m != 0) return m
+      val av = a.value; val bv = b.value
+      val n = math.min(av.length, bv.length)
+      var i = 0
+      while (i < n) {
+        val c = (av(i) & 0xff) - (bv(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      av.length - bv.length
+    }
+  }
+
   /** Map-side partial label-grid limit over the packed rows. */
   def partialLabelGridLimit(kv: Dataset[Kv],
                             maxGroups: Int = PartialLimitMaxGroups): Dataset[Kv] = {
@@ -60,12 +81,12 @@ object TileAssembler {
             case None if heaps.size >= maxGroups => true // lossy-in-coverage past cap
             case existing =>
               val heap = existing.getOrElse {
-                val h = mutable.PriorityQueue.empty[Kv](Ordering.by((x: Kv) => KvCodec.sortKey(x.meta)))
+                val h = mutable.PriorityQueue.empty[Kv](kvHeapOrdering)
                 heaps.put(k, h)
                 h
               }
               heap += r
-              if (heap.size > limit) heap.dequeue() // drop largest sort_key
+              if (heap.size > limit) heap.dequeue() // drop largest (meta, value)
               false
           }
         }

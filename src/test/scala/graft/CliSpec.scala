@@ -46,6 +46,31 @@ class CliSpec extends AnyFunSuite {
     r.close()
   }
 
+  test("PIP auto-routes past the broadcast cap with identical tiles") {
+    // same pipeline twice: broadcast path (cap untouched) vs the
+    // partitioned grid path (cap forced below the polygon count) —
+    // the archives must be byte-identical
+    def runOnce(suffix: String): Seq[((Int, Int, Int), Seq[Byte])] = {
+      val out = java.nio.file.Files.createTempDirectory("graft_cli_pip").toString +
+        s"/$suffix.pmtiles"
+      GraftCli.run(Arguments.of(
+        "sf_dir" -> "/root/testdata/sf0.001",
+        "output" -> out, "maxzoom" -> "4", "partitions" -> "8"), spark)
+      spark.read.format("pmtiles").load(out).collect().toSeq
+        .map(r => ((r.getInt(0), r.getInt(1), r.getInt(2)),
+          r.getAs[Array[Byte]](3).toSeq))
+        .sortBy(_._1)
+    }
+    val a = runOnce("bcast")
+    val prev = graft.engine.SpatialJoin.MaxBroadcastPolys
+    val b = try {
+      graft.engine.SpatialJoin.MaxBroadcastPolys = 1
+      runOnce("grid")
+    } finally graft.engine.SpatialJoin.MaxBroadcastPolys = prev
+    assert(a.nonEmpty && a == b,
+      "grid-path PIP must reproduce the broadcast-path archive exactly")
+  }
+
   test("end-to-end: --input=.osm.pbf drives the OSM reader pipeline") {
     val monaco = "/root/reference/planetiler-core/src/test/resources/monaco-latest.osm.pbf"
     assume(new java.io.File(monaco).canRead)
