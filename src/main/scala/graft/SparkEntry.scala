@@ -652,6 +652,102 @@ object SparkEntry {
         .orderBy(col("way_id"))
     }),
 
+    "q63_vector_write_roundtrip" -> ((s, dir) => {
+      // line + polygon-with-hole WRITERS round-tripped through their
+      // own readers: per supplier row a 3-point polyline goes out via
+      // Shapefile.writeGeoms (shape type 3) and a square-with-hole
+      // polygon via GeoPackage.writeFeatures; both come back through
+      // the DSv2 providers and reduce to integer-exact metrics the
+      // oracle replays (coords integral; hole side s/4 and area
+      // (15/16)s^2 are exact binary fractions, scaled x16)
+      val ks = t(s, dir, "supplier").select(col("s_suppkey"))
+        .collect().map(_.get(0).asInstanceOf[Number].longValue).sorted
+      val gf = graft.geo.Geo.factory
+      def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
+      val lines = ks.map { k =>
+        val a = (k % 60 - 30).toDouble; val b = (k % 30 - 15).toDouble
+        (gf.createLineString(Array(c(a, b), c(a + 1, b), c(a + 1, b + 2)))
+          : org.locationtech.jts.geom.Geometry, Seq(k.toString))
+      }.toSeq
+      val polys = ks.map { k =>
+        val cx = (k % 10).toDouble; val cy = -(k % 7).toDouble
+        val sz = (1 + k % 3).toDouble
+        val shell = gf.createLinearRing(Array(
+          c(cx, cy), c(cx + sz, cy), c(cx + sz, cy + sz), c(cx, cy + sz), c(cx, cy)))
+        val q = sz / 4
+        val hole = gf.createLinearRing(Array(
+          c(cx + q, cy + q), c(cx + 2 * q, cy + q), c(cx + 2 * q, cy + 2 * q),
+          c(cx + q, cy + 2 * q), c(cx + q, cy + q)))
+        (graft.geo.Geo.toWkb(gf.createPolygon(shell, Array(hole))), Seq(k.toString))
+      }.toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q63")
+      val shpBase = tmp.resolve("lines").toString
+      graft.sources.Shapefile.writeGeoms(shpBase, 3, lines, Seq(("k", 12)),
+        s.sparkContext.hadoopConfiguration)
+      val gpkgPath = tmp.resolve("polys.gpkg").toString
+      graft.sources.GeoPackage.writeFeatures(gpkgPath, "polys", Seq("k"), polys, "POLYGON")
+      import s.implicits._
+      val lineOut = s.read.format("shapefile").load(shpBase + ".shp")
+        .select(col("attrs").getItem("k").cast("long").as("k"), col("geom"))
+        .as[(Long, Array[Byte])]
+        .map { case (k, wkb) =>
+          val g = graft.geo.Geo.fromWkb(wkb)
+          ("line", k, g.getNumPoints,
+            math.round(g.getCoordinates.map(_.x).sum),
+            math.round(g.getCoordinates.map(_.y).sum))
+        }
+      val polyOut = s.read.format("geopackage").load(gpkgPath)
+        .select(col("attrs").getItem("k").cast("long").as("k"), col("geom"))
+        .as[(Long, Array[Byte])]
+        .map { case (k, wkb) =>
+          val g = graft.geo.Geo.fromWkb(wkb).asInstanceOf[org.locationtech.jts.geom.Polygon]
+          ("poly", k, g.getNumPoints, math.round(g.getArea * 16), g.getNumInteriorRing.toLong)
+        }
+      lineOut.union(polyOut).toDF("kind", "k", "n_pts", "m1", "m2")
+        .orderBy(col("kind"), col("k"))
+    }),
+
+    "q62_loop_line_merge" -> ((s, dir) => {
+      // the LoopLineMerger's HARD paths (loop breaking + stub removal +
+      // cascading re-merge + closed-loop collection) on a closed-form
+      // fixture per supplier row: junctions A and B (each pinned by a
+      // long anchor spur) connected by a straight path (length L) and
+      // a detour (L+2h), a variable hair stub at B (length st), and a
+      // detached square ring (perimeter 4*rs). loopMinLength=500
+      // breaks the A-B loop iff L+2h <= 500 (shortest path wins);
+      // stubMinLength=12 removes the hair iff st < 12 (after which B
+      // drops to degree 2 and the cascade re-merges through it); the
+      // ring always survives as one closed line. Every outcome (count,
+      // total length, closed count, vertex count) is exact integer
+      // arithmetic the oracle replays.
+      import s.implicits._
+      t(s, dir, "supplier").select(col("s_suppkey").cast("long").as("k"))
+        .as[Long]
+        .map { k =>
+          val L = (100 + (k % 7) * 50).toInt
+          val h = (20 + (k % 5) * 10).toInt
+          val st = (5 + (k % 4) * 5).toInt
+          val rs = (40 + (k % 3) * 20).toInt
+          val lines = Seq(
+            Array((0, 0), (L, 0)),
+            Array((0, 0), (0, h), (L, h), (L, 0)),
+            Array((0, 0), (-50, 0)), // anchor spur keeps A a junction
+            Array((L, 0), (L + 60, 0)), // anchor spur keeps B a junction
+            Array((L, 0), (L, -st)),
+            Array((1000, 1000), (1000 + rs, 1000), (1000 + rs, 1000 + rs),
+              (1000, 1000 + rs), (1000, 1000)))
+          val out = graft.engine.LineMerger.merge(lines,
+            graft.engine.LineMerger.Params(loopMinLength = 500, stubMinLength = 12))
+          val totalLen = out.map(_.sliding(2).map { w =>
+            math.hypot((w(1)._1 - w(0)._1).toDouble, (w(1)._2 - w(0)._2).toDouble)
+          }.sum).sum
+          (k, out.length, math.round(totalLen),
+            out.count(l => l.head == l.last), out.map(_.length).sum)
+        }
+        .toDF("k", "n_lines", "total_len", "n_closed", "n_pts")
+        .orderBy(col("k"))
+    }),
+
     "q49_hilbert" -> ((s, dir) => {
       // the archive addressing function itself: the codegen'd Hilbert
       // index over the full 64x64 grid vs a recursive-CTE replay of
@@ -1467,6 +1563,55 @@ object SparkEntry {
              ',SR' || CAST((s_suppkey % 10) % 3 AS VARCHAR) AS refs_csv,
            (CASE WHEN s_suppkey % 2 = 0 THEN 'forward' ELSE '' END) || ',' AS roles_csv
          FROM supplier ORDER BY way_id""",
+
+    // q63: the round trip is lossless (integral coords; hole side and
+    // area exact binary fractions), so the oracle is pure arithmetic:
+    // line x-sum 3a+2 / y-sum 3b+2, polygon area*16 = 15*s^2
+    "q63_vector_write_roundtrip" ->
+      """WITH s AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier)
+         SELECT 'line' AS kind, k, CAST(3 AS INT) AS n_pts,
+                CAST(3 * ((k % 60) - 30) + 2 AS BIGINT) AS m1,
+                CAST(3 * ((k % 30) - 15) + 2 AS BIGINT) AS m2
+         FROM s
+         UNION ALL
+         SELECT 'poly', k, CAST(10 AS INT),
+                CAST(15 * (1 + k % 3) * (1 + k % 3) AS BIGINT),
+                CAST(1 AS BIGINT)
+         FROM s
+         ORDER BY kind, k""",
+
+    // q62: fixture outcomes are pure case arithmetic — loop broken iff
+    // the detour fits the budget, stub kept iff >= stubMinLength (a
+    // removed stub drops B to degree 2 and the cascade re-merges the
+    // chain), detached ring always survives closed
+    "q62_loop_line_merge" ->
+      """WITH p AS (
+           SELECT CAST(s_suppkey AS BIGINT) AS k,
+                  100 + (s_suppkey % 7) * 50 AS L,
+                  20 + (s_suppkey % 5) * 10 AS h,
+                  5 + (s_suppkey % 4) * 5 AS st,
+                  40 + (s_suppkey % 3) * 20 AS rs
+           FROM supplier),
+         c AS (
+           SELECT k, L, h, st, rs,
+                  (L + 2*h) <= 500 AS broken,
+                  st >= 12 AS stub_kept
+           FROM p)
+         SELECT k,
+           CAST(CASE WHEN broken AND NOT stub_kept THEN 2
+                     WHEN broken AND stub_kept THEN 4
+                     WHEN NOT broken AND NOT stub_kept THEN 5
+                     ELSE 6 END AS INT) AS n_lines,
+           CAST(CASE WHEN broken AND NOT stub_kept THEN 110 + L + 4*rs
+                     WHEN broken AND stub_kept THEN 110 + L + st + 4*rs
+                     WHEN NOT broken AND NOT stub_kept THEN 2*L + 2*h + 110 + 4*rs
+                     ELSE 2*L + 2*h + 110 + st + 4*rs END AS BIGINT) AS total_len,
+           CAST(1 AS INT) AS n_closed,
+           CAST(CASE WHEN broken AND NOT stub_kept THEN 9
+                     WHEN broken AND stub_kept THEN 12
+                     WHEN NOT broken AND NOT stub_kept THEN 15
+                     ELSE 17 END AS INT) AS n_pts
+         FROM c ORDER BY k""",
 
     // q49: the classic rotate/flip Hilbert walk as a recursive CTE,
     // bitwise-identical to geo/Hilbert.xyToIndex

@@ -186,8 +186,50 @@ object Shapefile {
   }
 
   // -------------------------------------------------------------------------
-  // writer (point shapefiles — fixtures + a minimal export sink)
+  // writer (point / polyline / polygon shapefiles — fixtures + export sink)
   // -------------------------------------------------------------------------
+
+  /** dBase III attribute file for `rows` of C-typed values. */
+  private def dbfBytes(rows: Seq[Seq[String]], fields: Seq[(String, Int)]): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val headerSize = 32 + 32 * fields.length + 1
+    val recordSize = 1 + fields.map(_._2).sum
+    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
+    dbf.order(ByteOrder.LITTLE_ENDIAN)
+    dbf.put(0, 0x03.toByte)
+    dbf.putInt(4, rows.length)
+    dbf.putShort(8, headerSize.toShort)
+    dbf.putShort(10, recordSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, len), fi) =>
+      val base = 32 + 32 * fi
+      val nb = name.getBytes("ISO-8859-1").take(10)
+      nb.indices.foreach(k => dbf.put(base + k, nb(k)))
+      dbf.put(base + 11, 'C'.toByte)
+      dbf.put(base + 16, len.toByte)
+    }
+    dbf.put(headerSize - 1, 0x0d.toByte)
+    var rp = headerSize
+    rows.foreach { vals =>
+      dbf.put(rp, 0x20.toByte)
+      var fo = rp + 1
+      fields.zipWithIndex.foreach { case ((_, len), fi) =>
+        val v = (if (fi < vals.length) vals(fi) else "").getBytes("ISO-8859-1")
+        var k = 0
+        while (k < len) { dbf.put(fo + k, if (k < v.length) v(k) else ' '.toByte); k += 1 }
+        fo += len
+      }
+      rp += recordSize
+    }
+    dbf.put(dbf.capacity() - 1, 0x1a.toByte)
+    dbf.array()
+  }
+
+  private def save(basePath: String, suffix: String, bytes: Array[Byte],
+                   conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(basePath + suffix)
+    val outS = hp.getFileSystem(conf).create(hp, true)
+    try outS.write(bytes) finally outS.close()
+  }
 
   /**
    * Write a point shapefile (`.shp` + `.dbf`, WGS84 — no `.prj`
@@ -200,7 +242,6 @@ object Shapefile {
                   fields: Seq[(String, Int)],
                   conf: org.apache.hadoop.conf.Configuration): Unit = {
     import java.nio.{ByteBuffer, ByteOrder}
-    // --- .shp
     val recBytes = 8 + 4 + 16 // record header + shape type + x,y
     val shpLen = 100 + rows.length * recBytes
     val shp = ByteBuffer.allocate(shpLen)
@@ -226,43 +267,94 @@ object Shapefile {
       shp.putDouble(off + 20, y)
       off += recBytes
     }
-    // --- .dbf (dBase III)
-    val headerSize = 32 + 32 * fields.length + 1
-    val recordSize = 1 + fields.map(_._2).sum
-    val dbf = ByteBuffer.allocate(headerSize + rows.length * recordSize + 1)
-    dbf.order(ByteOrder.LITTLE_ENDIAN)
-    dbf.put(0, 0x03.toByte)
-    dbf.putInt(4, rows.length)
-    dbf.putShort(8, headerSize.toShort)
-    dbf.putShort(10, recordSize.toShort)
-    fields.zipWithIndex.foreach { case ((name, len), fi) =>
-      val base = 32 + 32 * fi
-      val nb = name.getBytes("ISO-8859-1").take(10)
-      nb.indices.foreach(k => dbf.put(base + k, nb(k)))
-      dbf.put(base + 11, 'C'.toByte)
-      dbf.put(base + 16, len.toByte)
+    save(basePath, ".shp", shp.array(), conf)
+    save(basePath, ".dbf", dbfBytes(rows.map(_._3), fields), conf)
+  }
+
+  /**
+   * Write a polyline (shape type 3) or polygon (type 5) shapefile from
+   * JTS geometries — the line/polygon inverse of [[parseShape]].
+   * Lines decompose into one part per LineString; polygons into one
+   * part per ring, shells CW and holes CCW per the ESRI spec (the
+   * reader re-nests by containment, so orientation is advisory but
+   * kept spec-true for foreign readers). Geometries of the wrong
+   * family are rejected loudly.
+   */
+  def writeGeoms(basePath: String, shapeType: Int,
+                 rows: Seq[(Geometry, Seq[String])],
+                 fields: Seq[(String, Int)],
+                 conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    import org.locationtech.jts.geom.{LineString, MultiLineString, Polygon => JPolygon, MultiPolygon}
+    require(shapeType == 3 || shapeType == 5, s"writeGeoms supports 3/5, got $shapeType")
+    def partsOf(g: Geometry): Seq[Array[Coordinate]] = (shapeType, g) match {
+      case (3, l: LineString) => Seq(l.getCoordinates)
+      case (3, ml: MultiLineString) =>
+        (0 until ml.getNumGeometries).map(ml.getGeometryN(_).getCoordinates)
+      case (5, p: JPolygon) => ringsOf(p)
+      case (5, mp: MultiPolygon) =>
+        (0 until mp.getNumGeometries).flatMap(k =>
+          ringsOf(mp.getGeometryN(k).asInstanceOf[JPolygon]))
+      case _ => throw new IllegalArgumentException(
+        s"shape type $shapeType cannot encode ${g.getGeometryType}")
     }
-    dbf.put(headerSize - 1, 0x0d.toByte)
-    var rp = headerSize
-    rows.foreach { case (_, _, vals) =>
-      dbf.put(rp, 0x20.toByte)
-      var fo = rp + 1
-      fields.zipWithIndex.foreach { case ((_, len), fi) =>
-        val v = (if (fi < vals.length) vals(fi) else "").getBytes("ISO-8859-1")
-        var k = 0
-        while (k < len) { dbf.put(fo + k, if (k < v.length) v(k) else ' '.toByte); k += 1 }
-        fo += len
+    def ringsOf(p: JPolygon): Seq[Array[Coordinate]] = {
+      // ESRI: shells clockwise, holes counter-clockwise (screen-y-down
+      // CW == math CCW area test)
+      def oriented(cs: Array[Coordinate], clockwise: Boolean): Array[Coordinate] = {
+        val ccw = org.locationtech.jts.algorithm.Orientation.isCCW(cs)
+        if (ccw == clockwise) cs.reverse else cs
       }
-      rp += recordSize
+      oriented(p.getExteriorRing.getCoordinates, clockwise = true) +:
+        (0 until p.getNumInteriorRing).map(k =>
+          oriented(p.getInteriorRingN(k).getCoordinates, clockwise = false))
     }
-    dbf.put(dbf.capacity() - 1, 0x1a.toByte)
-    def save(suffix: String, bytes: Array[Byte]): Unit = {
-      val hp = new org.apache.hadoop.fs.Path(basePath + suffix)
-      val outS = hp.getFileSystem(conf).create(hp, true)
-      try outS.write(bytes) finally outS.close()
+    val recs = rows.map { case (g, _) =>
+      val parts = partsOf(g)
+      val numPoints = parts.map(_.length).sum
+      (parts, 4 + 32 + 8 + 4 * parts.length + 16 * numPoints)
     }
-    save(".shp", shp.array())
-    save(".dbf", dbf.array())
+    val shpLen = 100 + recs.map(8 + _._2).sum
+    val shp = ByteBuffer.allocate(shpLen)
+    shp.order(ByteOrder.BIG_ENDIAN)
+    shp.putInt(0, 9994)
+    shp.putInt(24, shpLen / 2)
+    shp.order(ByteOrder.LITTLE_ENDIAN)
+    shp.putInt(28, 1000)
+    shp.putInt(32, shapeType)
+    val allCs = rows.flatMap(r => r._1.getCoordinates)
+    if (allCs.nonEmpty) {
+      shp.putDouble(36, allCs.map(_.x).min); shp.putDouble(44, allCs.map(_.y).min)
+      shp.putDouble(52, allCs.map(_.x).max); shp.putDouble(60, allCs.map(_.y).max)
+    }
+    var off = 100
+    recs.zipWithIndex.foreach { case ((parts, contentBytes), i) =>
+      shp.order(ByteOrder.BIG_ENDIAN)
+      shp.putInt(off, i + 1)
+      shp.putInt(off + 4, contentBytes / 2)
+      shp.order(ByteOrder.LITTLE_ENDIAN)
+      val cs = parts.flatten
+      shp.putInt(off + 8, shapeType)
+      shp.putDouble(off + 12, cs.map(_.x).min)
+      shp.putDouble(off + 20, cs.map(_.y).min)
+      shp.putDouble(off + 28, cs.map(_.x).max)
+      shp.putDouble(off + 36, cs.map(_.y).max)
+      shp.putInt(off + 44, parts.length)
+      shp.putInt(off + 48, cs.length)
+      var partStart = 0
+      parts.zipWithIndex.foreach { case (p, k) =>
+        shp.putInt(off + 52 + 4 * k, partStart)
+        partStart += p.length
+      }
+      val ptsOff = off + 52 + 4 * parts.length
+      cs.zipWithIndex.foreach { case (c, j) =>
+        shp.putDouble(ptsOff + 16 * j, c.x)
+        shp.putDouble(ptsOff + 16 * j + 8, c.y)
+      }
+      off += 8 + contentBytes
+    }
+    save(basePath, ".shp", shp.array(), conf)
+    save(basePath, ".dbf", dbfBytes(rows.map(_._2), fields), conf)
   }
 }
 

@@ -78,20 +78,20 @@ object GeoPackage {
   }
 
   /**
-   * Write a WGS84 point-feature GeoPackage through the from-scratch
-   * SQLite page writer ([[graft.engine.SqliteWriter]]): the three
-   * required meta tables + one feature table, readable by [[read]]
-   * (and by stock sqlite3). Attr columns come from `attrCols`;
-   * feature fids are 1..n in input order.
+   * Write a WGS84 feature GeoPackage of any geometry family through
+   * the from-scratch SQLite page writer
+   * ([[graft.engine.SqliteWriter]]): the three required meta tables +
+   * one feature table, readable by [[read]] (and by stock sqlite3).
+   * Attr columns come from `attrCols`; feature fids are 1..n in input
+   * order; `geoms` are standard WKB (wrapped into GPKG blobs here).
    */
-  def writePoints(path: String, table: String, attrCols: Seq[String],
-                  rows: Seq[(Double, Double, Seq[String])]): Unit = {
+  def writeFeatures(path: String, table: String, attrCols: Seq[String],
+                    rows: Seq[(Array[Byte], Seq[String])],
+                    geometryType: String = "GEOMETRY"): Unit = {
     import graft.engine.SqliteWriter
     val wgs84 = "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\",SPHEROID[\"WGS 84\",6378137,298.257223563]],PRIMEM[\"Greenwich\",0],UNIT[\"degree\",0.0174532925199433]]"
     val attrsSql = attrCols.map(c => s"$c TEXT, ").mkString
-    val featureRows = rows.map { case (lon, lat, vals) =>
-      val wkb = graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
-        new org.locationtech.jts.geom.Coordinate(lon, lat)))
+    val featureRows = rows.map { case (wkb, vals) =>
       (vals.map(v => v: Any) :+ (wrapGpkgGeometry(wkb): Any)).toArray
     }
     SqliteWriter.write(path, Seq(
@@ -103,10 +103,19 @@ object GeoPackage {
         Seq(Array[Any](table, "features", table, 4326L))),
       SqliteWriter.Table("gpkg_geometry_columns",
         "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT, geometry_type_name TEXT, srs_id INTEGER)",
-        Seq(Array[Any](table, "geom", "POINT", 4326L))),
+        Seq(Array[Any](table, "geom", geometryType, 4326L))),
       SqliteWriter.Table(table,
         s"CREATE TABLE $table (${attrsSql}geom BLOB)", featureRows)))
   }
+
+  /** Point-layer convenience over [[writeFeatures]]. */
+  def writePoints(path: String, table: String, attrCols: Seq[String],
+                  rows: Seq[(Double, Double, Seq[String])]): Unit =
+    writeFeatures(path, table, attrCols,
+      rows.map { case (lon, lat, vals) =>
+        (graft.geo.Geo.toWkb(graft.geo.Geo.factory.createPoint(
+          new org.locationtech.jts.geom.Coordinate(lon, lat))), vals)
+      }, geometryType = "POINT")
 
   /**
    * All feature tables (or one) as (table, fid, geom WKB, attrs).

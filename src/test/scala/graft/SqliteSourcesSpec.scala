@@ -217,6 +217,51 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(byKey("7").getAs[Map[String, String]]("attrs")("name") == "name_7")
   }
 
+  test("line + polygon-with-hole writers round-trip geometry-exactly") {
+    val gf = graft.geo.Geo.factory
+    def c(x: Double, y: Double) = new org.locationtech.jts.geom.Coordinate(x, y)
+    val dir = java.nio.file.Files.createTempDirectory("graft_w_lines")
+
+    // shapefile polylines (incl. a MultiLineString -> two parts)
+    val l1 = gf.createLineString(Array(c(0, 0), c(2, 0), c(2, 3)))
+    val l2 = gf.createMultiLineString(Array(
+      gf.createLineString(Array(c(10, 10), c(11, 10))),
+      gf.createLineString(Array(c(12, 12), c(13, 13), c(14, 12)))))
+    val base = dir.resolve("roads").toString
+    Shapefile.writeGeoms(base, 3,
+      Seq(l1 -> Seq("a"), l2 -> Seq("b")), Seq(("NAME", 8)),
+      spark.sparkContext.hadoopConfiguration)
+    val linesBack = Shapefile.read(spark, base + ".shp").collect()
+      .map(r => r.getAs[Map[String, String]]("attrs")("NAME") ->
+        graft.geo.Geo.fromWkb(r.getAs[Array[Byte]]("geom"))).toMap
+    assert(linesBack("a").equalsExact(l1), s"got ${linesBack("a")}")
+    assert(linesBack("b").equalsExact(l2), s"got ${linesBack("b")}")
+
+    // shapefile polygon with hole
+    val shell = gf.createLinearRing(Array(c(0, 0), c(4, 0), c(4, 4), c(0, 4), c(0, 0)))
+    val hole = gf.createLinearRing(Array(c(1, 1), c(2, 1), c(2, 2), c(1, 2), c(1, 1)))
+    val poly = gf.createPolygon(shell, Array(hole))
+    val pbase = dir.resolve("lakes").toString
+    Shapefile.writeGeoms(pbase, 5, Seq((poly, Seq("lake"))), Seq(("NAME", 8)),
+      spark.sparkContext.hadoopConfiguration)
+    val polyBack = graft.geo.Geo.fromWkb(
+      Shapefile.read(spark, pbase + ".shp").collect().head.getAs[Array[Byte]]("geom"))
+      .asInstanceOf[org.locationtech.jts.geom.Polygon]
+    assert(polyBack.getNumInteriorRing == 1)
+    assert(polyBack.getArea == 16.0 - 1.0)
+    assert(polyBack.norm().equalsExact(poly.norm()), s"got $polyBack")
+
+    // geopackage polygon with hole through writeFeatures
+    val gp = dir.resolve("w.gpkg").toString
+    GeoPackage.writeFeatures(gp, "lakes", Seq("key"),
+      Seq((graft.geo.Geo.toWkb(poly), Seq("7"))), geometryType = "POLYGON")
+    val gpBack = GeoPackage.read(spark, gp).collect()
+    assert(gpBack.length == 1)
+    val gpPoly = graft.geo.Geo.fromWkb(gpBack.head.getAs[Array[Byte]]("geom"))
+    assert(gpPoly.norm().equalsExact(poly.norm()))
+    assert(gpBack.head.getAs[Map[String, String]]("attrs")("key") == "7")
+  }
+
   test("dsv2 format(shapefile)/format(geopackage) match the library readers") {
     // shapefile fixture via the writer
     val dir = java.nio.file.Files.createTempDirectory("graft_dsv2_vec")
