@@ -65,8 +65,11 @@ object GraftCli {
         .as[(String, Long, Array[Byte], Map[String, String])]
         .flatMap { case (source, fid, geom, attrs) =>
           if (geom == null || geom.isEmpty) Iterator.empty
+          // doc_id keyed by the source file/table, not just the per-file
+          // record number — a directory ingest of many .shp/.gpkg files
+          // must not collide ids (and with them MVT feature ids)
           else Iterator.single(graft.model.SourceFeature(
-            s"${vectorFormat.get}/$fid", source, geom, attrs, fid))
+            s"$source/$fid", source, geom, attrs, fid))
         }
     }
 

@@ -155,8 +155,8 @@ object OsmPbf {
     val len = fs.getFileStatus(p).getLen
     val in = new DataInputStream(new java.io.BufferedInputStream(fs.open(p), 1 << 16))
     val out = ArrayBuffer[BlobRef]()
+    var off = 0L
     try {
-      var off = 0L
       while (off < len) {
         val headerLen = in.readInt()
         val hb = new Array[Byte](headerLen)
@@ -189,7 +189,14 @@ object OsmPbf {
           kindHint = if (Set("node", "way", "relation")(indexdata)) indexdata else "")
         off = blobOff + datasize
       }
-    } catch { case _: EOFException => () } finally in.close()
+    } catch {
+      // the loop exits normally at off == len, so EOF mid-frame (the
+      // 4-byte length word or the BlobHeader itself truncated) is
+      // always corrupt input — fail as loudly as body truncation does
+      case e: EOFException => throw new EOFException(
+        s"osmpbf: truncated frame header at offset $off (file length $len) in $path" +
+          Option(e.getMessage).map(m => s": $m").getOrElse(""))
+    } finally in.close()
     out.toSeq
   }
 

@@ -120,11 +120,18 @@ private[sources] class OsmPbfBatchWrite(path: String, schema: StructType,
   private val shardDir = path + ".shards"
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-  // the executor-side writer reads every schema field — demand them
-  // all up front with one clear driver-side error
-  OsmPbfDataSource.Schema.fieldNames.foreach { c =>
-    require(schema.fieldNames.contains(c), s"osmpbf write needs column '$c' " +
+  // the executor-side writer reads every schema field positionally and
+  // by type — demand presence AND matching types up front with one
+  // clear driver-side error instead of a deep-in-the-job
+  // ClassCastException (a null array would NPE the same way: null
+  // arrays/maps arrive as empty through the nullable=false schema)
+  OsmPbfDataSource.Schema.fields.foreach { f =>
+    val i = schema.fieldNames.indexOf(f.name)
+    require(i >= 0, s"osmpbf write needs column '${f.name}' " +
       s"(full osmpbf schema: ${OsmPbfDataSource.Schema.fieldNames.mkString(", ")})")
+    require(DataType.equalsIgnoreNullability(schema.fields(i).dataType, f.dataType),
+      s"osmpbf write column '${f.name}' must be ${f.dataType.simpleString}, " +
+        s"got ${schema.fields(i).dataType.simpleString}")
   }
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
@@ -182,10 +189,17 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
   private var n = 0L
   private var hasWayLocations = false
 
+  // null arrays/maps/strings from a permissive upstream schema are
+  // treated as empty instead of NPEing deep in the job
   private def strArray(row: InternalRow, field: String): Array[String] = {
+    if (row.isNullAt(idx(field))) return Array.empty
     val a = row.getArray(idx(field))
     (0 until a.numElements()).map(a.getUTF8String(_).toString).toArray
   }
+  private def longArray(row: InternalRow, field: String): Array[Long] =
+    if (row.isNullAt(idx(field))) Array.empty else row.getArray(idx(field)).toLongArray()
+  private def doubleArray(row: InternalRow, field: String): Array[Double] =
+    if (row.isNullAt(idx(field))) Array.empty else row.getArray(idx(field)).toDoubleArray()
 
   override def write(row: InternalRow): Unit = {
     if (out == null) {
@@ -194,30 +208,34 @@ private[sources] class OsmPbfDataWriter(shardDir: String, pid: Int, taskId: Long
         new java.io.BufferedOutputStream(new java.io.FileOutputStream(localFile), 1 << 20))
       bw = new OsmPbf.BlockWriter(out)
     }
-    val tagsData = row.getMap(idx("tags"))
-    val tags = (0 until tagsData.numElements()).map { i =>
-      tagsData.keyArray().getUTF8String(i).toString ->
-        tagsData.valueArray().getUTF8String(i).toString
-    }
-    val refsData = row.getArray(idx("refs"))
+    val tags =
+      if (row.isNullAt(idx("tags"))) Seq.empty[(String, String)]
+      else {
+        val tagsData = row.getMap(idx("tags"))
+        (0 until tagsData.numElements()).map { i =>
+          tagsData.keyArray().getUTF8String(i).toString ->
+            tagsData.valueArray().getUTF8String(i).toString
+        }
+      }
+    val refLats = doubleArray(row, "ref_lats")
     bw.add(OsmPbf.Entity(
       row.getUTF8String(idx("kind")).toString,
       row.getLong(idx("id")),
       if (row.isNullAt(idx("lat"))) Double.NaN else row.getDouble(idx("lat")),
       if (row.isNullAt(idx("lon"))) Double.NaN else row.getDouble(idx("lon")),
       tags,
-      (0 until refsData.numElements()).map(refsData.getLong).toArray,
+      longArray(row, "refs"),
       strArray(row, "member_types"),
-      row.getArray(idx("member_ids")).toLongArray(),
+      longArray(row, "member_ids"),
       strArray(row, "member_roles"),
       row.getInt(idx("version")),
       row.getLong(idx("timestamp")),
       row.getLong(idx("changeset")),
       row.getInt(idx("uid")),
-      row.getUTF8String(idx("user")).toString,
-      refLats = row.getArray(idx("ref_lats")).toDoubleArray(),
-      refLons = row.getArray(idx("ref_lons")).toDoubleArray()))
-    if (row.getArray(idx("ref_lats")).numElements() > 0) hasWayLocations = true
+      if (row.isNullAt(idx("user"))) "" else row.getUTF8String(idx("user")).toString,
+      refLats = refLats,
+      refLons = doubleArray(row, "ref_lons")))
+    if (refLats.length > 0) hasWayLocations = true
     n += 1
   }
 
@@ -283,11 +301,17 @@ private[sources] class OsmPbfScan(paths: Seq[String], kinds: Set[String], target
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
 
   /** Contiguous blob ranges balanced by compressed bytes. Blobs whose
-    * indexdata kind hint (graft-written files) contradicts the pushed
-    * kind filter are dropped at PLANNING time — never fetched, never
-    * inflated. */
+    * indexdata kind hint contradicts the pushed kind filter are
+    * dropped at PLANNING time — never fetched, never inflated. The
+    * spec leaves indexdata undefined, so hints are honored ONLY for
+    * graft-written files (header writingProgram): a foreign producer's
+    * opaque indexdata happening to spell "node" must not prune rows. */
   private lazy val partitions: Array[InputPartition] = {
-    val all = paths.flatMap(p => OsmPbf.indexBlobs(p, conf.value)).filterNot(_.isHeader)
+    val all = paths.flatMap { p =>
+      val trusted = OsmPbf.readHeader(p, conf.value).exists(_.writingProgram == "graft")
+      val refs = OsmPbf.indexBlobs(p, conf.value)
+      if (trusted) refs else refs.map(_.copy(kindHint = ""))
+    }.filterNot(_.isHeader)
     val refs =
       if (kinds.isEmpty) all
       else all.filter(r => r.kindHint.isEmpty || kinds(r.kindHint))
