@@ -707,6 +707,65 @@ object SparkEntry {
         .orderBy(col("kind"), col("k"))
     }),
 
+    "q64_crs_reproject" -> ((s, dir) => {
+      // projected-CRS ingestion through the gate: nation points with
+      // closed-form lon/lat are FORWARD-projected to UTM zone 33N
+      // metres at fixture time, written as a shapefile whose .prj
+      // declares EPSG:32633 in WKT1, then read back through the
+      // Shapefile -> Crs -> Proj path, which must invert the
+      // Transverse Mercator series back to WGS84. The oracle replays
+      // the ORIGINAL lon/lat arithmetic and never sees the projection,
+      // so forward-then-inverse must be identity on the 1e-6 grid
+      // (series round trip is ~3e-8 deg in-zone).
+      import s.implicits._
+      val rows = t(s, dir, "nation").select(col("n_nationkey"))
+        .collect().map(_.get(0).asInstanceOf[Number].intValue).sorted
+      def lonOf(k: Int) = 12.0 + (k.toLong * 7 % 60) / 10.0
+      def latOf(k: Int) = 40.0 + (k.toLong * 13 % 200) / 10.0
+      val utm33 = graft.geo.Proj.utm(33, north = true)
+      val pts = rows.toSeq.map { k =>
+        val (e, n) = utm33.proj.forward(lonOf(k), latOf(k))
+        (e, n, Seq(k.toString))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q64")
+      val base = tmp.resolve("utm").toString
+      graft.sources.Shapefile.writePoints(base, pts, Seq(("KEY", 6)),
+        s.sparkContext.hadoopConfiguration)
+      val wkt = """PROJCS["WGS 84 / UTM zone 33N",GEOGCS["WGS 84",""" +
+        """DATUM["WGS_1984",SPHEROID["WGS 84",6378137,298.257223563]],""" +
+        """PRIMEM["Greenwich",0],UNIT["degree",0.0174532925199433]],""" +
+        """PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",0],""" +
+        """PARAMETER["central_meridian",15],PARAMETER["scale_factor",0.9996],""" +
+        """PARAMETER["false_easting",500000],PARAMETER["false_northing",0],""" +
+        """UNIT["metre",1]]"""
+      java.nio.file.Files.write(tmp.resolve("utm.prj"), wkt.getBytes("UTF-8"))
+      graft.sources.Shapefile.read(s, base + ".shp")
+        .select(col("attrs"), col("geom"))
+        .as[(Map[String, String], Array[Byte])]
+        .map { case (attrs, wkb) =>
+          val c = graft.geo.Geo.fromWkb(wkb).getCoordinate
+          (attrs("KEY").toLong, math.round(c.x * 1e6), math.round(c.y * 1e6))
+        }
+        .toDF("id", "lon_e6", "lat_e6")
+        .orderBy(col("id"))
+    }),
+
+    "q65_transliterate" -> ((s, dir) => {
+      // CJK transliteration through the gate: a fixed cycle of
+      // Hangul / Han / kana / Cyrillic / Greek names keyed by nation,
+      // romanized executor-side by Language.transliterate; the oracle
+      // replays the independently-known romanizations (official RR
+      // city spellings, standard pinyin, Hepburn) as literals.
+      import s.implicits._
+      val names = Array("서울", "北京", "とうきょう", "평양",
+        "上海", "さっぽろ", "Москва", "Αθήνα")
+      t(s, dir, "nation").select(col("n_nationkey").cast("long").as("id"))
+        .as[Long]
+        .map(k => (k, graft.text.Language.transliterate(names((k % 8).toInt))))
+        .toDF("id", "latin")
+        .orderBy(col("id"))
+    }),
+
     "q62_loop_line_merge" -> ((s, dir) => {
       // the LoopLineMerger's HARD paths (loop breaking + stub removal +
       // cascading re-merge + closed-loop collection) on a closed-form
@@ -1579,6 +1638,26 @@ object SparkEntry {
                 CAST(1 AS BIGINT)
          FROM s
          ORDER BY kind, k""",
+
+    // q64: the oracle replays the pre-projection lon/lat arithmetic;
+    // the Spark side must invert the UTM forward projection exactly
+    // on the 1e-6 grid
+    "q64_crs_reproject" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CAST(12000000 + (n_nationkey * 7 % 60) * 100000 AS BIGINT) AS lon_e6,
+           CAST(40000000 + (n_nationkey * 13 % 200) * 100000 AS BIGINT) AS lat_e6
+         FROM nation ORDER BY id""",
+
+    // q65: expected romanizations are independent public constants
+    // (Revised Romanization city spellings, pinyin, Hepburn)
+    "q65_transliterate" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id,
+           CASE n_nationkey % 8
+             WHEN 0 THEN 'seoul' WHEN 1 THEN 'bei jing'
+             WHEN 2 THEN 'toukyou' WHEN 3 THEN 'pyeongyang'
+             WHEN 4 THEN 'shang hai' WHEN 5 THEN 'sapporo'
+             WHEN 6 THEN 'Moskva' ELSE 'Athina' END AS latin
+         FROM nation ORDER BY id""",
 
     // q62: fixture outcomes are pure case arithmetic — loop broken iff
     // the detour fits the budget, stub kept iff >= stubMinLength (a

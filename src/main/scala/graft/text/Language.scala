@@ -98,7 +98,11 @@ object Language {
     * accented Greek through its base), else pass through. */
   def transliterate(s: String): String = {
     if (s == null) return null
-    val sb = new java.lang.StringBuilder(s.length + 8)
+    // CJK pre-pass: Hangul/kana/known-Han runs romanize via the
+    // dedicated tables in [[Translit]]; everything else flows through
+    // the per-character path below.
+    val src = if (s.exists(Translit.handles)) Translit.transliterateCjk(s) else s
+    val sb = new java.lang.StringBuilder(src.length + 8)
     def emit(ch: Char, wasUpper: Boolean): Unit =
       Romanization.get(Character.toLowerCase(ch)) match {
         case Some(rep) =>
@@ -113,8 +117,8 @@ object Language {
           else sb.append(d) // mark-only chars decompose to "" and drop
       }
     var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
+    while (i < src.length) {
+      val ch = src.charAt(i)
       emit(ch, Character.isUpperCase(ch))
       i += 1
     }

@@ -253,7 +253,8 @@ class SourcesAndConfigSpec extends AnyFunSuite {
       b.array()
     }
     val mercWkt = """PROJCS["WGS_1984_Web_Mercator_Auxiliary_Sphere",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]]],PROJECTION["Mercator_Auxiliary_Sphere"],AUTHORITY["EPSG",3857]]"""
-    val bngWkt = """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646]]],PROJECTION["Transverse_Mercator"]]"""
+    val bngWkt = """PROJCS["British_National_Grid",GEOGCS["GCS_OSGB_1936",DATUM["D_OSGB_1936",SPHEROID["Airy_1830",6377563.396,299.3249646],TOWGS84[446.448,-125.157,542.06,0.1502,0.247,0.8421,-20.4894]],UNIT["Degree",0.0174532925199433]],PROJECTION["Transverse_Mercator"],PARAMETER["latitude_of_origin",49],PARAMETER["central_meridian",-2],PARAMETER["scale_factor",0.9996012717],PARAMETER["false_easting",400000],PARAMETER["false_northing",-100000],UNIT["Meter",1]]"""
+    val sinuWkt = """PROJCS["World_Sinusoidal",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]]],PROJECTION["Sinusoidal"],PARAMETER["central_meridian",0],UNIT["Meter",1]]"""
     // forward 3857 of (lon=30, lat=10)
     val r = graft.geo.Crs.EarthRadius
     val mx = r * math.toRadians(30.0)
@@ -267,11 +268,22 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     assert(math.abs(pt.x - 30.0) < 1e-9 && math.abs(pt.y - 10.0) < 1e-9,
       s"web mercator shapefile must decode to lon/lat, got (${pt.x}, ${pt.y})")
 
-    // an unsupported projected CRS must fail, not emit garbage coords
+    // a TM national grid .prj now reprojects through Proj (absolute
+    // vectors pinned in ProjSpec; here the plumbing must agree with
+    // the library's own transform for EPSG:27700)
     java.nio.file.Files.write(dir.resolve("bng.shp"), pointShp(531473.0, 181763.0))
     java.nio.file.Files.write(dir.resolve("bng.prj"), bngWkt.getBytes("UTF-8"))
+    val bngGot = Shapefile.read(spark, dir.resolve("bng.shp").toString).collect()
+    val bngPt = graft.geo.Geo.fromWkb(bngGot.head.getAs[Array[Byte]]("geom")).getCoordinate
+    val (wantLon, wantLat) = graft.geo.Proj.osgb36.toWgs84(531473.0, 181763.0)
+    assert(math.abs(bngPt.x - wantLon) < 1e-9 && math.abs(bngPt.y - wantLat) < 1e-9,
+      s"BNG shapefile must reproject via osgb36, got (${bngPt.x}, ${bngPt.y})")
+
+    // an unsupported projection METHOD must still fail, not emit garbage
+    java.nio.file.Files.write(dir.resolve("sinu.shp"), pointShp(1000.0, 2000.0))
+    java.nio.file.Files.write(dir.resolve("sinu.prj"), sinuWkt.getBytes("UTF-8"))
     val err = intercept[org.apache.spark.SparkException] {
-      Shapefile.read(spark, dir.resolve("bng.shp").toString).collect()
+      Shapefile.read(spark, dir.resolve("sinu.shp").toString).collect()
     }
     assert(err.getMessage.contains("unsupported") ||
       Option(err.getCause).exists(_.getMessage.contains("unsupported")))
@@ -280,9 +292,15 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     assert(graft.geo.Crs.fromSrsId(4326) == graft.geo.Crs.Wgs84)
     assert(graft.geo.Crs.fromSrsId(3857) == graft.geo.Crs.WebMercator)
     assert(graft.geo.Crs.fromSrsId(900913) == graft.geo.Crs.WebMercator)
-    assert(graft.geo.Crs.fromSrsId(27700, Some(mercWkt)) == graft.geo.Crs.WebMercator)
-    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(27700, Some(bngWkt)) }
-    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(27700) }
+    // known projected ids resolve without consulting the definition
+    assert(graft.geo.Crs.fromSrsId(27700) == graft.geo.Crs.Projected(graft.geo.Proj.osgb36))
+    assert(graft.geo.Crs.fromSrsId(27700, Some(mercWkt)) ==
+      graft.geo.Crs.Projected(graft.geo.Proj.osgb36))
+    // unknown id with a parseable TM definition resolves through it
+    assert(graft.geo.Crs.fromSrsId(999901, Some(bngWkt)).isInstanceOf[graft.geo.Crs.Projected])
+    // unknown id with an unsupported method still fails loudly
+    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(999902, Some(sinuWkt)) }
+    intercept[IllegalArgumentException] { graft.geo.Crs.fromSrsId(999903) }
   }
 
   test("way splitter: splits at shared interior nodes only") {
