@@ -21,7 +21,7 @@ import scala.collection.mutable.ArrayBuffer
  * integrity_check`.
  */
 final class SqliteStreamWriter(path: String) {
-  import SqliteWriter.{PageSize, encodeRecord}
+  import SqliteWriter.{Bytes, PageSize, encodeRecord, varint}
 
   private val chan = java.nio.channels.FileChannel.open(
     java.nio.file.Paths.get(path),
@@ -38,21 +38,31 @@ final class SqliteStreamWriter(path: String) {
 
   private def alloc(): Int = { val n = nextPage; nextPage += 1; n }
 
-  private def writePage(no: Int, bytes: Array[Byte]): Unit = {
-    val bb = java.nio.ByteBuffer.wrap(bytes)
-    var off = (no - 1L) * PageSize
-    while (bb.hasRemaining) off += chan.write(bb, off)
+  // Pages are allocated-and-written in ascending order (the one
+  // exception is the final page-1 catalog), so writes coalesce into a
+  // fixed write-behind buffer instead of one pwrite syscall per 4 KB
+  // page. A non-contiguous page flushes the run and starts a new one.
+  private val WriteBufPages = 512
+  private val writeBuf = java.nio.ByteBuffer.allocate(WriteBufPages * PageSize)
+  private var bufStartPage = -1
+
+  private def flushWriteBuf(): Unit = {
+    if (bufStartPage > 0 && writeBuf.position() > 0) {
+      writeBuf.flip()
+      var off = (bufStartPage - 1L) * PageSize
+      while (writeBuf.hasRemaining) off += chan.write(writeBuf, off)
+    }
+    writeBuf.clear()
+    bufStartPage = -1
   }
 
-  private def varint(out: ArrayBuffer[Byte], v0: Long): Unit = {
-    if (v0 >= 0 && v0 <= 127) { out += v0.toByte; return }
-    val bytes = ArrayBuffer.empty[Byte]
-    var v = v0
-    var i = 0
-    while (i < 8 && (v != 0 || i == 0)) { bytes += (v & 0x7f).toByte; v >>>= 7; i += 1 }
-    val rev = bytes.reverse
-    for (j <- rev.indices.dropRight(1)) out += (rev(j) | 0x80).toByte
-    out += rev.last
+  private def writePage(no: Int, bytes: Array[Byte]): Unit = {
+    if (bufStartPage < 0) bufStartPage = no
+    else if (no != bufStartPage + writeBuf.position() / PageSize) {
+      flushWriteBuf(); bufStartPage = no
+    }
+    writeBuf.put(bytes, 0, PageSize)
+    if (writeBuf.remaining() < PageSize) flushWriteBuf()
   }
 
   private def beBytes(v: Long, n: Int): Array[Byte] =
@@ -71,23 +81,24 @@ final class SqliteStreamWriter(path: String) {
   private def leafCell(rowid: Long, rec: Array[Byte]): Array[Byte] = {
     val p = rec.length
     val x = PageSize - 35
-    val out = ArrayBuffer.empty[Byte]
+    val out = new Bytes(math.min(p, x) + 22)
     varint(out, p.toLong)
     varint(out, rowid)
-    if (p <= x) { out ++= rec; return out.toArray }
+    if (p <= x) { out.addAll(rec, 0, p); return out.toArray }
     val m = (PageSize - 12) * 32 / 255 - 23
     val k = m + (p - m) % (PageSize - 4)
     val inline = if (k <= x) k else m
-    out ++= rec.take(inline)
-    var rest = rec.drop(inline)
+    out.addAll(rec, 0, inline)
+    var off = inline
     var cur = alloc()
-    out ++= beBytes(cur.toLong, 4)
-    while (rest.nonEmpty) {
-      val page = new Array[Byte](PageSize)
-      val take = math.min(rest.length, PageSize - 4)
-      System.arraycopy(rest, 0, page, 4, take)
-      rest = rest.drop(take)
-      val next = if (rest.nonEmpty) alloc() else 0
+    out.addAll(beBytes(cur.toLong, 4), 0, 4)
+    val page = new Array[Byte](PageSize)
+    while (off < p) {
+      java.util.Arrays.fill(page, 0.toByte)
+      val take = math.min(p - off, PageSize - 4)
+      System.arraycopy(rec, off, page, 4, take)
+      off += take
+      val next = if (off < p) alloc() else 0
       putU32(page, 0, next.toLong)
       writePage(cur, page)
       cur = next
@@ -166,11 +177,11 @@ final class SqliteStreamWriter(path: String) {
       putU32(page, 8, group.last._1.toLong) // right-most child
       var contentStart = PageSize
       interiorCells.zipWithIndex.foreach { case ((child, maxRowid), i) =>
-        val cell = ArrayBuffer.empty[Byte]
-        cell ++= beBytes(child.toLong, 4)
+        val cell = new Bytes(13)
+        cell.addAll(beBytes(child.toLong, 4), 0, 4)
         varint(cell, maxRowid)
-        contentStart -= cell.length
-        System.arraycopy(cell.toArray, 0, page, contentStart, cell.length)
+        contentStart -= cell.len
+        System.arraycopy(cell.arr, 0, page, contentStart, cell.len)
         putU16(page, 12 + 2 * i, contentStart)
       }
       putU16(page, 5, if (interiorCells.isEmpty) PageSize else contentStart)
@@ -246,6 +257,7 @@ final class SqliteStreamWriter(path: String) {
     putU16(p1, hdrOff + 5, contentStart)
     putU32(p1, 28, (nextPage - 1).toLong) // incl. catalog overflow pages
     writePage(1, p1)
+    flushWriteBuf()
     chan.close()
   }
 }

@@ -20,17 +20,36 @@ object SqliteWriter {
 
   // ---------------- record encoding ----------------
 
-  private def varint(out: ArrayBuffer[Byte], v0: Long): Unit = {
-    // SQLite varint: big-endian 7-bit groups, high bit = continuation
-    if (v0 >= 0 && v0 <= 127) { out += v0.toByte; return }
-    val bytes = ArrayBuffer.empty[Byte]
-    var v = v0
-    var i = 0
-    while (i < 8 && (v != 0 || i == 0)) { bytes += (v & 0x7f).toByte; v >>>= 7; i += 1 }
-    // (9-byte form unnecessary for our value range)
-    val rev = bytes.reverse
-    for (j <- rev.indices.dropRight(1)) out += (rev(j) | 0x80).toByte
-    out += rev.last
+  /** Unboxed growable byte buffer — the record/cell encoders run per
+    * tile in the archive drains, where a generic ArrayBuffer[Byte]
+    * would box every byte of every blob. */
+  private[engine] final class Bytes(initial: Int) {
+    private[engine] var arr = new Array[Byte](math.max(initial, 16))
+    private[engine] var len = 0
+    private def ensure(n: Int): Unit =
+      if (len + n > arr.length) {
+        var c = arr.length << 1
+        while (c < len + n) c <<= 1
+        arr = java.util.Arrays.copyOf(arr, c)
+      }
+    def add(b: Byte): Unit = { ensure(1); arr(len) = b; len += 1 }
+    def addAll(src: Array[Byte], off: Int, n: Int): Unit = {
+      ensure(n); System.arraycopy(src, off, arr, len, n); len += n
+    }
+    def toArray: Array[Byte] =
+      if (len == arr.length) arr else java.util.Arrays.copyOf(arr, len)
+  }
+
+  /** SQLite varint: big-endian 7-bit groups, high bit = continuation
+    * (9-byte form unnecessary for our value range). */
+  private[engine] def varint(out: Bytes, v: Long): Unit = {
+    if (v >= 0 && v <= 127) { out.add(v.toByte); return }
+    var n = 1
+    var t = v >>> 7
+    while (t != 0) { n += 1; t >>>= 7 }
+    var i = n - 1
+    while (i > 0) { out.add((((v >>> (7 * i)) & 0x7f) | 0x80).toByte); i -= 1 }
+    out.add((v & 0x7f).toByte)
   }
 
   private def serialType(v: Any): (Long, Array[Byte]) = v match {
@@ -59,15 +78,17 @@ object SqliteWriter {
   /** Encode one record (header of serial types + body). */
   def encodeRecord(values: Array[Any]): Array[Byte] = {
     val typed = values.map(serialType)
-    val typesBuf = ArrayBuffer.empty[Byte]
+    val typesBuf = new Bytes(values.length * 2)
     typed.foreach { case (t, _) => varint(typesBuf, t) }
     // header length includes its own varint — sizes here stay 1-byte
-    var hdrLen = typesBuf.length + 1
-    if (hdrLen > 127) hdrLen = typesBuf.length + 2 // 2-byte header-length varint
-    val out = ArrayBuffer.empty[Byte]
+    var hdrLen = typesBuf.len + 1
+    if (hdrLen > 127) hdrLen = typesBuf.len + 2 // 2-byte header-length varint
+    var total = hdrLen
+    typed.foreach { case (_, b) => total += b.length }
+    val out = new Bytes(total)
     varint(out, hdrLen.toLong)
-    out ++= typesBuf
-    typed.foreach { case (_, b) => out ++= b }
+    out.addAll(typesBuf.arr, 0, typesBuf.len)
+    typed.foreach { case (_, b) => out.addAll(b, 0, b.length) }
     out.toArray
   }
 

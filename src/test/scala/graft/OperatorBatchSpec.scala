@@ -62,9 +62,9 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(Language.transliterate(Athina) == "Athina")
     val Thessaloniki = "Θεσσαλονίκη"
     assert(Language.transliterate(Thessaloniki) == "Thessaloniki")
-    // unmapped scripts pass through unchanged (documented subset)
+    // Han now romanizes via the vendored Unihan pinyin subset
     val Tokyo2 = "東京"
-    assert(Language.transliterate(Tokyo2) == Tokyo2)
+    assert(Language.transliterate(Tokyo2) == "dong jing")
     // latinName now resolves via romanization when no latin tag exists
     assert(Language.latinName(Map("name" -> Moskva)).contains("Moskva"))
   }
