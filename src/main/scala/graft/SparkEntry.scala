@@ -766,6 +766,53 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q66_s2_cell_id" -> ((s, dir) => {
+      // the from-scratch S2 index through the gate: per order, (face,
+      // u, v) derive RATIONALLY (so every float op crossing the oracle
+      // boundary — +, *, /, sqrt, floor — is IEEE-exact-rounded and
+      // bit-identical in DuckDB), then the quadratic uv→st transform,
+      // the 2^30 discretization, and the full 30-step Hilbert walk run
+      // on the JVM; the oracle replays st/ij arithmetic plus the walk
+      // as a 30-step recursive CTE over the same ij→pos/orientation
+      // tables (q49 precedent, but on the cube-face curve with the S2
+      // swap/invert orientation algebra). pos is the 60-bit leaf curve
+      // position; ppos its level-(k%31) ancestor prefix.
+      import s.implicits._
+      t(s, dir, "orders").select(col("o_orderkey").cast("long").as("k")).as[Long]
+        .map { k =>
+          val face = (k % 6).toInt
+          val u = ((k * 31 % 2001) - 1000) / 1000.0
+          val v = ((k * 17 % 2001) - 1000) / 1000.0
+          val i = graft.geo.S2.stToIj(graft.geo.S2.uvToSt(u))
+          val j = graft.geo.S2.stToIj(graft.geo.S2.uvToSt(v))
+          val id = graft.geo.S2.fromFaceIj(face, i, j)
+          val lvl = (k % 31).toInt
+          (k, graft.geo.S2.face(id).toLong, i.toLong, j.toLong,
+            graft.geo.S2.pos(id), lvl.toLong,
+            graft.geo.S2.pos(id) >>> (2 * (30 - lvl)))
+        }
+        .toDF("k", "face", "i", "j", "pos", "lvl", "ppos")
+        .orderBy(col("k"))
+    }),
+
+    "q67_s2_radius_join" -> ((s, dir) => {
+      // pole-safe distributed radius join: order points vs the q14
+      // site lattice, bucketed by S2 cap covers (one cell-equi-join
+      // shuffle + exact haversine verify — no broadcast, no cartesian).
+      // The oracle replays the haversine cross join directly.
+      val pts = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("k"),
+        ((col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0).as("lon"),
+        ((col("o_orderkey") * 7919 % 17000) / 100.0 - 85.0).as("lat"))
+      val sites = s.range(0, 25).select(
+        format_string("site_%02d", col("id")).as("site_id"),
+        ((col("id") % 5) * 72.0 - 144.0).as("lon"),
+        (floor(col("id") / 5) * 34.0 - 68.0).as("lat"))
+      graft.engine.SpatialJoin.radiusJoinS2(pts, sites, 2.0e6)
+        .groupBy(col("site_id"))
+        .agg(count(lit(1)).as("points"), sum(col("k")).cast("long").as("key_sum"))
+        .orderBy(col("site_id"))
+    }),
+
     "q62_loop_line_merge" -> ((s, dir) => {
       // the LoopLineMerger's HARD paths (loop breaking + stub removal +
       // cascading re-merge + closed-loop collection) on a closed-form
@@ -1658,6 +1705,68 @@ object SparkEntry {
              WHEN 4 THEN 'shang hai' WHEN 5 THEN 'sapporo'
              WHEN 6 THEN 'Moskva' ELSE 'Athina' END AS latin
          FROM nation ORDER BY id""",
+
+    // q66: the S2 encode replayed exactly — rational (u,v), IEEE-exact
+    // st/ij arithmetic, then the 30-step Hilbert walk as a recursive
+    // CTE carrying (pos, orientation) through the S2 ij→pos table and
+    // the swap/invert orientation algebra
+    "q66_s2_cell_id" ->
+      """WITH RECURSIVE src AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  CAST(o_orderkey % 6 AS BIGINT) AS face,
+                  ((o_orderkey * 31 % 2001) - 1000) / 1000.0 AS u,
+                  ((o_orderkey * 17 % 2001) - 1000) / 1000.0 AS v
+           FROM orders),
+         ij AS (
+           SELECT k, face,
+             LEAST(1073741823, GREATEST(0, CAST(FLOOR(
+               (CASE WHEN u >= 0 THEN 0.5 * SQRT(1 + 3 * u)
+                     ELSE 1 - 0.5 * SQRT(1 - 3 * u) END) * 1073741824) AS BIGINT))) AS i,
+             LEAST(1073741823, GREATEST(0, CAST(FLOOR(
+               (CASE WHEN v >= 0 THEN 0.5 * SQRT(1 + 3 * v)
+                     ELSE 1 - 0.5 * SQRT(1 - 3 * v) END) * 1073741824) AS BIGINT))) AS j
+           FROM src),
+         walk AS (
+           SELECT k, face, i, j, 29 AS step,
+                  CAST(0 AS BIGINT) AS pos, CAST(face % 2 AS BIGINT) AS orient
+           FROM ij
+           UNION ALL
+           SELECT k, face, i, j, step - 1,
+                  pos * 4 + p,
+                  xor(orient, CASE p WHEN 0 THEN 1 WHEN 3 THEN 3 ELSE 0 END)
+           FROM (
+             SELECT *,
+               CASE orient * 4 + (((i >> step) & 1) * 2 + ((j >> step) & 1))
+                 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2
+                 WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2
+                 WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0
+                 WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END AS p
+             FROM walk WHERE step >= 0))
+         SELECT k, face, i, j, pos,
+                CAST(k % 31 AS BIGINT) AS lvl,
+                pos >> CAST(2 * (30 - k % 31) AS INT) AS ppos
+         FROM walk WHERE step = -1 ORDER BY k""",
+
+    // q67: the S2-bucketed join must equal the direct haversine cross
+    // join (same spherical radius 6371008.8 both sides)
+    "q67_s2_radius_join" ->
+      """WITH pts AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  (CAST(o_orderkey * 9973 % 36000 AS DOUBLE) / 100.0 - 180.0) AS lon,
+                  (CAST(o_orderkey * 7919 % 17000 AS DOUBLE) / 100.0 - 85.0) AS lat
+           FROM orders),
+         sites AS (
+           SELECT printf('site_%02d', i) AS site_id,
+                  (i % 5) * 72.0 - 144.0 AS slon,
+                  CAST(FLOOR(i / 5) AS INT) * 34.0 - 68.0 AS slat
+           FROM (SELECT UNNEST(GENERATE_SERIES(0, 24)) AS i))
+         SELECT site_id, COUNT(*) AS points, CAST(SUM(k) AS BIGINT) AS key_sum
+         FROM pts CROSS JOIN sites
+         WHERE 2 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+             POW(SIN(RADIANS(slat - lat) / 2), 2) +
+             COS(RADIANS(lat)) * COS(RADIANS(slat)) *
+             POW(SIN(RADIANS(slon - lon) / 2), 2)))) <= 2000000.0
+         GROUP BY 1 ORDER BY 1""",
 
     // q62: fixture outcomes are pure case arithmetic — loop broken iff
     // the detour fits the budget, stub kept iff >= stubMinLength (a

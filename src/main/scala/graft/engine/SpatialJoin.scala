@@ -351,4 +351,46 @@ object SpatialJoin {
       }
     }(enc)
   }
+
+  /** Bucketing level whose cell angular size (~(π/2)/2^l per face edge)
+    * is on the order of the radius — ~O(1) cover cells per site. */
+  private[engine] def s2LevelForRadius(radiusMeters: Double): Int = {
+    val radiusAngle = radiusMeters / 6371008.8
+    val l = math.floor(math.log((math.Pi / 2) / radiusAngle) / math.log(2.0)).toInt
+    math.max(0, math.min(20, l))
+  }
+
+  /**
+   * Distributed radius join keyed by S2 cells — the scale path when the
+   * site side is too big to broadcast, and the POLE-SAFE path always:
+   * mercator grid cells degenerate at high latitude (a z-10 cell at lat
+   * 85 is ~11x narrower in meters than at the equator, so a fixed
+   * radius explodes the cell fan-out), while equal-level S2 cells keep
+   * near-constant area everywhere on the globe.
+   *
+   * Shape: sites explode to their cap-cover cells (superset guarantee —
+   * any cell intersecting the cap is included), points key by their one
+   * containing cell, ONE equi-join shuffle on the cell id, then an
+   * exact haversine verify. A (point, site) pair appears at most once
+   * because a point has exactly one cell at the level.
+   *
+   * Returns (pointCols*, site_id) with one row per qualifying pair.
+   */
+  def radiusJoinS2(points: DataFrame, sites: DataFrame, radiusMeters: Double,
+                   lonCol: String = "lon", latCol: String = "lat",
+                   siteId: String = "site_id", level: Int = -1): DataFrame = {
+    import graft.functions.GeoFunctions
+    val lvl = if (level >= 0) level else s2LevelForRadius(radiusMeters)
+    val siteCells = sites.select(
+        col(siteId),
+        col(lonCol).as("_s2_site_lon"), col(latCol).as("_s2_site_lat"),
+        explode(GeoFunctions.s2_cap_cover(col(lonCol), col(latCol),
+          lit(radiusMeters), lit(lvl))).as("_s2_cell"))
+    val keyed = points.withColumn("_s2_cell",
+      GeoFunctions.s2_cell_id(col(lonCol), col(latCol), lit(lvl)))
+    keyed.join(siteCells, "_s2_cell")
+      .where(GeoFunctions.meters_between(col(lonCol), col(latCol),
+        col("_s2_site_lon"), col("_s2_site_lat")) <= radiusMeters)
+      .drop("_s2_cell", "_s2_site_lon", "_s2_site_lat")
+  }
 }

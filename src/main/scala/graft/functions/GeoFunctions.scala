@@ -1,6 +1,6 @@
 package graft.functions
 
-import graft.geo.{Geo, GeomOps, Hilbert, Mercator, Simplify, TileCoord}
+import graft.geo.{Geo, GeomOps, Hilbert, Mercator, S2, Simplify, TileCoord}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -92,6 +92,67 @@ object GeoFunctions {
       Geo.toWkb(Simplify.dp(g, tol.asInstanceOf[Double]))
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** S2 cell id of a lon/lat point at a level — the spherical index
+    * (geo/S2.scala); codegen'd like the mercator tile ids. */
+  case class S2CellIdExpr(lon: Expression, lat: Expression, level: Expression)
+      extends TernaryExpression {
+    override def first: Expression = lon
+    override def second: Expression = lat
+    override def third: Expression = level
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(lo: Any, la: Any, l: Any): Any =
+      S2.cellId(lo.asInstanceOf[Double], la.asInstanceOf[Double], l.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"graft.geo.S2.cellId($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+      copy(a, b, c)
+  }
+
+  /** Hex token of an S2 cell id (the library's compact string form). */
+  case class S2TokenExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override protected def nullSafeEval(v: Any): Any =
+      org.apache.spark.unsafe.types.UTF8String.fromString(S2.token(v.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  case class S2ParentExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(id: Any, lvl: Any): Any =
+      S2.parent(id.asInstanceOf[Long], lvl.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.geo.S2.parent($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** True iff cell `left` contains cell `right` (unsigned range test). */
+  case class S2ContainsExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = BooleanType
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      S2.contains(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"graft.geo.S2.contains($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  }
+
+  /** Superset S2 covering of a spherical cap, as array<long> — the
+    * bucketing generator for the pole-safe radius join. */
+  case class S2CapCoverExpr(lon: Expression, lat: Expression, radius: Expression,
+                            level: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def first: Expression = lon
+    override def second: Expression = lat
+    override def third: Expression = radius
+    override def fourth: Expression = level
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(lo: Any, la: Any, r: Any, l: Any): Any =
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        S2.capCover(lo.asInstanceOf[Double], la.asInstanceOf[Double],
+          r.asInstanceOf[Double], l.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(a: Expression, b: Expression,
+        c: Expression, e: Expression) = copy(a, b, c, e)
   }
 
   /** st_* style geometry ops over WKB, one expression each. */
@@ -187,6 +248,8 @@ object GeoFunctions {
     if (e.dataType == DoubleType) e else Cast(e, DoubleType)
   private def i(e: Expression): Expression =
     if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def l(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
 
   // Column wrappers
   def world_x(lon: Column): Column = SqlBridge.col(WorldX(d(SqlBridge.expr(lon))))
@@ -210,6 +273,16 @@ object GeoFunctions {
   def st_length_meters(wkb: Column): Column = SqlBridge.col(StLengthMeters(SqlBridge.expr(wkb)))
   def merc_to_lon(x: Column): Column = SqlBridge.col(MercToLon(d(SqlBridge.expr(x))))
   def merc_to_lat(y: Column): Column = SqlBridge.col(MercToLat(d(SqlBridge.expr(y))))
+  def s2_cell_id(lon: Column, lat: Column, level: Column): Column =
+    SqlBridge.col(S2CellIdExpr(d(SqlBridge.expr(lon)), d(SqlBridge.expr(lat)), i(SqlBridge.expr(level))))
+  def s2_token(id: Column): Column = SqlBridge.col(S2TokenExpr(l(SqlBridge.expr(id))))
+  def s2_parent(id: Column, level: Column): Column =
+    SqlBridge.col(S2ParentExpr(l(SqlBridge.expr(id)), i(SqlBridge.expr(level))))
+  def s2_contains(a: Column, b: Column): Column =
+    SqlBridge.col(S2ContainsExpr(l(SqlBridge.expr(a)), l(SqlBridge.expr(b))))
+  def s2_cap_cover(lon: Column, lat: Column, radiusMeters: Column, level: Column): Column =
+    SqlBridge.col(S2CapCoverExpr(d(SqlBridge.expr(lon)), d(SqlBridge.expr(lat)),
+      d(SqlBridge.expr(radiusMeters)), i(SqlBridge.expr(level))))
 
   /** Name -> expression builder for every SQL-registered function (one
     * source of truth for both `register` and `GraftExtensions`). */
@@ -229,7 +302,12 @@ object GeoFunctions {
     "st_snap_fix_polygon" -> (es => StSnapFixPolygon(es(0), d(es(1)))),
     "st_length_meters" -> (es => StLengthMeters(es.head)),
     "merc_to_lon" -> (es => MercToLon(d(es.head))),
-    "merc_to_lat" -> (es => MercToLat(d(es.head))))
+    "merc_to_lat" -> (es => MercToLat(d(es.head))),
+    "s2_cell_id" -> (es => S2CellIdExpr(d(es(0)), d(es(1)), i(es(2)))),
+    "s2_token" -> (es => S2TokenExpr(l(es.head))),
+    "s2_parent" -> (es => S2ParentExpr(l(es(0)), i(es(1)))),
+    "s2_contains" -> (es => S2ContainsExpr(l(es(0)), l(es(1)))),
+    "s2_cap_cover" -> (es => S2CapCoverExpr(d(es(0)), d(es(1)), d(es(2)), i(es(3)))))
 
   /** Register all functions for SQL use on an existing session. */
   def register(spark: SparkSession): Unit = {
