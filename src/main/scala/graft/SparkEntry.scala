@@ -813,6 +813,26 @@ object SparkEntry {
         .orderBy(col("site_id"))
     }),
 
+    "q68_s2_nearest_join" -> ((s, dir) => {
+      // distributed nearest-site (no broadcast): expanding S2
+      // cap-cover rounds with per-point min by (haversine, site_id);
+      // max-radius cutoff leaves distant points unmatched. Oracle:
+      // rank the cross join by the same (distance, id) and keep rk=1
+      // within the cutoff.
+      val pts = t(s, dir, "orders").select(col("o_orderkey").cast("long").as("k"),
+        ((col("o_orderkey") * 9973 % 36000) / 100.0 - 180.0).as("lon"),
+        ((col("o_orderkey") * 7919 % 17000) / 100.0 - 85.0).as("lat"))
+      val sites = s.range(0, 25).select(
+        format_string("site_%02d", col("id")).as("site_id"),
+        ((col("id") % 5) * 72.0 - 144.0).as("lon"),
+        (floor(col("id") / 5) * 34.0 - 68.0).as("lat"))
+      graft.engine.SpatialJoin.nearestSiteS2(pts, sites, idCol = "k",
+          startRadiusMeters = 5e5, maxRadiusMeters = 3.0e6)
+        .groupBy(col("site_id"))
+        .agg(count(lit(1)).as("points"), sum(col("k")).cast("long").as("key_sum"))
+        .orderBy(col("site_id"))
+    }),
+
     "q62_loop_line_merge" -> ((s, dir) => {
       // the LoopLineMerger's HARD paths (loop breaking + stub removal +
       // cascading re-merge + closed-loop collection) on a closed-form
@@ -1766,6 +1786,35 @@ object SparkEntry {
              POW(SIN(RADIANS(slat - lat) / 2), 2) +
              COS(RADIANS(lat)) * COS(RADIANS(slat)) *
              POW(SIN(RADIANS(slon - lon) / 2), 2)))) <= 2000000.0
+         GROUP BY 1 ORDER BY 1""",
+
+    // q68: nearest within the cutoff by (haversine, id), then per-site
+    // rollup — the distributed S2 rounds must reproduce it exactly
+    "q68_s2_nearest_join" ->
+      """WITH pts AS (
+           SELECT CAST(o_orderkey AS BIGINT) AS k,
+                  (CAST(o_orderkey * 9973 % 36000 AS DOUBLE) / 100.0 - 180.0) AS lon,
+                  (CAST(o_orderkey * 7919 % 17000 AS DOUBLE) / 100.0 - 85.0) AS lat
+           FROM orders),
+         sites AS (
+           SELECT printf('site_%02d', i) AS site_id,
+                  (i % 5) * 72.0 - 144.0 AS slon,
+                  CAST(FLOOR(i / 5) AS INT) * 34.0 - 68.0 AS slat
+           FROM (SELECT UNNEST(GENERATE_SERIES(0, 24)) AS i)),
+         ranked AS (
+           SELECT k, site_id,
+                  2 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+                    POW(SIN(RADIANS(slat - lat) / 2), 2) +
+                    COS(RADIANS(lat)) * COS(RADIANS(slat)) *
+                    POW(SIN(RADIANS(slon - lon) / 2), 2)))) AS d,
+                  ROW_NUMBER() OVER (PARTITION BY k ORDER BY
+                    2 * 6371008.8 * ASIN(LEAST(1.0, SQRT(
+                      POW(SIN(RADIANS(slat - lat) / 2), 2) +
+                      COS(RADIANS(lat)) * COS(RADIANS(slat)) *
+                      POW(SIN(RADIANS(slon - lon) / 2), 2)))), site_id) AS rk
+           FROM pts CROSS JOIN sites)
+         SELECT site_id, COUNT(*) AS points, CAST(SUM(k) AS BIGINT) AS key_sum
+         FROM ranked WHERE rk = 1 AND d <= 3000000.0
          GROUP BY 1 ORDER BY 1""",
 
     // q62: fixture outcomes are pure case arithmetic — loop broken iff

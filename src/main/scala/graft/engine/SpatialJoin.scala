@@ -393,4 +393,68 @@ object SpatialJoin {
         col("_s2_site_lon"), col("_s2_site_lat")) <= radiusMeters)
       .drop("_s2_cell", "_s2_site_lon", "_s2_site_lat")
   }
+
+  /**
+   * Distributed nearest-site join on the S2 index — the scale path
+   * when the site side is too large to broadcast an STRtree of it.
+   *
+   * The expanding-ring search of the broadcast [[SiteIndex.nearest]]
+   * becomes a driver loop of DISTRIBUTED rounds: at round radius r,
+   * unresolved points explode to their S2 cap cover of radius r (a
+   * guaranteed superset of every cell intersecting the disc, so
+   * candidates are COMPLETE within r), join sites keyed by their one
+   * cell at the matching level, and take the per-point minimum by
+   * (haversine meters, site id) — the deterministic tie-break. A point
+   * whose best candidate lies within r is final (no site outside the
+   * cover can be closer); the rest escalate to 4r. Rounds are
+   * O(log(maxRadius/startRadius)) and each is one equi-join shuffle.
+   *
+   * `points` must carry a unique `idCol`; returns (idCol, site_id,
+   * meters), unmatched points absent (no site within maxRadius).
+   */
+  def nearestSiteS2(points: DataFrame, sites: DataFrame,
+                    idCol: String = "doc_id",
+                    lonCol: String = "lon", latCol: String = "lat",
+                    siteId: String = "site_id",
+                    startRadiusMeters: Double = 1e5,
+                    maxRadiusMeters: Double = 2.1e7): DataFrame = {
+    import graft.functions.GeoFunctions
+    val spark = points.sparkSession
+    var unresolved = points.select(col(idCol), col(lonCol).as("_p_lon"), col(latCol).as("_p_lat"))
+    var resolved: DataFrame = null
+    var r = startRadiusMeters
+    var rounds = 0
+    while (r / 4 <= maxRadiusMeters && rounds < 16 && !unresolved.isEmpty) {
+      val radius = math.min(r, maxRadiusMeters)
+      val lvl = s2LevelForRadius(radius)
+      val siteCells = sites.select(
+        col(siteId).as("_s_id"), col(lonCol).as("_s_lon"), col(latCol).as("_s_lat"),
+        GeoFunctions.s2_cell_id(col(lonCol), col(latCol), lit(lvl)).as("_s2_cell"))
+      val cand = unresolved
+        .select(col(idCol), col("_p_lon"), col("_p_lat"),
+          explode(GeoFunctions.s2_cap_cover(col("_p_lon"), col("_p_lat"),
+            lit(radius), lit(lvl))).as("_s2_cell"))
+        .join(siteCells, "_s2_cell")
+        .withColumn("_d", GeoFunctions.meters_between(
+          col("_p_lon"), col("_p_lat"), col("_s_lon"), col("_s_lat")))
+        .where(col("_d") <= radius)
+        .groupBy(col(idCol))
+        .agg(min(struct(col("_d"), col("_s_id"))).as("_best"))
+        .select(col(idCol), col("_best._s_id").as(siteId), col("_best._d").as("meters"))
+      // keep the round's result materialized so the next anti-join and
+      // the final union don't recompute the whole cascade
+      val roundResolved = cand.localCheckpoint(true)
+      resolved = if (resolved == null) roundResolved else resolved.unionByName(roundResolved)
+      unresolved = unresolved.join(roundResolved.select(col(idCol)), Seq(idCol), "left_anti")
+      r *= 4
+      rounds += 1
+    }
+    if (resolved == null)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(idCol, points.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField(siteId, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("meters", org.apache.spark.sql.types.DoubleType))))
+    else resolved
+  }
 }

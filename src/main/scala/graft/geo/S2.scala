@@ -295,11 +295,17 @@ object S2 {
   // earth radius consistent with graft.geo.Mercator geodesy
   private val EarthRadiusMeters = 6371008.8
 
-  /** Max angular half-diagonal of any level-`lvl` cell (radians) —
-    * conservative: the level-0 half-diagonal (face center to corner,
-    * acos(1/sqrt(3))) shrinks by at least 2x per level. */
-  def maxHalfDiagRadians(lvl: Int): Double =
-    math.acos(1.0 / math.sqrt(3.0)) / (1L << lvl)
+  /** Max angular half-diagonal of any level-`lvl` cell (radians),
+    * CONSERVATIVE. Cell diagonals do not shrink by exactly 2x per
+    * level (the quadratic projection stretches cells near face
+    * corners; the published max-diagonal metric derivative is
+    * ~2.44/2^l for the full diagonal), so bound the half-diagonal by
+    * 1.31/2^l — above the published constant at every level, and above
+    * the level-0 face half-diagonal acos(1/sqrt(3)) ≈ 0.955. A
+    * too-small bound here silently breaks the cap-cover SUPERSET
+    * guarantee (caught by a wrong-nearest in the q68 gate at 15k
+    * points before this constant was made conservative). */
+  def maxHalfDiagRadians(lvl: Int): Double = 1.31 / (1L << lvl)
 
   /** Superset covering of a spherical cap: all level-`lvl` cells whose
     * CENTER lies within radius + the level's max half-diagonal of

@@ -217,3 +217,39 @@ class S2JoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row.getBoolean(2))
   }
 }
+
+/** Distributed S2 nearest join (expanding cap-cover rounds) must equal
+  * the brute-force nearest by (haversine, id) — including points whose
+  * nearest site is several round-radii away, and unmatched points. */
+class S2NearestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("nearestSiteS2 equals brute force; escalation and max-radius cutoff work") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new java.util.Random(23)
+    val pts = (1 to 400).map { k =>
+      (s"p$k", rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 160 - 80)
+    }.toDF("doc_id", "lon", "lat")
+    // sparse sites: many points are far from every site
+    val sites = (1 to 12).map { k =>
+      (s"s$k", rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 160 - 80)
+    }.toDF("site_id", "lon", "lat")
+    val maxR = 3.0e6 // 3000 km: some points are unmatched
+
+    val got = graft.engine.SpatialJoin.nearestSiteS2(
+        pts, sites, startRadiusMeters = 2e5, maxRadiusMeters = maxR)
+      .select("doc_id", "site_id").as[(String, String)].collect().toMap
+
+    val bySite = sites.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val want = pts.collect().flatMap { r =>
+      val cands = bySite.map { case (sid, slon, slat) =>
+        (graft.geo.Mercator.metersBetween(r.getDouble(1), r.getDouble(2), slon, slat), sid)
+      }.filter(_._1 <= maxR)
+      if (cands.isEmpty) None else Some(r.getString(0) -> cands.min._2)
+    }.toMap
+
+    assert(got == want)
+    assert(want.nonEmpty && want.size < 400, "fixture needs both matched and unmatched points")
+  }
+}
