@@ -827,7 +827,7 @@ object SparkEntry {
         ((col("id") % 5) * 72.0 - 144.0).as("lon"),
         (floor(col("id") / 5) * 34.0 - 68.0).as("lat"))
       graft.engine.SpatialJoin.nearestSiteS2(pts, sites, idCol = "k",
-          startRadiusMeters = 5e5, maxRadiusMeters = 3.0e6)
+          startRadiusMeters = 1.5e6, maxRadiusMeters = 3.0e6)
         .groupBy(col("site_id"))
         .agg(count(lit(1)).as("points"), sum(col("k")).cast("long").as("key_sum"))
         .orderBy(col("site_id"))

@@ -420,11 +420,14 @@ object SpatialJoin {
                     maxRadiusMeters: Double = 2.1e7): DataFrame = {
     import graft.functions.GeoFunctions
     val spark = points.sparkSession
-    var unresolved = points.select(col(idCol), col(lonCol).as("_p_lon"), col(latCol).as("_p_lat"))
+    val pointSel = points.select(col(idCol), col(lonCol).as("_p_lon"), col(latCol).as("_p_lat"))
+    var unresolved = pointSel
     var resolved: DataFrame = null
+    var resolvedCount = 0L
+    val total = pointSel.count()
     var r = startRadiusMeters
     var rounds = 0
-    while (r / 4 <= maxRadiusMeters && rounds < 16 && !unresolved.isEmpty) {
+    while (r / 4 <= maxRadiusMeters && rounds < 16 && resolvedCount < total) {
       val radius = math.min(r, maxRadiusMeters)
       val lvl = s2LevelForRadius(radius)
       val siteCells = sites.select(
@@ -441,11 +444,16 @@ object SpatialJoin {
         .groupBy(col(idCol))
         .agg(min(struct(col("_d"), col("_s_id"))).as("_best"))
         .select(col(idCol), col("_best._s_id").as(siteId), col("_best._d").as("meters"))
-      // keep the round's result materialized so the next anti-join and
-      // the final union don't recompute the whole cascade
+      // materialize the round so the anti-join and the final union read
+      // it instead of recomputing the cascade; counting the
+      // materialized result doubles as the early-stop probe (no
+      // separate isEmpty job on the unresolved side)
       val roundResolved = cand.localCheckpoint(true)
+      resolvedCount += roundResolved.count()
       resolved = if (resolved == null) roundResolved else resolved.unionByName(roundResolved)
-      unresolved = unresolved.join(roundResolved.select(col(idCol)), Seq(idCol), "left_anti")
+      // anti-join against the union of CHECKPOINTED rounds: lineage
+      // stays one join deep no matter how many rounds run
+      unresolved = pointSel.join(resolved.select(col(idCol)), Seq(idCol), "left_anti")
       r *= 4
       rounds += 1
     }
