@@ -15,7 +15,8 @@ object PlanAudit {
     val dir = "/root/testdata/sf0.01"
     val interesting = Seq("q01_agg_pushdown", "q02_broadcast_join", "q03_shuffle_join_topn",
       "q13_pip_join", "q16_knn_bruteforce", "q23_ngram_jaccard",
-      "q24_minhash_lsh", "q25_simhash", "q26_embedding_dedup", "q37_dup_clusters")
+      "q24_minhash_lsh", "q25_simhash", "q26_embedding_dedup", "q37_dup_clusters",
+      "q67_s2_radius_join")
     interesting.foreach { q =>
       println(s"\n=== $q ===")
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
