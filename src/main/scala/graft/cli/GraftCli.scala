@@ -102,8 +102,11 @@ object GraftCli {
           if (sfDir.nonEmpty && !isOsm && vectorFormat.isEmpty)
             Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
           else baseFeatures
-            .filter((f: graft.model.SourceFeature) => graft.geo.Geo.fromWkb(f.geom)
-              .isInstanceOf[org.locationtech.jts.geom.Polygonal])
+            // hillshade shade bands are styling polygons, not admin
+            // areas — they must never become PIP assignment targets
+            .filter((f: graft.model.SourceFeature) => f.source != "raster" &&
+              graft.geo.Geo.fromWkb(f.geom)
+                .isInstanceOf[org.locationtech.jts.geom.Polygonal])
             .toDF()
         SpatialJoin.collectPolysIfSmall(polysDf) match {
           case Some(polys) =>

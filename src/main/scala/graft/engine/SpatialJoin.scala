@@ -132,8 +132,11 @@ object SpatialJoin {
       }
     }.toDF("doc_id", "source", "geom", "tags", "span_sig", "relations", "__lon", "__lat")
       // join-back key: duplicates (same doc + same location) are safe —
-      // the assignment is identical for every duplicate row
-      .withColumn("__pk", concat_ws("", col("doc_id"), col("__lon"), col("__lat")))
+      // the assignment is identical for every duplicate row. The NUL
+      // separator keeps distinct (doc_id, lon, lat) triples distinct
+      // (no separator would collide e.g. ("way/12", 3.5) with ("way/1", 23.5)
+      // and swap polygon assignments between points).
+      .withColumn("__pk", concat_ws("\u0000", col("doc_id"), col("__lon"), col("__lat")))
     val assigned = pointInPolygonPartitioned(pts, polysDf, gridZoom = gridZoom,
         idCol = "__pk", lonCol = "__lon", latCol = "__lat", left = true)
       .withColumn("tags",
@@ -144,8 +147,9 @@ object SpatialJoin {
       .select(col("doc_id"), col("source"), col("geom"), col("tags"),
         col("span_sig"), col("relations"))
       .as[graft.model.SourceFeature]
-    val nonPts = features.filter(f =>
-      !Geo.fromWkb(f.geom).isInstanceOf[org.locationtech.jts.geom.Point])
+    // the non-point branch needs only the geometry KIND — a 5-byte
+    // header peek, not a second full WKB parse of the whole stream
+    val nonPts = features.filter(f => !Geo.wkbIsPoint(f.geom))
     assigned.unionByName(nonPts)
   }
 
@@ -355,7 +359,7 @@ object SpatialJoin {
   /** Bucketing level whose cell angular size (~(π/2)/2^l per face edge)
     * is on the order of the radius — ~O(1) cover cells per site. */
   private[engine] def s2LevelForRadius(radiusMeters: Double): Int = {
-    val radiusAngle = radiusMeters / 6371008.8
+    val radiusAngle = radiusMeters / graft.geo.Mercator.EarthRadiusMeters
     val l = math.floor(math.log((math.Pi / 2) / radiusAngle) / math.log(2.0)).toInt
     math.max(0, math.min(20, l))
   }

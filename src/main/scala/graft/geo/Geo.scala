@@ -22,6 +22,20 @@ object Geo {
   def toWkb(g: Geometry): Array[Byte] = wkbWriter.get().write(g)
   def toWkt(g: Geometry): String = wktWriter.get().write(g)
 
+  /** True iff the WKB encodes a (2D/Z/M/ZM) Point — a 5-byte header
+    * peek, no geometry parse. Used where a stream is split point vs
+    * non-point and only the point branch needs the full decode. */
+  def wkbIsPoint(wkb: Array[Byte]): Boolean = {
+    if (wkb == null || wkb.length < 5) return false
+    val t =
+      if (wkb(0) == 1) // little-endian
+        (wkb(1) & 0xff) | ((wkb(2) & 0xff) << 8) | ((wkb(3) & 0xff) << 16) | ((wkb(4) & 0xff) << 24)
+      else
+        (wkb(4) & 0xff) | ((wkb(3) & 0xff) << 8) | ((wkb(2) & 0xff) << 16) | ((wkb(1) & 0xff) << 24)
+    // 1 = Point; 1001/2001/3001 = Z/M/ZM; 0x80000001 = EWKB Z flag
+    (t & 0x7fffffff) % 1000 == 1
+  }
+
   def fromWktOrNull(wkt: String): Geometry =
     try { if (wkt == null) null else fromWkt(wkt) } catch { case _: Exception => null }
 

@@ -49,7 +49,7 @@ object Mercator {
   @inline def metersPerPixelAtEquator(zoom: Int): Double =
     40075016.686 / (256L << zoom).toDouble
 
-  private val EarthRadiusMeters = 6371008.8
+  val EarthRadiusMeters = 6371008.8
 
   /** Haversine distance in meters between two lon/lat points. */
   def metersBetween(lon0: Double, lat0: Double, lon1: Double, lat1: Double): Double = {

@@ -292,8 +292,10 @@ object S2 {
       parent(fromFaceIjWrap(f, i - size, j), lvl))
   }
 
-  // earth radius consistent with graft.geo.Mercator geodesy
-  private val EarthRadiusMeters = 6371008.8
+  // ONE shared geodesy constant: the cap-cover superset guarantee
+  // depends on capCover and Mercator.metersBetween agreeing on the
+  // sphere radius, so both must read the same value
+  private def EarthRadiusMeters = Mercator.EarthRadiusMeters
 
   /** Max angular half-diagonal of any level-`lvl` cell (radians),
     * CONSERVATIVE. Cell diagonals do not shrink by exactly 2x per

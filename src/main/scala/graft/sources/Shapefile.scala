@@ -310,7 +310,13 @@ object Shapefile {
           oriented(p.getInteriorRingN(k).getCoordinates, clockwise = false))
     }
     val recs = rows.map { case (g, _) =>
+      // reject empties loudly (same contract as wrong-family geoms):
+      // JTS produces empty lines/polygons from degenerate clips, and an
+      // empty part would otherwise crash deep in the bbox fold
+      require(!g.isEmpty, s"writeGeoms cannot encode an EMPTY ${g.getGeometryType}")
       val parts = partsOf(g)
+      require(parts.forall(_.nonEmpty),
+        s"writeGeoms cannot encode a zero-point part in ${g.getGeometryType}")
       val numPoints = parts.map(_.length).sum
       (parts, 4 + 32 + 8 + 4 * parts.length + 16 * numPoints)
     }

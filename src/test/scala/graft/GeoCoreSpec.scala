@@ -160,4 +160,29 @@ class GeoCoreSpec extends AnyFunSuite {
     assert(!Clip.pointInRing(15, 5, xs, ys))
     assert(!Clip.pointInRing(-0.1, 5, xs, ys))
   }
+
+  test("wkbIsPoint: 5-byte kind peek agrees with the full parse") {
+    val geoms = Seq(
+      "POINT (3 4)",
+      "LINESTRING (0 0, 1 1)",
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))",
+      "MULTIPOINT ((1 1), (2 2))",
+      "GEOMETRYCOLLECTION (POINT (1 1))").map(Geo.fromWktOrNull)
+    for (g <- geoms) {
+      val wkb = Geo.toWkb(g)
+      assert(Geo.wkbIsPoint(wkb) ==
+        g.isInstanceOf[org.locationtech.jts.geom.Point], g.getGeometryType)
+    }
+    // big-endian point (byte order 0) and a Z point (type 1001)
+    val be = Array[Byte](0, 0, 0, 0, 1) ++ new Array[Byte](16)
+    assert(Geo.wkbIsPoint(be))
+    val z = {
+      val w = new org.locationtech.jts.io.WKBWriter(3)
+      w.write(Geo.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(1, 2, 3)))
+    }
+    assert(Geo.wkbIsPoint(z))
+    assert(!Geo.wkbIsPoint(null))
+    assert(!Geo.wkbIsPoint(Array[Byte](1, 1)))
+  }
 }

@@ -91,4 +91,25 @@ class SpatialJoinPartitionedSpec extends AnyFunSuite {
     assert(part("p2").contains("adm_9"), "polar point matches via edge cell")
     assert(part("p3").contains("adm_9"))
   }
+
+  test("attachContainingPolygonTag: ambiguous (doc_id, lon) concatenations stay distinct") {
+    import spark.implicits._
+    // "way/1" @ lon 23.5 and "way/12" @ lon 3.5 concatenate to the
+    // same string without a separator — each must still get ITS OWN
+    // polygon, not a swapped/arbitrary assignment via a collided
+    // join-back key
+    val west = Geo.toWkb(Geo.fromWktOrNull("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    val east = Geo.toWkb(Geo.fromWktOrNull("POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))"))
+    val polys = Seq(("adm_west", west, Map.empty[String, String]),
+      ("adm_east", east, Map.empty[String, String])).toDF("doc_id", "geom", "tags")
+    def pt(id: String, lon: Double, lat: Double) =
+      graft.model.SourceFeature(id, "osm",
+        Geo.toWkb(Geo.factory.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat))),
+        Map.empty, 0L)
+    val feats = Seq(pt("way/1", 23.5, 5.0), pt("way/12", 3.5, 5.0)).toDS()
+    val out = SpatialJoin.attachContainingPolygonTag(feats, polys, tagKey = "adm", gridZoom = 4)
+      .collect().map(f => f.doc_id -> f.tags.get("adm")).toMap
+    assert(out("way/1").contains("adm_east"))
+    assert(out("way/12").contains("adm_west"))
+  }
 }
