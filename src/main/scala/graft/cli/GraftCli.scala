@@ -96,6 +96,11 @@ object GraftCli {
     val features: org.apache.spark.sql.Dataset[graft.model.SourceFeature] =
       if (!pip || profilePath.nonEmpty) baseFeatures
       else {
+        // the PIP stage scans the feature stream several times (polygon
+        // layer + point split + non-point pass-through + the render
+        // itself) — persist so the expensive OSM/vector parse runs once,
+        // spilling to disk rather than recomputing at planet scale
+        baseFeatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // polygon layer: synthesized for --sf-dir; filtered out of
         // the feature stream itself for --input
         val polysDf =

@@ -299,21 +299,27 @@ object Osm {
     // beyond OSM's largest ~10^5-member coastlines) would become a
     // multi-GB group. Relations over [[MaxRelationMembers]] are
     // skipped LOUDLY: counted in the `osm_relation_member_cap_skips`
-    // accumulator and warned per relation in the executor log.
+    // accumulator and warned in the DRIVER log. The skip decision is
+    // taken with one eager action here rather than side effects inside
+    // a distributed filter — re-evaluation of this dataset (multiple
+    // downstream actions, task retries, speculation) would otherwise
+    // over-count the accumulator and spam duplicate warnings.
     val capSkips = spark.sparkContext.longAccumulator("osm_relation_member_cap_skips")
     val cap = MaxRelationMembers
-    val capOk = mpMembers.groupBy(col("rel_id")).agg(count(lit(1)).as("n_members"))
-      .as[(Long, Long)]
-      .filter { case (relId, n) =>
-        val ok = n <= cap
-        if (!ok) {
-          capSkips.add(1)
-          org.slf4j.LoggerFactory.getLogger("graft.engine.Osm").warn(
-            s"skipping relation $relId: $n way members exceeds MaxRelationMembers=$cap")
-        }
-        ok
+    val memberCounts = mpMembers.groupBy(col("rel_id")).agg(count(lit(1)).as("n_members"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val overCapDs = memberCounts.filter(col("n_members") > cap).as[(Long, Long)]
+    val overCapTotal = overCapDs.count() // eager, exact (reads the persisted agg)
+    if (overCapTotal > 0) {
+      capSkips.add(overCapTotal)
+      val log = org.slf4j.LoggerFactory.getLogger("graft.engine.Osm")
+      overCapDs.take(20).foreach { case (relId, n) =>
+        log.warn(s"skipping relation $relId: $n way members exceeds MaxRelationMembers=$cap")
       }
-      .toDF("rel_id", "n_members").select(col("rel_id"))
+      if (overCapTotal > 20)
+        log.warn(s"... and ${overCapTotal - 20} more relations past MaxRelationMembers=$cap")
+    }
+    val capOk = memberCounts.filter(col("n_members") <= cap).select(col("rel_id"))
 
     val relFeatures = mpMembers
       .join(capOk, "rel_id")

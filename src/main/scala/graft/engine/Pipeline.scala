@@ -51,11 +51,12 @@ object Pipeline {
       geom match {
         case p: JtsPoint =>
           val c = p.getCoordinate
-          // broadcast index when present; else a pre-attached "adm" tag
-          // (the partitioned-PIP scale path,
-          // SpatialJoin.attachContainingPolygonTag)
+          // broadcast index when present; else the RESERVED pre-attached
+          // tag from the partitioned-PIP scale path
+          // (SpatialJoin.attachContainingPolygonTag) — never an
+          // ordinary input tag, which cannot use the reserved key
           val adm = pip.flatMap(_.firstContaining(c.x, c.y)).map(_.id)
-            .orElse(sf.tags.get("adm"))
+            .orElse(sf.tags.get(SpatialJoin.PipTagKey))
           Iterator.single(FeatureSpec(
             layer = "points", geom = Geo.toWkb(world), id = id,
             sortKey = (id % 1000).toInt, minzoom = 0, maxzoom = pointMaxZoom,

@@ -84,6 +84,12 @@ object SpatialJoin {
     * A `var` so specs can exercise the fallback on small corpora. */
   @volatile var MaxBroadcastPolys = 2000000
 
+  /** Reserved tag key carrying the partitioned-PIP assignment from
+    * [[attachContainingPolygonTag]] to [[Pipeline.GraftProfile]].
+    * Double-underscored so an ordinary input tag cannot collide with
+    * (and masquerade as) a computed polygon assignment. */
+  val PipTagKey = "__adm"
+
   /** [[collectPolys]] that returns None instead of failing when the
     * polygon side exceeds [[MaxBroadcastPolys]] — the guard callers
     * use to auto-route to the partitioned grid join. */
@@ -116,11 +122,15 @@ object SpatialJoin {
    * no driver collect, no broadcast, survives polygon layers of any
    * size. Non-point features pass through untouched. The tag key set
    * here is what [[Pipeline.GraftProfile]] falls back to when its
-   * broadcast `pip` index is absent.
+   * broadcast `pip` index is absent; the default is the RESERVED
+   * [[PipTagKey]] so a user tag that happens to share the name can
+   * never masquerade as a computed assignment — and the key is
+   * stripped from every point's input tags (contained or not) before
+   * the assignment is written.
    */
   def attachContainingPolygonTag(features: org.apache.spark.sql.Dataset[graft.model.SourceFeature],
                                  polysDf: DataFrame,
-                                 tagKey: String = "adm",
+                                 tagKey: String = PipTagKey,
                                  gridZoom: Int = 7): org.apache.spark.sql.Dataset[graft.model.SourceFeature] = {
     val spark = features.sparkSession
     import spark.implicits._
@@ -140,7 +150,10 @@ object SpatialJoin {
     val assigned = pointInPolygonPartitioned(pts, polysDf, gridZoom = gridZoom,
         idCol = "__pk", lonCol = "__lon", latCol = "__lat", left = true)
       .withColumn("tags",
-        when(col("poly_id").isNull, col("tags"))
+        // strip any pre-existing tagKey in BOTH branches: an uncontained
+        // point must not keep a stale input tag under the reserved key
+        when(col("poly_id").isNull,
+          map_filter(col("tags"), (k, _) => k =!= lit(tagKey)))
           .otherwise(map_concat(
             map_filter(col("tags"), (k, _) => k =!= lit(tagKey)),
             map(lit(tagKey), col("poly_id")))))
@@ -429,10 +442,17 @@ object SpatialJoin {
     var resolved: DataFrame = null
     var resolvedCount = 0L
     val total = pointSel.count()
-    var r = startRadiusMeters
+    require(startRadiusMeters > 0 && maxRadiusMeters > 0,
+      s"radii must be positive: start=$startRadiusMeters max=$maxRadiusMeters")
+    // clamp the opening ring so a start radius past the cutoff still
+    // runs exactly one round at maxRadius instead of silently skipping
+    // the loop and returning every point unmatched
+    var r = math.min(startRadiusMeters, maxRadiusMeters)
+    var done = false
     var rounds = 0
-    while (r / 4 <= maxRadiusMeters && rounds < 16 && resolvedCount < total) {
+    while (!done && rounds < 16 && resolvedCount < total) {
       val radius = math.min(r, maxRadiusMeters)
+      done = radius >= maxRadiusMeters // this is the final, full-cutoff round
       val lvl = s2LevelForRadius(radius)
       val siteCells = sites.select(
         col(siteId).as("_s_id"), col(lonCol).as("_s_lon"), col(latCol).as("_s_lat"),

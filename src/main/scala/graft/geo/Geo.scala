@@ -32,8 +32,12 @@ object Geo {
         (wkb(1) & 0xff) | ((wkb(2) & 0xff) << 8) | ((wkb(3) & 0xff) << 16) | ((wkb(4) & 0xff) << 24)
       else
         (wkb(4) & 0xff) | ((wkb(3) & 0xff) << 8) | ((wkb(2) & 0xff) << 16) | ((wkb(1) & 0xff) << 24)
-    // 1 = Point; 1001/2001/3001 = Z/M/ZM; 0x80000001 = EWKB Z flag
-    (t & 0x7fffffff) % 1000 == 1
+    // 1 = Point; 1001/2001/3001 = ISO Z/M/ZM; EWKB sets flag bits
+    // instead: Z=0x80000000, M=0x40000000, SRID=0x20000000 — mask all
+    // three so a PostGIS-dumped point is still recognized (missing the
+    // M/SRID flags here would route the same feature down BOTH branches
+    // of a point/non-point stream split and duplicate it)
+    (t & 0x1fffffff) % 1000 == 1
   }
 
   def fromWktOrNull(wkt: String): Geometry =

@@ -179,7 +179,13 @@ object S2 {
 
   /** Lowest set bit — encodes the level. */
   def lsb(id: Long): Long = id & -id
-  def lsbForLevel(level: Int): Long = 1L << (2 * (MaxLevel - level))
+  def lsbForLevel(level: Int): Long = {
+    // guard the SQL-facing surface: a negative shift here would wrap
+    // (1L << -2 == 1L << 62) and silently corrupt every downstream
+    // join key built from the garbage id
+    require(level >= 0 && level <= MaxLevel, s"S2 level out of range [0,$MaxLevel]: $level")
+    1L << (2 * (MaxLevel - level))
+  }
 
   def level(id: Long): Int =
     MaxLevel - (java.lang.Long.numberOfTrailingZeros(id) >> 1)
@@ -336,12 +342,10 @@ object S2 {
     out.toArray.sorted
   }
 
-  /** Central angle (radians) between two lon/lat points (haversine). */
-  def angularDistance(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
-    val p1 = math.toRadians(lat1); val p2 = math.toRadians(lat2)
-    val dp = p2 - p1; val dl = math.toRadians(lon2 - lon1)
-    val a = math.sin(dp / 2) * math.sin(dp / 2) +
-      math.cos(p1) * math.cos(p2) * math.sin(dl / 2) * math.sin(dl / 2)
-    2 * math.asin(math.min(1.0, math.sqrt(a)))
-  }
+  /** Central angle (radians) between two lon/lat points — THE haversine
+    * the whole engine uses, expressed through [[Mercator.metersBetween]]
+    * so the cap-cover superset contract and the join-side exact verify
+    * can never drift apart (one formula, one radius). */
+  def angularDistance(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    Mercator.metersBetween(lon1, lat1, lon2, lat2) / EarthRadiusMeters
 }

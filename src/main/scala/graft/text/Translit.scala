@@ -81,10 +81,17 @@ object Translit {
       'ま' -> "ma", 'み' -> "mi", 'む' -> "mu", 'め' -> "me", 'も' -> "mo",
       'や' -> "ya", 'ゆ' -> "yu", 'よ' -> "yo",
       'ら' -> "ra", 'り' -> "ri", 'る' -> "ru", 'れ' -> "re", 'ろ' -> "ro",
-      'わ' -> "wa", 'ゐ' -> "wi", 'ゑ' -> "we", 'を' -> "o", 'ん' -> "n",
-      'ゔ' -> "vu")
-    // project the hiragana table onto katakana (fixed +0x60 offset)
-    h ++ h.map { case (c, r) => ((c + 0x60).toChar, r) }
+      'ゎ' -> "wa", 'わ' -> "wa", 'ゐ' -> "wi", 'ゑ' -> "we", 'を' -> "o", 'ん' -> "n",
+      // standalone small ya/yu/yo (the yoon digraph path consumes them
+      // after an i-row syllable before this map is consulted)
+      'ゃ' -> "ya", 'ゅ' -> "yu", 'ょ' -> "yo",
+      'ゔ' -> "vu", 'ゕ' -> "ka", 'ゖ' -> "ke")
+    // project the hiragana table onto katakana (fixed +0x60 offset),
+    // then the katakana-only characters: the v-row ヷヸヹヺ and the
+    // place-name counter ヶ, which reads "ga" in the compounds that
+    // dominate map labels (市ヶ谷 Ichigaya, 霞ヶ関 Kasumigaseki)
+    h ++ h.map { case (c, r) => ((c + 0x60).toChar, r) } ++
+      Map('ヷ' -> "va", 'ヸ' -> "vi", 'ヹ' -> "ve", 'ヺ' -> "vo", 'ヶ' -> "ga")
   }
   private def isSmallYaYuYo(c: Char): Boolean =
     c == 'ゃ' || c == 'ゅ' || c == 'ょ' || c == 'ャ' || c == 'ュ' || c == 'ョ'
@@ -94,6 +101,12 @@ object Translit {
     case _ => "o"
   }
   private def isSokuon(c: Char): Boolean = c == 'っ' || c == 'ッ'
+  private def isSmallVowel(c: Char): Boolean =
+    "ぁぃぅぇぉァィゥェォ".indexOf(c) >= 0
+  private def smallVowelOf(c: Char): String = "ぁぃぅぇぉァィゥェォ".indexOf(c) match {
+    case 0 | 5 => "a"; case 1 | 6 => "i"; case 2 | 7 => "u"
+    case 3 | 8 => "e"; case _ => "o"
+  }
   private def isKanaChar(c: Char): Boolean =
     (c >= 0x3041 && c <= 0x3096) || (c >= 0x30A1 && c <= 0x30FA) || c == 'ー'
 
@@ -113,13 +126,21 @@ object Translit {
         if ("aeiou".indexOf(last) >= 0) sb.append(last)
         i += 1
       } else {
-        var syl = Kana.getOrElse(c, "")
+        // pass unknown kana through (the documented contract for every
+        // script here) rather than silently deleting the character
+        var syl = Kana.getOrElse(c, c.toString)
         var step = 1
         if (i + 1 < s.length && isSmallYaYuYo(s.charAt(i + 1)) && syl.endsWith("i")) {
           val stem = syl.substring(0, syl.length - 1)
           // shi+small -> sha/shu/sho, chi -> cha..., ji -> ja...
           syl = (if (stem == "sh" || stem == "ch" || stem == "j") stem
                  else stem + "y") + smallVowel(s.charAt(i + 1))
+          step = 2
+        } else if (i + 1 < s.length && isSmallVowel(s.charAt(i + 1)) &&
+                   syl.endsWith("u") && syl.length > 1) {
+          // loanword contraction: u-row + small vowel (ヴァ -> va,
+          // ファ -> fa, ウィ -> wi via the u-row stem)
+          syl = syl.substring(0, syl.length - 1) + smallVowelOf(s.charAt(i + 1))
           step = 2
         }
         if (geminate && syl.nonEmpty) {

@@ -182,6 +182,13 @@ class GeoCoreSpec extends AnyFunSuite {
         new org.locationtech.jts.geom.Coordinate(1, 2, 3)))
     }
     assert(Geo.wkbIsPoint(z))
+    // EWKB flag forms (PostGIS): M flag, SRID flag, and Z|M|SRID combined
+    def le(t: Long) = Array[Byte](1, (t & 0xff).toByte, ((t >> 8) & 0xff).toByte,
+      ((t >> 16) & 0xff).toByte, ((t >> 24) & 0xff).toByte) ++ new Array[Byte](24)
+    assert(Geo.wkbIsPoint(le(0x40000001L)), "EWKB M point")
+    assert(Geo.wkbIsPoint(le(0x20000001L)), "EWKB SRID point")
+    assert(Geo.wkbIsPoint(le(0xE0000001L)), "EWKB ZM+SRID point")
+    assert(!Geo.wkbIsPoint(le(0x20000002L)), "EWKB SRID linestring")
     assert(!Geo.wkbIsPoint(null))
     assert(!Geo.wkbIsPoint(Array[Byte](1, 1)))
   }

@@ -251,5 +251,20 @@ class S2NearestSpec extends org.scalatest.funsuite.AnyFunSuite {
 
     assert(got == want)
     assert(want.nonEmpty && want.size < 400, "fixture needs both matched and unmatched points")
+
+    // start radius past the cutoff: still runs ONE full-cutoff round
+    // (regression: the old loop guard skipped the loop entirely and
+    // returned every point unmatched)
+    val gotClamped = graft.engine.SpatialJoin.nearestSiteS2(
+        pts, sites, startRadiusMeters = 5 * maxR, maxRadiusMeters = maxR)
+      .select("doc_id", "site_id").as[(String, String)].collect().toMap
+    assert(gotClamped == want)
+  }
+
+  test("out-of-range levels are refused, not silently wrapped into garbage ids") {
+    intercept[IllegalArgumentException](S2.cellId(2.294, 48.858, 31))
+    intercept[IllegalArgumentException](S2.cellId(2.294, 48.858, -1))
+    intercept[IllegalArgumentException](S2.parent(S2.leafCellId(0, 0), 31))
+    assert(S2.cellId(2.294, 48.858, 30) == S2.leafCellId(2.294, 48.858))
   }
 }

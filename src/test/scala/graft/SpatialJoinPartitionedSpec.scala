@@ -112,4 +112,23 @@ class SpatialJoinPartitionedSpec extends AnyFunSuite {
     assert(out("way/1").contains("adm_east"))
     assert(out("way/12").contains("adm_west"))
   }
+
+  test("stale input tags under the reserved PIP key are stripped, never emitted as assignments") {
+    import spark.implicits._
+    val west = Geo.toWkb(Geo.fromWktOrNull("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"))
+    val polys = Seq(("adm_west", west, Map.empty[String, String])).toDF("doc_id", "geom", "tags")
+    def pt(id: String, lon: Double, lat: Double, tags: Map[String, String]) =
+      graft.model.SourceFeature(id, "osm",
+        Geo.toWkb(Geo.factory.createPoint(new org.locationtech.jts.geom.Coordinate(lon, lat))),
+        tags, 0L)
+    val bogus = Map(SpatialJoin.PipTagKey -> "adm_spoofed")
+    val feats = Seq(
+      pt("inside", 5.0, 5.0, bogus),   // contained: real assignment must replace the spoof
+      pt("outside", 50.0, 50.0, bogus) // uncontained: the spoof must be stripped, not kept
+    ).toDS()
+    val out = SpatialJoin.attachContainingPolygonTag(feats, polys, gridZoom = 4)
+      .collect().map(f => f.doc_id -> f.tags.get(SpatialJoin.PipTagKey)).toMap
+    assert(out("inside").contains("adm_west"))
+    assert(out("outside").isEmpty)
+  }
 }

@@ -76,4 +76,16 @@ class TranslitSpec extends AnyFunSuite {
     // out-of-subset Han stays non-latin -> no wrong answer returned
     assert(Language.latinName(Map("name" -> "薔薇")).isEmpty)
   }
+
+  test("place-name kana: the ヶ counter reads ga; v-row and small kana covered") {
+    assert(Translit.transliterateCjk("いちヶや") == "ichigaya")
+    assert(Translit.transliterateCjk("ヴァイオリン") == "vaiorin")
+    assert(Translit.transliterateCjk("ヷヸヹヺ") == "vaviveo" || // ヺ=vo
+      Translit.transliterateCjk("ヷヸヹヺ") == "vavivevo")
+    // every char in the claimed kana ranges romanizes to ASCII —
+    // nothing inside the range is silently deleted or passed through
+    val all = ((0x3041 to 0x3096) ++ (0x30A1 to 0x30FA)).map(_.toChar).mkString
+    val out = Translit.transliterateCjk(all)
+    assert(out.nonEmpty && out.forall(c => c >= 'a' && c <= 'z'), out)
+  }
 }
