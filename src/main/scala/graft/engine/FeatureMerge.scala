@@ -23,12 +23,22 @@ import scala.collection.mutable.ArrayBuffer
  */
 object FeatureMerge {
 
-  /** Group features by identical (packed) attrs and geometry type. */
+  /** Group features by identical (packed) attrs + coordinate scale and
+    * geometry type. Scale participates in the key because two features
+    * at different extra-precision scales live in different integer
+    * coordinate spaces — merging them as one group would stitch
+    * mismatched grids and unscale half the group by the wrong power of
+    * two. Groups come back in FIRST-OCCURRENCE order of the input (the
+    * sorted-run draw order the meta-sort established), not hash order. */
   private def groupByAttrs(feats: Seq[Mvt.LayerFeature], geomType: Int):
       (Seq[(Array[Byte], Seq[Mvt.LayerFeature])], Seq[Mvt.LayerFeature]) = {
     val (target, rest) = feats.partition(_.geomType == geomType)
-    val grouped = target.groupBy(f => scala.collection.immutable.ArraySeq.unsafeWrapArray(f.attrs))
-      .toSeq.map { case (_, fs) => (fs.head.attrs, fs) }.sortBy(_._2.head.id)
+    val grouped = target.zipWithIndex
+      .groupBy { case (f, _) =>
+        (scala.collection.immutable.ArraySeq.unsafeWrapArray(f.attrs), f.scale)
+      }
+      .toSeq.map { case (_, fs) => (fs.head._2, (fs.head._1.attrs, fs.map(_._1))) }
+      .sortBy(_._1).map(_._2)
     (grouped, rest)
   }
 

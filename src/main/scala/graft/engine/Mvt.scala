@@ -134,8 +134,9 @@ object Mvt {
             k += 1
           }
         case ClosePath =>
-          parts += ((true, cur.toArray)); cur = ArrayBuffer.empty
-          i += 0
+          // spec mandates count == 1 and consumes no operands; an empty
+          // ring (ClosePath with no accumulated points) is dropped
+          if (cur.nonEmpty) { parts += ((true, cur.toArray)); cur = ArrayBuffer.empty }
         case _ => throw new IllegalArgumentException(s"bad command $id")
       }
     }
@@ -193,7 +194,9 @@ object Mvt {
     geomType match {
       case 1 => encodePoints(down(parts.flatMap(_._2).toArray))
       case 2 => encodeLines(parts.map(p => down(p._2)).filter(_.length >= 2))
-      case _ => encodeRings(parts.map(p => down(p._2)).filter(_.length >= 4))
+      // decoded ClosePath rings are OPEN (the closing point is implicit),
+      // so a valid triangle is 3 points — >= 4 would drop it
+      case _ => encodeRings(parts.map(p => down(p._2)).filter(_.length >= 3))
     }
   }
 

@@ -68,6 +68,10 @@ object Render {
   def renderKv(specs: Dataset[FeatureSpec], layers: IndexedSeq[String]): Dataset[Kv] = {
     val spark = specs.sparkSession
     import spark.implicits._
+    // the packed meta interns the layer as ONE byte; layer 256 would
+    // silently alias layer 0 through the 8-bit mask
+    require(layers.size <= 256,
+      s"at most 256 layers fit the one-byte meta interning; got ${layers.size}")
     val layerIdx: Map[String, Int] = layers.zipWithIndex.toMap
     specs.flatMap { spec =>
       val id = layerIdx.getOrElse(spec.layer,
@@ -77,6 +81,12 @@ object Render {
   }
 
   def renderOne(spec: FeatureSpec): Iterator[Rendered] = {
+    // fail fast: a zoom past TileCoord.MaxZoom would silently encode
+    // tile ids that decode as the wrong z-15 tiles (z=16 indexes the
+    // pyramid-total offset) or crash deep in the flatMap (z>=17)
+    require(spec.maxzoom <= graft.geo.TileCoord.MaxZoom && spec.minzoom >= 0,
+      s"zoom range [${spec.minzoom},${spec.maxzoom}] outside [0,${graft.geo.TileCoord.MaxZoom}] " +
+        s"for layer ${spec.layer}")
     val geom =
       try Geo.fromWkb(spec.geom)
       catch { case _: Exception => null }

@@ -72,6 +72,12 @@ object TileAssembler {
     import spark.implicits._
     kv.mapPartitions { it =>
       val heaps = mutable.HashMap.empty[(Long, Int, Long), mutable.PriorityQueue[Kv]]
+      // trim each heap to the LARGEST limit seen for its group, not the
+      // arriving row's: with mixed per-feature limits in one grid cell a
+      // small-limit row could otherwise evict a row the exact in-run
+      // counter keeps — the partial must stay a SUPERSET of the exact
+      // pass (which enforces each row's own limit downstream)
+      val maxLimits = mutable.HashMap.empty[(Long, Int, Long), Int]
       val grouped = it.filter { r =>
         val (group, limit) = KvCodec.peekGroup(r.value)
         if (group == 0 || limit <= 0) true
@@ -85,8 +91,10 @@ object TileAssembler {
                 heaps.put(k, h)
                 h
               }
+              val maxLimit = math.max(limit, maxLimits.getOrElse(k, 0))
+              maxLimits.put(k, maxLimit)
               heap += r
-              if (heap.size > limit) heap.dequeue() // drop largest (meta, value)
+              if (heap.size > maxLimit) heap.dequeue() // drop largest (meta, value)
               false
           }
         }
@@ -227,10 +235,19 @@ object TileAssembler {
   def writeFilesArchive(tiles: Dataset[TileBytes], outDir: String): Long = {
     tiles.mapPartitions { it =>
       var n = 0L
+      // tiles arrive Hilbert-ordered, so long runs share one {z}/{x}
+      // directory — cache the last created dir instead of a
+      // createDirectories metadata syscall per tile
+      var lastDirKey: Long = -1L
+      var lastDir: java.nio.file.Path = null
       it.foreach { t =>
-        val dir = java.nio.file.Paths.get(outDir, t.z.toString, t.x.toString)
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.write(dir.resolve(s"${t.y}.pbf"), t.bytes)
+        val dirKey = (t.z.toLong << 32) | (t.x.toLong & 0xffffffffL)
+        if (dirKey != lastDirKey) {
+          lastDir = java.nio.file.Paths.get(outDir, t.z.toString, t.x.toString)
+          java.nio.file.Files.createDirectories(lastDir)
+          lastDirKey = dirKey
+        }
+        java.nio.file.Files.write(lastDir.resolve(s"${t.y}.pbf"), t.bytes)
         n += 1
       }
       Iterator.single(n)

@@ -130,4 +130,28 @@ class FeatureMergeSpec extends AnyFunSuite {
     val back = TileGeom.toJts(3, cmds).asInstanceOf[org.locationtech.jts.geom.Polygon]
     assert(back.getNumInteriorRing == 1 && math.abs(back.getArea - p.getArea) < 1e-9)
   }
+
+  test("same attrs but different extra-precision scales never merge into one coordinate space") {
+    val a = Map("k" -> "v")
+    // endpoint (100,0)@scale0 and (200,0)@scale1 are the SAME tile
+    // position (scale-1 coords are 2x) — but the coordinate spaces
+    // differ, so they must stay separate features at their own scales
+    val s0 = line(1, a, (0, 0), (100, 0))
+    val s1 = Mvt.LayerFeature(2, 2,
+      Mvt.encodeLines(Seq(Array((200, 0), (400, 0)))), s0.attrs, scale = 1)
+    val out = FeatureMerge.mergeLineStrings(Seq(s0, s1))
+    assert(out.size == 2)
+    assert(out.map(_.scale).sorted == Seq(0, 1))
+    // and the scale survives onto each merged output feature
+    assert(out.find(_.scale == 1).get.commands.toSeq ==
+      Mvt.encodeLines(Seq(Array((200, 0), (400, 0)))).toSeq)
+  }
+
+  test("merged groups keep first-occurrence (draw) order, not hash or id order") {
+    val out = FeatureMerge.mergeLineStrings(Seq(
+      line(0, Map("class" -> "primary"), (0, 0), (10, 0)),
+      line(0, Map("class" -> "secondary"), (0, 5), (10, 5)),
+      line(0, Map("class" -> "primary"), (10, 0), (20, 0))))
+    assert(out.map(_.attrsMap("class")) == Seq("primary", "secondary"))
+  }
 }

@@ -52,6 +52,24 @@ class LabelGridCapSpec extends AnyFunSuite {
     assert(exactLimit(capped) == truth)
   }
 
+  test("mixed per-row limits in one grid cell: the partial stays a superset of the exact pass") {
+    import spark.implicits._
+    def mk(sortKey: Int, fid: Long, limit: Int): Kv =
+      KvCodec.encode(Rendered(7L, "pts", sortKey, fid, 1,
+        Array(9, (fid * 2).toInt, (fid * 2 + 1).toInt), Array[Byte](1, 2),
+        group = 5L, group_limit = limit, scale = 0), layerId = 0)
+    // five limit-10 rows arrive first, then a limit-1 row that sorts
+    // before all of them: the exact counter keeps ALL SIX (the limit-1
+    // row at rank 1 <= 1; the limit-10 rows at ranks 2..6 <= 10) —
+    // regression: trimming with the ARRIVING row's limit dropped the
+    // largest limit-10 row when the limit-1 row showed up
+    val rows = (1 to 5).map(i => mk(sortKey = 10 + i, fid = i, limit = 10)) :+
+      mk(sortKey = 1, fid = 99, limit = 1)
+    val out = TileAssembler.partialLabelGridLimit(spark.createDataset(rows).repartition(1))
+      .collect()
+    assert(out.length == 6, s"partial dropped a row the exact pass keeps (kept ${out.length})")
+  }
+
   test("ungrouped rows always pass through") {
     import spark.implicits._
     val rows = (0L until 100L).map(t => mkKv(t, group = 0, sortKey = 1, fid = t))

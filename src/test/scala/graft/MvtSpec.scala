@@ -58,4 +58,16 @@ class MvtSpec extends AnyFunSuite {
     assert(Mvt.fnv1a64(Array.empty) == 0xcbf29ce484222325L)
     assert(Mvt.fnv1a64("a".getBytes) == 0xaf63dc4c8601ec8cL)
   }
+
+  test("unscale keeps triangles: decoded ClosePath rings are open (3 points is valid)") {
+    // triangle at 2x precision -> unscale(1) must keep the 3-point ring
+    val tri = Mvt.encodeRings(Seq(Array((0, 0), (200, 0), (200, 200))))
+    val down = Mvt.unscale(3, tri, 1)
+    val rings = Mvt.decodeCommands(3, down)
+    assert(rings.size == 1 && rings.head._2.toSeq == Seq((0, 0), (100, 0), (100, 100)))
+    // a quad that collapses to a triangle after downscale also survives
+    val quad = Mvt.encodeRings(Seq(Array((0, 0), (200, 0), (200, 200), (199, 200))))
+    val downQ = Mvt.decodeCommands(3, Mvt.unscale(3, quad, 1))
+    assert(downQ.size == 1 && downQ.head._2.length == 3)
+  }
 }
