@@ -2070,7 +2070,7 @@ object SparkEntry {
     "q19_ann_ivf" ->
       """WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings),
          cents AS (SELECT id AS cid, e AS ce FROM v
-                   ORDER BY (id * 2654435761) % 4294967296, id LIMIT 8),
+                   ORDER BY (id::HUGEINT * 2654435761) % 4294967296, id LIMIT 8),
          dists AS (SELECT v.id, v.e, cid,
              list_reduce(list_transform(generate_series(1, len(e)),
                i -> (e[i] - ce[i]) * (e[i] - ce[i])), (a, b) -> a + b) AS d

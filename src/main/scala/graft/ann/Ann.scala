@@ -60,18 +60,22 @@ class TopKAggregator(k: Int) extends Aggregator[ScoredNeighbor, Seq[ScoredNeighb
  */
 object Ann {
 
-  /** splitmix64 — public-domain mix; deterministic plane components. */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  /** splitmix64 — deterministic plane components (one shared mixer). */
+  private def splitmix64(seed: Long): Long = graft.functions.TextExprs.mix64(seed)
 
   /** Deterministic pseudo-random hyperplanes in [-1, 1]^dim. */
   def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes)(p =>
       Array.tabulate(dim)(i => splitmix64(p.toLong * 100003L + i).toDouble / Long.MaxValue))
+
+  /** Embedding dimensionality from the first non-null vector; fails
+    * with a clear message on an empty/all-null table instead of a
+    * NoSuchElementException or NPE from `head()`. */
+  private[graft] def probeDim(emb: DataFrame, vecCol: String): Int =
+    emb.select(size(col(vecCol)).as("d")).where(col("d") >= 0).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot infer embedding dimension: no non-null '$vecCol' rows"))
 
   /** cosine(a.v, b.v) — native loop, fold-order-identical to the
     * zip_with/aggregate form (and DuckDB's list_dot_product). */
@@ -116,7 +120,7 @@ object Ann {
    */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, planes: Int = 6,
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dim = probeDim(emb, vecCol)
     val pm = planeMatrix(planes, dim)
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("sig", lshSignature(col("v"), pm))
@@ -141,7 +145,11 @@ object Ann {
               vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val centroids: Array[(Long, Array[Double])] = v
-      .withColumn("hk", col("id") * lit(2654435761L) % lit(4294967296L))
+      // Knuth multiplicative hash in decimal(38,0): a plain long multiply
+      // overflows (ANSI ArithmeticException) for ids above ~3.47e9 —
+      // 64-bit content hashes and snowflake ids are routine at scale
+      .withColumn("hk",
+        col("id").cast("decimal(38,0)") * lit(2654435761L) % lit(4294967296L))
       .orderBy(col("hk"), col("id")).limit(cells)
       .select(col("id"), col("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))

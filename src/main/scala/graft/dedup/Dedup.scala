@@ -336,7 +336,7 @@ object Dedup {
                            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorExprs
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dim = graft.ann.Ann.probeDim(emb, vecCol)
     val planes = graft.ann.Ann.planeMatrix(bands * rowsPerBand, dim)
     // native one-loop signature (the zip_with/aggregate form interprets
     // bands·rows·dim lambdas per row)

@@ -57,6 +57,10 @@ object MbtilesArchive {
     tiles.foreach { t =>
       require(t.tile_id > lastId, s"archive drain out of order: ${t.tile_id} after $lastId")
       lastId = t.tile_id
+      // dedup trusts the 64-bit content hash, matching the reference's
+      // own compact-mbtiles dedup (Mbtiles.java:738-755 keys images by
+      // tileDataIdByHash with no byte verify); the PMTiles writer, whose
+      // data section is seekable mid-write, verifies bytes exactly
       val tileId = f"${t.content_hash}%016x"
       if (seen.add(t.content_hash)) {
         imgT.addRow(Array[Any](tileId, t.bytes))

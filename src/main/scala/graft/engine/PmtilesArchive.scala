@@ -164,6 +164,22 @@ object PmtilesArchive {
     throw new IllegalStateException("unreachable")
   }
 
+  /** Exact dedup verify: true iff the bytes already written at absolute
+    * file position `pos` equal `bytes`. A (64-bit hash, length) match
+    * alone would mis-dedup on a collision — the birthday bound makes
+    * that a real event at planet tile counts — and the archive would
+    * permanently serve the wrong tile. The read-back hits the page
+    * cache (dedup candidates are the hot contents); restores the write
+    * position to the data tail before returning. */
+  private def sameBytes(raf: java.io.RandomAccessFile, pos: Long,
+                        dataEnd: Long, bytes: Array[Byte]): Boolean = {
+    val buf = new Array[Byte](bytes.length)
+    raf.seek(pos)
+    raf.readFully(buf)
+    raf.seek(InitSection + dataEnd)
+    java.util.Arrays.equals(buf, bytes)
+  }
+
   /**
    * Ordered single-writer drain: requires Hilbert-ordered input (the
    * assembler's range shuffle provides it). Returns
@@ -174,67 +190,13 @@ object PmtilesArchive {
             minZoom: Int = 0, maxZoom: Int = 15,
             bounds: (Double, Double, Double, Double) = (-180, -85.05113, 180, 85.05113),
             tilesGzipped: Boolean = true): (Long, Long, Long) = {
-    val raf = new java.io.RandomAccessFile(path, "rw")
-    raf.setLength(0)
-    raf.seek(InitSection.toLong)
-
-    val entries = ArrayBuffer.empty[Entry]
-    val byHash = mutable.HashMap.empty[Long, (Long, Int)] // hash -> (offset, len)
-    var dataLen = 0L
-    var addressed = 0L
-    var contents = 0L
-    var lastId = Long.MinValue
-
-    tiles.toLocalIterator().forEachRemaining { t =>
-      require(t.tile_id > lastId, s"archive drain out of order: ${t.tile_id} after $lastId")
-      lastId = t.tile_id
-      addressed += 1
-      val last = entries.lastOption.orNull
-      byHash.get(t.content_hash) match {
-        case Some((off, len)) if len == t.bytes.length =>
-          if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id) {
-            entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
-          } else {
-            entries += Entry(t.tile_id, off, len, 1)
-          }
-        case _ =>
-          raf.write(t.bytes)
-          byHash(t.content_hash) = (dataLen, t.bytes.length)
-          entries += Entry(t.tile_id, dataLen, t.bytes.length, 1)
-          dataLen += t.bytes.length
-          contents += 1
-      }
-    }
-
-    val (root, leaves) = makeDirectories(entries.toSeq)
-    val json = Mvt.gzip(metadataJson.getBytes("UTF-8"))
-    raf.write(json)
-    raf.write(leaves)
-
-    val header = Header(
-      rootDirOffset = HeaderLen.toLong, rootDirLength = root.length.toLong,
-      jsonMetadataOffset = InitSection + dataLen, jsonMetadataLength = json.length.toLong,
-      leafDirectoriesOffset = InitSection + dataLen + json.length,
-      leafDirectoriesLength = leaves.length.toLong,
-      tileDataOffset = InitSection.toLong, tileDataLength = dataLen,
-      numAddressedTiles = addressed, numTileEntries = entries.length.toLong,
-      numTileContents = contents,
-      clustered = true,
-      internalCompression = 2, // gzip
-      tileCompression = if (tilesGzipped) 2 else 1,
-      tileType = 1, // MVT
-      minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
-      minLonE7 = (bounds._1 * 1e7).toInt, minLatE7 = (bounds._2 * 1e7).toInt,
-      maxLonE7 = (bounds._3 * 1e7).toInt, maxLatE7 = (bounds._4 * 1e7).toInt,
-      centerZoom = minZoom.toByte,
-      centerLonE7 = (((bounds._1 + bounds._3) / 2) * 1e7).toInt,
-      centerLatE7 = (((bounds._2 + bounds._4) / 2) * 1e7).toInt)
-
-    raf.seek(0)
-    raf.write(header.toBytes)
-    raf.write(root)
-    raf.close()
-    (addressed, entries.length.toLong, contents)
+    // one writer implementation: the ordered drain is a single shard
+    val w = new ShardWriter(path, metadataJson, minZoom, maxZoom, tilesGzipped, bounds)
+    try {
+      tiles.toLocalIterator().forEachRemaining(w.add)
+      w.finish()
+      w.stats
+    } catch { case e: Throwable => w.abort(); throw e }
   }
 
   /**
@@ -255,7 +217,9 @@ object PmtilesArchive {
   final class ShardWriter(path: String,
                           metadataJson: String = """{"vector_layers":[]}""",
                           minZoom: Int = 0, maxZoom: Int = 15,
-                          tilesGzipped: Boolean = true) {
+                          tilesGzipped: Boolean = true,
+                          bounds: (Double, Double, Double, Double) =
+                            (-180, -85.05113, 180, 85.05113)) {
     private val raf = new java.io.RandomAccessFile(path, "rw")
     raf.setLength(0)
     raf.seek(InitSection.toLong)
@@ -274,7 +238,8 @@ object PmtilesArchive {
       addressed += 1
       val last = entries.lastOption.orNull
       byHash.get(t.content_hash) match {
-        case Some((off, len)) if len == t.bytes.length =>
+        case Some((off, len)) if len == t.bytes.length &&
+            sameBytes(raf, InitSection + off, dataLen, t.bytes) =>
           if (last != null && last.offset == off && last.tileId + last.runLength == t.tile_id)
             entries(entries.length - 1) = last.copy(runLength = last.runLength + 1)
           else entries += Entry(t.tile_id, off, len, 1)
@@ -302,15 +267,21 @@ object PmtilesArchive {
         numTileContents = contents, clustered = true,
         internalCompression = 2, tileCompression = if (tilesGzipped) 2 else 1,
         tileType = 1, minZoom = minZoom.toByte, maxZoom = maxZoom.toByte,
-        minLonE7 = -1800000000, minLatE7 = -850511300,
-        maxLonE7 = 1800000000, maxLatE7 = 850511300,
-        centerZoom = minZoom.toByte, centerLonE7 = 0, centerLatE7 = 0)
+        minLonE7 = (bounds._1 * 1e7).toInt, minLatE7 = (bounds._2 * 1e7).toInt,
+        maxLonE7 = (bounds._3 * 1e7).toInt, maxLatE7 = (bounds._4 * 1e7).toInt,
+        centerZoom = minZoom.toByte,
+        centerLonE7 = (((bounds._1 + bounds._3) / 2) * 1e7).toInt,
+        centerLatE7 = (((bounds._2 + bounds._4) / 2) * 1e7).toInt)
       raf.seek(0)
       raf.write(header.toBytes)
       raf.write(root)
       raf.close()
       (minId, lastId, addressed)
     }
+
+    /** (addressedTiles, tileEntries, tileContents) — valid after
+      * [[finish]]. */
+    def stats: (Long, Long, Long) = (addressed, entries.length.toLong, contents)
 
     def abort(): Unit = {
       raf.close()
@@ -324,23 +295,39 @@ object PmtilesArchive {
                    tilesGzipped: Boolean = true): (Long, Long) = {
     val spark = tiles.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    // every path goes THROUGH the Hadoop FileSystem: a driver-side
+    // java.nio mkdir + executor-side RandomAccessFile would scatter
+    // shards across executor-local disks on a real cluster. Shards
+    // build in a local temp file (ShardWriter needs seekable output,
+    // same staging as the DSv2 write path) and upload on finish.
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(conf.value).mkdirs(dirPath)
     val shards = tiles.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val path = f"$dir/part-$pid%05d.pmtiles"
-        val w = new ShardWriter(path, metadataJson, minZoom, maxZoom, tilesGzipped)
-        it.foreach(w.add)
-        val (minId, lastId, addressed) = w.finish()
-        Iterator.single((pid, path, minId, lastId, addressed))
+        val local = java.io.File.createTempFile(f"pmtiles-shard-$pid%05d-", ".pmtiles")
+        val w = new ShardWriter(local.getPath, metadataJson, minZoom, maxZoom, tilesGzipped)
+        try {
+          it.foreach(w.add)
+          val (minId, lastId, addressed) = w.finish()
+          val name = f"part-$pid%05d.pmtiles"
+          val dst = new org.apache.hadoop.fs.Path(dir, name)
+          dst.getFileSystem(conf.value).copyFromLocalFile(
+            true /*delete local*/, true /*overwrite (task retry)*/,
+            new org.apache.hadoop.fs.Path(local.getPath), dst)
+          Iterator.single((pid, name, minId, lastId, addressed))
+        } catch { case e: Throwable => w.abort(); local.delete(); throw e }
       }
     }.collect().sortBy(_._1)
-    val manifest = shards.map { case (pid, path, lo, hi, n) =>
-      s"""{"shard":$pid,"path":"${path.split('/').last}","min_tile_id":$lo,"max_tile_id":$hi,"tiles":$n}"""
+    val manifest = shards.map { case (pid, name, lo, hi, n) =>
+      s"""{"shard":$pid,"path":"$name","min_tile_id":$lo,"max_tile_id":$hi,"tiles":$n}"""
     }.mkString("[", ",", "]")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "manifest.json"),
-      s"""{"shards":$manifest}""".getBytes("UTF-8"))
+    val mf = new org.apache.hadoop.fs.Path(dir, "manifest.json")
+    val out = mf.getFileSystem(conf.value).create(mf, true)
+    try out.write(s"""{"shards":$manifest}""".getBytes("UTF-8")) finally out.close()
     (shards.length.toLong, shards.map(_._5).sum)
   }
 

@@ -18,6 +18,15 @@ import org.apache.spark.sql.functions._
  *
  * Supported merge semantics: sum / count / min / max (decomposable
  * aggregates — partials merge exactly).
+ *
+ * Honest scope note: for these decomposable aggregates Spark's own
+ * map-side partial HashAggregate already bounds a hot key's reducer
+ * input to one partial row per map task, so salting buys a further
+ * #mapTasks → #buckets reduction at the cost of a second (tiny,
+ * partials-only) shuffle. It pays off when map-task counts are huge
+ * (10^4-10^5 at planet scale) or when the partial row itself is wide
+ * (high-cardinality state per group); for small jobs a direct
+ * groupBy is cheaper.
  */
 object Salt {
 

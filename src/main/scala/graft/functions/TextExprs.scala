@@ -19,8 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
  */
 object TextExprs {
 
-  /** splitmix64 long mixer (public-domain finalizer). */
-  @inline private def mix64(x0: Long): Long = {
+  /** splitmix64 long mixer (public-domain finalizer) — THE one copy;
+    * Ann's plane seeding delegates here so signature reproducibility
+    * can never drift between the dedup and ANN families. */
+  @inline private[graft] def mix64(x0: Long): Long = {
     var z = x0 + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL

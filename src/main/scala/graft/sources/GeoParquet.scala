@@ -272,7 +272,11 @@ object GeoParquet {
       case "WKB" =>
         if (gcol == "geometry") raw
         else raw.withColumn("geometry", col(gcol)).drop(gcol)
-      case "WKT" => raw.withColumn("geometry", wkt_to_wkb(col(gcol))).drop(gcol)
+      case "WKT" =>
+        // withColumn REPLACES a same-named column, so only drop the
+        // source when it is not itself called "geometry"
+        val d = raw.withColumn("geometry", wkt_to_wkb(col(gcol)))
+        if (gcol == "geometry") d else d.drop(gcol)
       case _ if isGeoArrow =>
         // keep the native column alongside for pruning; decode to WKB
         val d = raw.withColumn("geometry", geoarrow_to_wkb(col(gcol), enc.toLowerCase))
@@ -454,6 +458,11 @@ object GeoParquet {
         val support = new RowWriteSupport(schema, mtLocal, Map("geo" -> json).asJava)
         val writer = new RowParquetWriterBuilder(out, support)
           .withConf(conf.value)
+          // OVERWRITE: the filename is deterministic per partition, so a
+          // task retry / speculative attempt must replace the previous
+          // attempt's half-written file instead of failing every retry
+          // with FileAlreadyExistsException (default mode is CREATE)
+          .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
           .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
           .build()
         try rows.foreach(writer.write) finally writer.close()

@@ -292,14 +292,25 @@ object Sqlite {
         case ',' if depth == 0 => cols += cur.toString.trim; cur.clear()
         case c => cur += c
       }
+      def unquote(s: String): String = s.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+      // the table-constraint form `PRIMARY KEY(x)` also makes a single
+      // INTEGER column a rowid alias (stored NULL) — sqlite docs §ROWID
+      val tablePkCol: Option[String] = cols.toSeq.collectFirst {
+        case c if c.toUpperCase.matches("(?s)PRIMARY\\s+KEY\\s*\\(\\s*[^,()]+\\s*\\)") =>
+          unquote(c.substring(c.indexOf('(') + 1, c.lastIndexOf(')')).trim
+            .split("\\s+")(0)) // tolerate `PRIMARY KEY(x ASC)`
+      }
       cols.toSeq
         .filterNot(c => c.toUpperCase.startsWith("PRIMARY ") || c.toUpperCase.startsWith("FOREIGN ") ||
           c.toUpperCase.startsWith("UNIQUE") || c.toUpperCase.startsWith("CHECK") ||
           c.toUpperCase.startsWith("CONSTRAINT"))
         .map { c =>
-          val n = c.split("\\s+")(0).stripPrefix("\"").stripSuffix("\"")
-            .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
-          (n, c.toUpperCase.matches("(?s).*INTEGER\\s+PRIMARY\\s+KEY.*"))
+          val n = unquote(c.split("\\s+")(0))
+          val inlineIpk = c.toUpperCase.matches("(?s).*INTEGER\\s+PRIMARY\\s+KEY.*")
+          val constraintIpk = tablePkCol.exists(_.equalsIgnoreCase(n)) &&
+            c.toUpperCase.matches("(?s).*\\bINTEGER\\b.*")
+          (n, inlineIpk || constraintIpk)
         }
         .filter(_._1.nonEmpty)
     }

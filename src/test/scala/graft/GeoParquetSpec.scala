@@ -181,4 +181,18 @@ class GeoParquetSpec extends AnyFunSuite {
     val miss = GeoParquet.read(spark, dir, Some(GeoParquet.Bounds(40, 40, 50, 50))).count()
     assert(miss == 0)
   }
+
+  test("WKT decode keeps the geometry column when the source column is named geometry") {
+    import spark.implicits._
+    val dir = tmp()
+    Seq(("a", "POINT (1 2)"), ("b", "POINT (3 4)")).toDF("id", "geometry")
+      .write.mode("overwrite").parquet(dir)
+    val meta = GeoParquet.Meta("1.1.0", "geometry",
+      Map("geometry" -> GeoParquet.ColumnMeta("WKT", Seq("Point"), None, None, None)))
+    val df = GeoParquet.readWithMeta(spark, dir, meta, None)
+    assert(df.columns.contains("geometry"))
+    val pts = df.orderBy("id").collect()
+      .map(r => Geo.fromWkb(r.getAs[Array[Byte]]("geometry")).getCoordinate)
+    assert(pts.map(c => (c.x, c.y)).toSeq == Seq((1.0, 2.0), (3.0, 4.0)))
+  }
 }

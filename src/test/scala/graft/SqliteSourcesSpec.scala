@@ -291,4 +291,23 @@ class SqliteSourcesSpec extends AnyFunSuite {
     val geom = graft.geo.Geo.fromWkb(k7.getAs[Array[Byte]]("geom"))
     assert(geom.getCoordinate.x == 7.0 && geom.getCoordinate.y == 3.5)
   }
+
+  test("INTEGER PRIMARY KEY via table constraint is a rowid alias, not null") {
+    // sqlite stores x as NULL in each record for BOTH declaration forms;
+    // the reader must alias it back to the rowid for `PRIMARY KEY(x)` too
+    val path = java.nio.file.Files.createTempDirectory("graft_ipk")
+      .resolve("tc.db").toString
+    val py =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |con.execute("CREATE TABLE t(x INTEGER, y TEXT, PRIMARY KEY(x))")
+         |con.execute("INSERT INTO t VALUES (5, 'a'), (9, 'b')")
+         |con.commit(); con.close()
+         |""".stripMargin
+    assert(scala.sys.process.Process(Seq("python3", "-c", py)).! == 0)
+    val db = Sqlite.open(path)
+    assert(db.columns("t") == Seq(("x", true), ("y", false)))
+    val got = db.rows("t").map(_._2).toSeq.sortBy(_("y").toString)
+    assert(got.map(m => (m("x"), m("y"))) == Seq((5L, "a"), (9L, "b")))
+  }
 }
