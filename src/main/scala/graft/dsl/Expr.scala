@@ -152,6 +152,10 @@ object Expr {
   private[dsl] def compile(e: Expr, tags: Column, source: Column): Column = e match {
     case True => lit(true)
     case False => lit(false)
+    // empty conjunction/disjunction identities (reachable when callers
+    // compile without simplify — Nil.reduce would throw)
+    case And(cs) if cs.isEmpty => lit(true)
+    case Or(cs) if cs.isEmpty => lit(false)
     case And(cs) => cs.map(compile(_, tags, source)).reduce(_ && _)
     case Or(cs) => cs.map(compile(_, tags, source)).reduce(_ || _)
     case Not(c) => !compile(c, tags, source)
@@ -166,7 +170,9 @@ object Expr {
           .reduce(_ || _)) else None,
         if (empties.nonEmpty) Some(v.isNull || v === "") else None
       ).flatten
-      tests.map(t => coalesce(t, lit(false))).reduce(_ || _)
+      // MatchAny with no values matches nothing (interpreter parity)
+      if (tests.isEmpty) lit(false)
+      else tests.map(t => coalesce(t, lit(false))).reduce(_ || _)
     case MatchField(f) =>
       coalesce(element_at(tags, f) =!= "", lit(false))
     case MatchSource(ss) => source.isin(ss.map(x => x: Any): _*)

@@ -126,7 +126,11 @@ object Script {
           val c = (l, r) match {
             case (a: String, b: String) => a.compareTo(b)
             case _ if l == null || r == null => return null
-            case _ => java.lang.Double.compare(asDouble(l), asDouble(r))
+            // null on a non-numeric operand (e.g. lanes="1;2"), matching
+            // the evaluator's null-safe arith — never a task-killing
+            // NumberFormatException from one malformed tag
+            case _ => try java.lang.Double.compare(asDouble(l), asDouble(r))
+              catch { case _: NumberFormatException => return null }
           }
           op match {
             case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0; case _ => c >= 0
@@ -152,10 +156,14 @@ object Script {
           case _ => 1L
         }
         case "min" => args.filter(_ != null) match {
-          case Nil => null; case xs => xs.minBy(asDouble)
+          case Nil => null
+          case xs => try xs.minBy(asDouble)
+            catch { case _: NumberFormatException => null } // non-numeric operand
         }
         case "max" => args.filter(_ != null) match {
-          case Nil => null; case xs => xs.maxBy(asDouble)
+          case Nil => null
+          case xs => try xs.maxBy(asDouble)
+            catch { case _: NumberFormatException => null }
         }
         case other => throw new IllegalArgumentException(s"unknown function $other")
       }
@@ -203,7 +211,7 @@ object Script {
     }
 
     private def skipWs(): Unit = while (pos < s.length && s.charAt(pos).isWhitespace) pos += 1
-    private def peek: Char = if (pos < s.length) s.charAt(pos) else ' '
+    private def peek: Char = if (pos < s.length) s.charAt(pos) else '\u0000'
     private def eat(c: Char): Unit = {
       skipWs()
       require(peek == c, s"expected '$c' at $pos in: $s")
@@ -337,8 +345,17 @@ object Script {
           val sb = new StringBuilder
           while (peek != quote) {
             require(pos < s.length, "unterminated string")
-            if (peek == '\\') pos += 1
-            sb += s.charAt(pos); pos += 1
+            if (peek == '\\') {
+              pos += 1
+              require(pos < s.length, "unterminated string")
+              // standard escapes decode to their control characters —
+              // copying the letter verbatim would make '\n' the letter n
+              sb += (s.charAt(pos) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case other => other // quote, backslash and passthrough
+              })
+            } else sb += s.charAt(pos)
+            pos += 1
           }
           pos += 1
           Lit(sb.toString)

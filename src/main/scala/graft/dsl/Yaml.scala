@@ -14,8 +14,9 @@ import scala.collection.mutable.ArrayBuffer
  *  - plain / single-quoted / double-quoted scalars, typed plain
  *    scalars (null, booleans, integers, floats)
  *  - comments, document markers
- *  - anchors `&a`, aliases `*a`, and merge keys `<<: *a` (explicit
- *    keys win over merged ones, later merges win over earlier)
+ *  - anchors `&a` (on mapping values and sequence items), aliases
+ *    `*a`, and merge keys `<<: *a` (explicit keys win over merged
+ *    ones; among merged sources earlier ones win, per the spec)
  *  - plain multi-line scalar continuation lines
  *
  * Not supported (not used by profile schemas): block literals `|`/`>`,
@@ -99,14 +100,24 @@ object Yaml {
     var i = i0
     while (i < lines.length && lines(i).indent == indent &&
       (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
-      val content = lines(i).text.drop(1).trim
+      var content = lines(i).text.drop(1).trim
+      // anchor on a SEQUENCE ITEM: '- &a value' or '- &a' (block follows) —
+      // without this the literal "&a value" would leak into the data and
+      // the anchor would never register
+      var anchorName: Option[String] = None
+      if (content.startsWith("&")) {
+        val sp = content.indexOf(' ')
+        if (sp < 0) { anchorName = Some(content.drop(1)); content = "" }
+        else { anchorName = Some(content.substring(1, sp)); content = content.substring(sp + 1).trim }
+      }
+      def register(v: Y): Y = { anchorName.foreach(anchors.put(_, v)); v }
       if (content.isEmpty) {
         // nested block on following deeper lines
         if (i + 1 < lines.length && lines(i + 1).indent > indent) {
           val (v, next) = parseNode(lines, i + 1, lines(i + 1).indent, anchors)
-          items += v
+          items += register(v)
           i = next
-        } else { items += YScalar(null); i += 1 }
+        } else { items += register(YScalar(null)); i += 1 }
       } else {
         // treat the remainder as a virtual line at the content column;
         // the item spans following lines indented past the dash
@@ -117,7 +128,7 @@ object Yaml {
         val sub = virtual +: lines.slice(i + 1, j)
         val (v, consumed) = parseNode(sub, 0, contentIndent, anchors)
         require(consumed >= sub.length, s"unparsed item content near: ${sub(consumed).text}")
-        items += v
+        items += register(v)
         i = j
       }
     }
@@ -178,9 +189,13 @@ object Yaml {
       } else entries :+= (key, value)
       i = next
     }
-    // merge semantics: explicit keys win; later merge entries win
+    // merge semantics per the YAML merge-key spec: explicit keys win;
+    // among merged sources, EARLIER mapping nodes override later ones
+    // ("keys in mapping nodes earlier in the sequence override keys
+    // specified in later mapping nodes") — snakeyaml, which the
+    // reference's custommap uses, behaves the same way
     val explicit = entries.map(_._1).toSet
-    val mergedKept = merged.reverse.distinctBy(_._1).reverse.filterNot(e => explicit.contains(e._1))
+    val mergedKept = merged.distinctBy(_._1).filterNot(e => explicit.contains(e._1))
     (YMap(mergedKept.toVector ++ entries), i)
   }
 
@@ -210,7 +225,25 @@ object Yaml {
 
   private def unescape(s: String, quote: Char): String =
     if (quote == '\'') s.replace("''", "'")
-    else s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t").replace("\\\\", "\\")
+    else {
+      // single pass: a replace CHAIN is order-unsafe — "C:\\new"
+      // (escaped backslash before an n) must not turn into a newline
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 't' => sb.append('\t')
+            case 'r' => sb.append('\r'); case '"' => sb.append('"')
+            case '\\' => sb.append('\\')
+            case other => sb.append('\\').append(other) // unknown: keep verbatim
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
 
   /** Parse a flow node (`[...]`, `{...}`), alias, or scalar. */
   private[dsl] def flowOrScalar(s0: String, anchors: mutable.Map[String, Y]): Y = {

@@ -200,7 +200,15 @@ object Osm {
     val wayIndirect = directWay.select(col("way_id"), col("rel_id").as("desc_rel"))
       .join(indirect, "desc_rel")
       .select(col("way_id"), col("rel_id"), col("role"))
-    val wayRels = directWay.unionByName(wayIndirect).distinct()
+    // ONE entry per (way, ancestor relation): a way can reach the same
+    // relation both directly and through a super-relation chain with
+    // different roles — the direct membership's role wins, ties break
+    // on the lexicographically smallest role (deterministic)
+    val wayRels = directWay.withColumn("prio", lit(0))
+      .unionByName(wayIndirect.withColumn("prio", lit(1)))
+      .groupBy(col("way_id"), col("rel_id"))
+      .agg(min(struct(col("prio"), col("role"))).as("pr"))
+      .select(col("way_id"), col("rel_id"), col("pr.role").as("role"))
       .join(storedTags, "rel_id")
       .groupBy(col("way_id"))
       .agg(collect_list(struct(col("rel_id"), col("role"), col("rtags").as("rel_tags")))
@@ -222,10 +230,6 @@ object Osm {
     val wc = wayCoords(entities)
     wc.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // member ways with no tags of their own exist only to carry the
-    // relation's geometry
-    val memberWayIds = mpMembers.select(col("mid").as("way_id")).distinct()
-
     // polygon-vs-line decided ONCE as a column (single source of truth
     // for both the cut-node detection and geometry construction)
     val polyKeysArr = array(PolygonKeys.toSeq.sorted.map(lit(_)): _*)
@@ -237,9 +241,13 @@ object Osm {
         .otherwise(exists(map_keys(col("tags")),
           k => array_contains(polyKeysArr, k))))
 
+    // only tagged ways become standalone features (untagged member ways
+    // exist solely to carry relation geometry, and untagged non-member
+    // ways emit nothing) — one early filter replaces the former
+    // member-id distinct + join, which removed exactly the same rows
+    // one step later at a planet-scale shuffle's cost
     val wayBase = wc
-      .join(memberWayIds.withColumn("is_member", lit(true)), Seq("way_id"), "left")
-      .where(col("is_member").isNull || size(col("tags")) > 0)
+      .where(size(col("tags")) > 0)
       .withColumn("is_poly", isPolyCol)
       .select(col("way_id"), col("tags"), col("refs"), col("coords"), col("is_poly"))
 
@@ -306,23 +314,27 @@ object Osm {
     // over-count the accumulator and spam duplicate warnings.
     val capSkips = spark.sparkContext.longAccumulator("osm_relation_member_cap_skips")
     val cap = MaxRelationMembers
-    val memberCounts = mpMembers.groupBy(col("rel_id")).agg(count(lit(1)).as("n_members"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val overCapDs = memberCounts.filter(col("n_members") > cap).as[(Long, Long)]
-    val overCapTotal = overCapDs.count() // eager, exact (reads the persisted agg)
-    if (overCapTotal > 0) {
-      capSkips.add(overCapTotal)
+    // the over-cap id set is tiny BY CONSTRUCTION (≤ totalMembers/cap ≈
+    // 10^4 even at planet scale with a pathological input), so collect
+    // it once and filter members with a literal NOT-IN — no persisted
+    // count frame pinned for the session, no extra join shuffle
+    val overCap: Array[(Long, Long)] = mpMembers.groupBy(col("rel_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap).as[(Long, Long)].collect()
+    if (overCap.nonEmpty) {
+      capSkips.add(overCap.length)
       val log = org.slf4j.LoggerFactory.getLogger("graft.engine.Osm")
-      overCapDs.take(20).foreach { case (relId, n) =>
+      overCap.take(20).foreach { case (relId, n) =>
         log.warn(s"skipping relation $relId: $n way members exceeds MaxRelationMembers=$cap")
       }
-      if (overCapTotal > 20)
-        log.warn(s"... and ${overCapTotal - 20} more relations past MaxRelationMembers=$cap")
+      if (overCap.length > 20)
+        log.warn(s"... and ${overCap.length - 20} more relations past MaxRelationMembers=$cap")
     }
-    val capOk = memberCounts.filter(col("n_members") <= cap).select(col("rel_id"))
+    val membersOk =
+      if (overCap.isEmpty) mpMembers
+      else mpMembers.where(!col("rel_id").isin(overCap.map(o => o._1: Any): _*))
 
-    val relFeatures = mpMembers
-      .join(capOk, "rel_id")
+    val relFeatures = membersOk
       .join(wc.select(col("way_id").as("mid"), col("coords")), "mid")
       .groupBy(col("rel_id"))
       .agg(first(col("rel_tags")).as("tags"), collect_list(col("coords")).as("segs"))

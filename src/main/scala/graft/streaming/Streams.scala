@@ -31,29 +31,44 @@ object Streams {
   case class SessionAgg(user_id: Long, events: Long, start_ts: Long, last_ts: Long)
 
   /**
-   * Gap-based sessionization with mapGroupsWithState: a session closes
-   * after `gapSeconds` of inactivity (processing-time timeout drives
-   * emission — the streaming analog of the batch q31).
+   * Gap-based sessionization with flatMapGroupsWithState: a session
+   * closes when a later event arrives past the gap, OR — in streaming
+   * mode — when the group sits idle for `gapSeconds` of processing
+   * time (the timeout emits the stored session and clears its state,
+   * so one-shot users cannot pin state forever). In a batch run
+   * timeouts never fire (Spark's contract), so the trailing open
+   * session per user is not emitted — the streaming analog of the
+   * batch q31.
    */
   def sessionize(events: Dataset[Event], gapSeconds: Long): Dataset[SessionAgg] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionAgg, SessionAgg](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionAgg]) =>
-          var cur = state.getOption.orNull
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
-            val t = e.ts.getTime / 1000
-            if (cur == null) cur = SessionAgg(userId, 1, t, t)
-            else if (t - cur.last_ts > gapSeconds) {
-              closed += cur
-              cur = SessionAgg(userId, 1, t, t)
-            } else cur = cur.copy(events = cur.events + 1, last_ts = t)
+          if (state.hasTimedOut) {
+            // idle past the gap: close and emit the stored session
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var cur = state.getOption.orNull
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionAgg]
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime / 1000
+              if (cur == null) cur = SessionAgg(userId, 1, t, t)
+              else if (t - cur.last_ts > gapSeconds) {
+                closed += cur
+                cur = SessionAgg(userId, 1, t, t)
+              } else cur = cur.copy(events = cur.events + 1, last_ts = t)
+            }
+            if (cur != null) {
+              state.update(cur)
+              state.setTimeoutDuration(gapSeconds * 1000)
+            }
+            closed.iterator
           }
-          if (cur != null) state.update(cur)
-          closed.iterator
       }
   }
 

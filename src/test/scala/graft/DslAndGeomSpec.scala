@@ -59,6 +59,20 @@ class DslAndGeomSpec extends AnyFunSuite {
     assert(got.toSeq == Seq("water", "land", "other"))
   }
 
+  test("empty MatchAny/And/Or compile to their identities (no Nil.reduce crash)") {
+    val df = Seq(Map("natural" -> "water")).toDF("tags")
+    def evalCol(e: Expr): Boolean =
+      df.select(e.toColumn(col("tags"), lit("s")).as("m")).head().getBoolean(0)
+    // YAML-reachable: include_when with an empty value list
+    assert(!evalCol(MatchAny("natural", Nil)))
+    assert(evalCol(And(Nil)))
+    assert(!evalCol(Or(Nil)))
+    // Catalyst and interpreter agree on the identities
+    assert(!MatchAny("natural", Nil).evaluate(Map("natural" -> "water"), "s"))
+    assert(And(Nil).evaluate(Map.empty, "s"))
+    assert(!Or(Nil).evaluate(Map.empty, "s"))
+  }
+
   // ---- geometry derivations ----
 
   test("innermost point of a C-shaped polygon lands inside it") {

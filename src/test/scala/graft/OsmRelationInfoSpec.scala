@@ -154,4 +154,21 @@ class OsmRelationInfoSpec extends AnyFunSuite {
         "2-member boundary must be skipped under cap=1")
     } finally Osm.MaxRelationMembers = prev
   }
+
+  test("direct + inherited membership of the same relation resolves to ONE entry, direct role wins") {
+    // way 100 is a DIRECT member of R (role 'main') and also reaches R
+    // through X (X member of R with entering role 'alternate')
+    val ents = Seq(
+      n(1, 10.0, 50.0), n(2, 10.01, 50.0),
+      w(100, Seq(1L, 2L), "highway" -> "primary"),
+      r(800, Seq(("way", 100L, "via_x")),
+        "type" -> "route", "route" -> "bus", "ref" -> "X"),
+      r(801, Seq(("way", 100L, "main"), ("relation", 800L, "alternate")),
+        "type" -> "route", "route" -> "bus", "ref" -> "R"))
+    val fs = Osm.sourceFeatures(spark.read.format("osmpbf").load(writePbf(ents)))
+      .collect().map(f => f.doc_id -> f).toMap
+    val rels = fs("way/100").relations.filter(_.rel_id == 801L)
+    assert(rels.size == 1, s"one entry per (way, relation): $rels")
+    assert(rels.head.role == "main", "the direct membership's role wins")
+  }
 }

@@ -113,6 +113,13 @@ class SourcesAndConfigSpec extends AnyFunSuite {
     // constant folding: node reduces to a literal at compile time
     assert(Script.compile("${ 'a' + 'b' + 'c' }").node == Script.Lit("abc"))
     assert(Script.compile("${ min(3, 1, 2) }").node == Script.Lit(1L))
+    // malformed numeric tags yield null, never a task-killing
+    // NumberFormatException (lanes="1;2" is routine OSM data)
+    assert(ev("${ feature.tags.lanes > 2 }", Map("lanes" -> "1;2")) == null)
+    assert(ev("${ min(feature.tags.lanes, 3) }", Map("lanes" -> "1;2")) == null)
+    // escape sequences decode to control characters, not letters
+    assert(ev("${ feature.tags.nm.replace('\\n', ' ') }",
+      Map("nm" -> "a\nb")) == "a b")
   }
 
   test("config profile: computed attr scripts per feature") {

@@ -173,4 +173,36 @@ class YamlConfigSpec extends AnyFunSuite {
     assert(!covered.ok)
     assert(covered.issues.head.contains("no output feature"))
   }
+
+  test("yaml corners: seq-item anchors, spec merge precedence, backslash escapes") {
+    // anchor on a sequence item + alias to it
+    val y = Yaml.parse(
+      """list:
+        |- &d foo
+        |- *d
+        |- &m
+        |  k: 1
+        |- *m
+        |""".stripMargin).asMap
+    val items = y("list").asSeq
+    assert(items(0).str == "foo" && items(1).str == "foo")
+    assert(items(2).asMap("k").int == 1 && items(3).asMap("k").int == 1)
+
+    // merge-key precedence per the YAML spec: EARLIER sources win
+    val m = Yaml.parse(
+      """a: &a {x: 1, y: 1}
+        |b: &b {x: 2, z: 2}
+        |c:
+        |  <<: [*a, *b]
+        |  y: 9
+        |""".stripMargin).asMap("c").asMap
+    assert(m("x").int == 1, "earlier merge source overrides later")
+    assert(m("z").int == 2)
+    assert(m("y").int == 9, "explicit key wins")
+
+    // double-quoted escapes: an escaped backslash before 'n' stays a
+    // backslash + n, never a newline (single-pass unescape)
+    val e = Yaml.parse("""p: "C:\\new\tend"""").asMap
+    assert(e("p").str == "C:\\new\tend")
+  }
 }
