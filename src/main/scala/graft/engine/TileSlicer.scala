@@ -261,7 +261,14 @@ object TileSlicer {
                 stripeRings.foreach { case (xs, ys) =>
                   val (rx, ry) = Clip.clipRing(xs, ys, x0, y0, x1, y1)
                   if (rx.length >= 4) {
-                    val pts = Array.tabulate(rx.length)(i => (localInt(rx(i), tx, extent), localInt(ry(i), ty, extent)))
+                    var pts = Array.tabulate(rx.length)(i => (localInt(rx(i), tx, extent), localInt(ry(i), ty, extent)))
+                    // integer quantization can FLIP a sliver ring's
+                    // winding; MVT winding decides shell vs hole, so
+                    // restore the world-space orientation when it does
+                    val worldSign = math.signum(Clip.signedArea2(rx, ry))
+                    val qArea = ringArea2(pts)
+                    if (qArea != 0 && worldSign != 0 && math.signum(qArea.toDouble) != worldSign)
+                      pts = pts.reverse
                     byTile.getOrElseUpdate((wrapX, ty), ArrayBuffer.empty) += pts
                   }
                 }
@@ -281,14 +288,20 @@ object TileSlicer {
       }
     }
 
-    val edgeTiles = byTile.iterator.flatMap { case ((x, y), rings) =>
-      // drop degenerate rings (zero area after quantization)
-      val kept = rings.filter(r => ringArea2(r) != 0)
-      if (kept.isEmpty) None
-      else Some(Sliced(x, y, 3, Mvt.encodeRings(kept.toSeq), fill = false))
-    }
+    // Fills WIN over edge rings on the same tile: a parity fill means
+    // some part of this (multi)polygon covers the whole buffered tile
+    // square, which subsumes any other part's clip rings there — the
+    // previous filterNot(byTile.contains) dropped the fill and rendered
+    // a hole where a sibling part fully covers the tile.
+    val edgeTiles = byTile.iterator
+      .filter { case (k, _) => !fillTiles.contains(k) }
+      .flatMap { case ((x, y), rings) =>
+        // drop degenerate rings (zero area after quantization)
+        val kept = rings.filter(r => ringArea2(r) != 0)
+        if (kept.isEmpty) None
+        else Some(Sliced(x, y, 3, Mvt.encodeRings(kept.toSeq), fill = false))
+      }
     val fills = fillTiles.iterator
-      .filterNot(byTile.contains)
       .map { case (x, y) => Sliced(x, y, 3, FillCommands, fill = true) }
     edgeTiles ++ fills
   }

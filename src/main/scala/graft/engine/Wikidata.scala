@@ -29,6 +29,10 @@ object Wikidata {
     val wd = translations.select(
       col(qidCol).cast("string").as("__qid"),
       col(namesCol).cast("map<string,string>").as("__names"))
+      // one row per qid: duplicate translation rows (re-ingested
+      // snapshots) would MULTIPLY every matching feature through the
+      // left join, double-drawing it in every tile
+      .dropDuplicates("__qid")
     features.toDF()
       .join(broadcast(wd), col("tags").getItem("wikidata") === col("__qid"), "left")
       .select(col("doc_id"), col("source"), col("geom"),

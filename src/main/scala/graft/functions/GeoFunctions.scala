@@ -71,6 +71,8 @@ object GeoFunctions {
     * gives null-safe codegen for free). */
   case class MetersBetween(children: Seq[Expression]) extends Expression
       with CodegenFallback {
+    require(children.length == 4,
+      s"meters_between(lon0, lat0, lon1, lat1) takes 4 arguments, got ${children.length}")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = children.exists(_.nullable)
     override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
@@ -196,6 +198,11 @@ object GeoFunctions {
     override protected def nullSafeEval(wkb: Any): Any =
       Geo.fromWkb(wkb.asInstanceOf[Array[Byte]]) match {
         case l: LineString => GeomOps.lineLengthMeters(l)
+        case m: org.locationtech.jts.geom.MultiLineString =>
+          // sum of parts — a merged road as MultiLineString must not
+          // silently measure 0
+          (0 until m.getNumGeometries).map(i =>
+            GeomOps.lineLengthMeters(m.getGeometryN(i).asInstanceOf[LineString])).sum
         case _ => 0.0
       }
     override protected def withNewChildInternal(c: Expression) = copy(c)
@@ -204,6 +211,7 @@ object GeoFunctions {
   case class StSnapFixPolygon(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true // null on unfixable input
     override protected def nullSafeEval(wkb: Any, scale: Any): Any = {
       val g = Geo.fromWkb(wkb.asInstanceOf[Array[Byte]])
       try Geo.toWkb(graft.geo.PolygonFixer.snapAndFix(g,
@@ -235,6 +243,10 @@ object GeoFunctions {
 
   case class StGeomFromText(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
+    // returns null on unparseable WKT even for a non-null child — the
+    // default child-derived nullable would let codegen hardwire isNull
+    // to false and NPE downstream
+    override def nullable: Boolean = true
     override protected def nullSafeEval(wkt: Any): Any = {
       val g = Geo.fromWktOrNull(wkt.toString)
       if (g == null) null else Geo.toWkb(g)
@@ -260,13 +272,13 @@ object GeoFunctions {
     SqlBridge.col(HilbertIndex(i(SqlBridge.expr(order)), i(SqlBridge.expr(x)), i(SqlBridge.expr(y))))
   def meters_between(lon0: Column, lat0: Column, lon1: Column, lat1: Column): Column =
     SqlBridge.col(MetersBetween(Seq(lon0, lat0, lon1, lat1).map(c => d(SqlBridge.expr(c)))))
-  def simplify_dp(wkb: Column, tol: Column): Column = SqlBridge.col(SimplifyDp(SqlBridge.expr(wkb), SqlBridge.expr(tol)))
+  def simplify_dp(wkb: Column, tol: Column): Column = SqlBridge.col(SimplifyDp(SqlBridge.expr(wkb), d(SqlBridge.expr(tol))))
   def st_geomfromtext(wkt: Column): Column = SqlBridge.col(StGeomFromText(SqlBridge.expr(wkt)))
   def st_centroid(wkb: Column): Column = SqlBridge.col(StCentroid(SqlBridge.expr(wkb)))
   def st_point_on_surface(wkb: Column): Column = SqlBridge.col(StPointOnSurface(SqlBridge.expr(wkb)))
   def st_innermost_point(wkb: Column): Column = SqlBridge.col(StInnermostPoint(SqlBridge.expr(wkb)))
   def st_line_interpolate(wkb: Column, ratio: Column): Column =
-    SqlBridge.col(StLineInterpolate(SqlBridge.expr(wkb), SqlBridge.expr(ratio)))
+    SqlBridge.col(StLineInterpolate(SqlBridge.expr(wkb), d(SqlBridge.expr(ratio))))
   def st_area_meters(wkb: Column): Column = SqlBridge.col(StAreaMeters(SqlBridge.expr(wkb)))
   def st_snap_fix_polygon(wkb: Column, scale: Column): Column =
     SqlBridge.col(StSnapFixPolygon(SqlBridge.expr(wkb), d(SqlBridge.expr(scale))))

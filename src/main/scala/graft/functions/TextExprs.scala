@@ -29,15 +29,11 @@ object TextExprs {
     z ^ (z >>> 31)
   }
 
-  /** FNV-1a 64 over UTF-8 bytes (stable content hash, no dependency on
-    * Spark-internal hash classes). */
-  @inline private def fnv1a(s: UTF8String): Long = {
-    val bytes = s.getBytes
-    var h = -3750763034362895579L // FNV offset basis
-    var i = 0
-    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 1099511628211L; i += 1 }
-    h
-  }
+  /** FNV-1a 64 over UTF-8 bytes — delegates to the engine's ONE copy
+    * (graft.engine.Mvt.fnv1a64) so MinHash signatures and the tile
+    * content-dedup key can never drift apart. */
+  @inline private def fnv1a(s: UTF8String): Long =
+    graft.engine.Mvt.fnv1a64(s.getBytes)
 
   /**
    * Distinct word n-gram shingles of a whitespace-tokenized text —
@@ -134,7 +130,8 @@ object TextExprs {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[UTF8String].toString.split("\\s+", -1)
-      val md = java.security.MessageDigest.getInstance("MD5")
+      val md = Md5Local.get() // per-thread instance; getInstance per ROW
+                              // would do a JCA provider lookup in the hot path
       val counts = new Array[Int](60)
       var n = 0
       toks.foreach { t =>

@@ -265,14 +265,14 @@ object Raster {
           val g = marchingSquares(shade, gridSize, gridSize, threshold)
           if (g.isEmpty) Iterator.empty
           else {
-            // grid units -> lon/lat: scale to spanDeg, anchor at the doc
-            // point. Raster row j increases DOWNWARD (north-up
-            // convention), so the y axis flips (-s) with the anchor at
-            // the top edge — a real DEM tile shades with the correct
-            // azimuth orientation
+            // grid units -> lon/lat: scale to spanDeg, footprint CENTERED
+            // on the doc point in both axes. Raster row j increases
+            // DOWNWARD (north-up convention), so the y axis flips (-s)
+            // with the anchor at the top edge — a real DEM tile shades
+            // with the correct azimuth orientation
             val s = spanDeg / (gridSize - 1)
             val t = org.locationtech.jts.geom.util.AffineTransformation.scaleInstance(s, -s)
-            t.translate(c.x, c.y + spanDeg / 2)
+            t.translate(c.x - spanDeg / 2, c.y + spanDeg / 2)
             val placed = t.transform(g)
             Iterator.single(SourceFeature(docId + "#shade", "raster", Geo.toWkb(placed),
               Map("layer" -> "hillshade", "band" -> threshold.toInt.toString),

@@ -105,4 +105,21 @@ class TileSlicerSpec extends AnyFunSuite {
     val out = TileSlicer.slice(g, 2, 4.0).toSeq
     assert(out.map(_.x).toSet == Set(0, 1, 2, 3))
   }
+
+  test("multipolygon: a sibling part's rings cannot suppress a full-coverage fill") {
+    // part A fully covers tile (2,2) at z3 (parity fill); part B is a
+    // sliver INSIDE that tile (overlapping parts — tolerated-invalid
+    // input, also reachable via antimeridian buffer wrap). The tile's
+    // union coverage is the FULL buffered square, so it must render as
+    // the canonical fill — the old filterNot(byTile.contains) dropped
+    // the fill and emitted only B's sliver, a hole over A's interior.
+    val a = "((0.125 0.125, 0.625 0.125, 0.625 0.625, 0.125 0.625, 0.125 0.125))"
+    val b = "((0.26 0.26, 0.27 0.26, 0.27 0.27, 0.26 0.27, 0.26 0.26))"
+    val out = TileSlicer.slice(Geo.fromWkt(s"MULTIPOLYGON ($a, $b)"), 3, 4.0).toSeq
+    val at22 = out.filter(s => (s.x, s.y) == ((2, 2)))
+    assert(at22.nonEmpty)
+    assert(at22.forall(_.fill), s"fully-covered tile (2,2) must be the canonical fill: $at22")
+    // the plain fill behavior for A's other interior tile is unchanged
+    assert(out.filter(s => (s.x, s.y) == ((3, 3))).forall(_.fill))
+  }
 }
