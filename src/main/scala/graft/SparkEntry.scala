@@ -1309,16 +1309,45 @@ object SparkEntry {
     }),
 
     "q35_parse_functions" -> ((s, dir) => {
-      // forgiving tag parsers (direction / meters / bool)
+      // forgiving tag parsers, reference-exact semantics: direction's
+      // word values are NOT recognized ("backward" -> 0), bool is a
+      // blocklist ("ok" -> true), meters handles feet'inches", and
+      // wayzorder uses the imposm3 rank table with railway fallback.
+      // meters is emitted as round-half-up millimeters so the oracle
+      // compare is immune to decimal-vs-binary literal arithmetic.
       import graft.functions.Parse
+      val k = col("s_suppkey")
+      val dirIn = element_at(array(lit("-1"), lit("yes"), lit("true"),
+        lit("backward"), lit("2")), (k % 5 + 1).cast("int"))
+      val v = (k % 7).cast("string")
+      val mIn = element_at(array(v, concat(v, lit(" m")), concat(v, lit("km")),
+        concat(v, lit(" mi")), concat(v, lit("'6\"")), lit("garbage")),
+        (k % 6 + 1).cast("int"))
+      val bIn = element_at(array(lit("no"), lit("ok"), lit("No"), lit("")),
+        (k % 4 + 1).cast("int"))
+      val wzIn = from_json(element_at(array(
+        lit("{}"),
+        lit("""{"layer":"1","highway":"motorway"}"""),
+        lit("""{"highway":"tertiary"}"""),
+        lit("""{"highway":"tertiary_link"}"""),
+        lit("""{"railway":"rail"}"""),
+        lit("""{"highway":"footway","railway":"tram"}"""),
+        lit("""{"highway":"residential","tunnel":"yes"}"""),
+        lit("""{"highway":"trunk","bridge":"true","layer":"-1"}""")),
+        (k % 8 + 1).cast("int")),
+        org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.StringType))
+      val lnIn = element_at(array(lit("123.123"), lit("-42"), lit("false")),
+        (k % 3 + 1).cast("int"))
       t(s, dir, "supplier")
-        .select(col("s_suppkey"),
-          Parse.direction(when(col("s_suppkey") % 3 === 0, "backward")
-            .when(col("s_suppkey") % 3 === 1, "yes").otherwise("none")).as("dir"),
-          Parse.meters(concat((col("s_suppkey") % 7).cast("string"),
-            when(col("s_suppkey") % 2 === 0, lit(" km")).otherwise(lit(" m")))).as("m"),
-          Parse.bool(when(col("s_suppkey") % 2 === 0, "yes").otherwise("0")).as("b"))
-        .orderBy(col("s_suppkey"))
+        .select(k,
+          Parse.direction(dirIn).as("dir"),
+          floor(Parse.meters(mIn) * 1000.0 + 0.5).cast("long").as("m_mm"),
+          Parse.bool(bIn).as("b"),
+          Parse.wayzorder(wzIn).as("wz"),
+          Parse.longOrNull(lnIn).as("ln"))
+        .orderBy(k)
     }),
 
     "q38_salted_agg" -> ((s, dir) => {
@@ -2216,9 +2245,18 @@ object SparkEntry {
 
     "q35_parse_functions" ->
       """SELECT s_suppkey,
-           CAST(CASE s_suppkey % 3 WHEN 0 THEN -1 WHEN 1 THEN 1 ELSE 0 END AS INT) AS dir,
-           CAST(s_suppkey % 7 AS DOUBLE) * (CASE WHEN s_suppkey % 2 = 0 THEN 1000 ELSE 1 END) AS m,
-           (s_suppkey % 2 = 0) AS b
+           CAST(CASE s_suppkey % 5 WHEN 0 THEN -1 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS INT) AS dir,
+           CAST(CASE s_suppkey % 6
+             WHEN 0 THEN FLOOR((s_suppkey % 7) * 1000.0 + 0.5)
+             WHEN 1 THEN FLOOR((s_suppkey % 7) * 1000.0 + 0.5)
+             WHEN 2 THEN FLOOR((s_suppkey % 7) * 1000.0 * 1000 + 0.5)
+             WHEN 3 THEN FLOOR((s_suppkey % 7) * 1609.344 * 1000.0 + 0.5)
+             WHEN 4 THEN FLOOR(((s_suppkey % 7) * (12 * 0.0254) + 6 * 0.0254) * 1000.0 + 0.5)
+             ELSE NULL END AS BIGINT) AS m_mm,
+           (s_suppkey % 4) IN (1, 2) AS b,
+           CAST(CASE s_suppkey % 8 WHEN 0 THEN 0 WHEN 1 THEN 19 WHEN 2 THEN 4 WHEN 3 THEN 3
+             WHEN 4 THEN 7 WHEN 5 THEN 7 WHEN 6 THEN -7 ELSE 8 END AS INT) AS wz,
+           CAST(CASE s_suppkey % 3 WHEN 0 THEN 123 WHEN 1 THEN -42 ELSE NULL END AS BIGINT) AS ln
          FROM supplier ORDER BY s_suppkey""",
 
     "q30_tumbling_window" ->
