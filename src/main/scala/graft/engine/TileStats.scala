@@ -1,7 +1,7 @@
 package graft.engine
 
 import graft.model.TileBytes
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -54,26 +54,48 @@ object TileStats {
    * conflicting types collapse to "String" like the reference.
    */
   def layerAttrStats(specs: Dataset[graft.model.FeatureSpec]): DataFrame = {
+    // One (key, value, first-visible zoom) entry per static attr and
+    // per zoomAttrs override that can actually appear inside the
+    // spec's [minzoom, maxzoom]; explode_OUTER keeps attr-less specs
+    // as a null-key row so their layer still contributes a zoom range
+    // (reference LayerAttrStats accepts features with no attributes).
+    val entry = (k: Column, v: Column, mz: Column) =>
+      struct(k.as("key"), v.as("value"), mz.as("mz"))
+    val statics = transform(map_entries(col("attrs")),
+      e => entry(e.getField("key"), e.getField("value"), col("minzoom")))
+    val zoomed = flatten(transform(col("zoomAttrs"), za =>
+      transform(map_entries(za.getField("_2")),
+        e => entry(e.getField("key"), e.getField("value"),
+          greatest(col("minzoom"), za.getField("_1"))))))
+    val visible = filter(concat(statics, zoomed), e => e.getField("mz") <= col("maxzoom"))
     val typed = specs.toDF()
-      .select(col("layer"), col("minzoom"), col("maxzoom"), explode(col("attrs")))
+      .select(col("layer"), col("minzoom"), col("maxzoom"), explode_outer(visible).as("e"))
+      .select(col("layer"),
+        col("e.key").as("key"),
+        col("e.value").as("value"),
+        coalesce(col("e.mz"), col("minzoom")).as("mz"),
+        col("maxzoom"))
       .withColumn("typ",
-        when(col("value").rlike("^(true|false)$"), "Boolean")
+        when(col("value").isNull, lit(null).cast("string"))
+          .when(col("value").rlike("^(true|false)$"), "Boolean")
           .when(col("value").rlike("^-?\\d+(\\.\\d+)?$"), "Number")
           .otherwise("String"))
     typed.groupBy(col("layer"), col("key"))
       .agg(
         when(countDistinct(col("typ")) > 1, "String").otherwise(min(col("typ"))).as("type"),
-        min(col("minzoom")).as("minzoom"),
+        min(col("mz")).as("minzoom"),
         max(col("maxzoom")).as("maxzoom"))
       .orderBy(col("layer"), col("key"))
   }
 
-  /** tilejson `vector_layers` with per-attr fields + zoom ranges. */
+  /** tilejson `vector_layers` with per-attr fields + zoom ranges.
+    * Null-key rows (attr-less layers) contribute only to the zoom
+    * range; the layer still appears with empty `fields`. */
   def vectorLayersJson(attrStats: DataFrame): String = {
     val rows = attrStats.collect()
     val byLayer = rows.groupBy(_.getString(0)).toSeq.sortBy(_._1)
     byLayer.map { case (layer, rs) =>
-      val fields = rs.sortBy(_.getString(1)).map { r =>
+      val fields = rs.filter(!_.isNullAt(1)).sortBy(_.getString(1)).map { r =>
         s""""${r.getString(1)}":"${r.getString(2)}""""
       }.mkString(",")
       val mz = rs.map(_.getInt(3)).min
@@ -82,10 +104,14 @@ object TileStats {
     }.mkString("[", ",", "]")
   }
 
-  /** Archive metadata JSON (tilejson-flavored). */
+  /** Archive metadata JSON (tilejson-flavored). An empty tileset
+    * emits integer 0/0 zoom bounds, never SQL-null interpolation. */
   def metadataJson(tiles: Dataset[TileBytes], name: String, layers: Seq[String]): String = {
     val zooms = tiles.agg(min(col("z")), max(col("z")), count(lit(1))).collect()(0)
-    s"""{"name":"$name","minzoom":${zooms.get(0)},"maxzoom":${zooms.get(1)},""" +
-      s""""tiles":${zooms.get(2)},"vector_layers":[${layers.map(l => s"""{"id":"$l"}""").mkString(",")}]}"""
+    val (mz, xz, n) =
+      if (zooms.isNullAt(0)) (0, 0, 0L)
+      else (zooms.getInt(0), zooms.getInt(1), zooms.getLong(2))
+    s"""{"name":"$name","minzoom":$mz,"maxzoom":$xz,""" +
+      s""""tiles":$n,"vector_layers":[${layers.map(l => s"""{"id":"$l"}""").mkString(",")}]}"""
   }
 }

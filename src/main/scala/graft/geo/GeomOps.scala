@@ -86,7 +86,7 @@ object GeomOps {
     case _ => 0.0
   }
 
-  private val EarthRadius = 6371008.8
+  private val EarthRadius = Mercator.EarthRadiusMeters // one copy of the sphere radius
 
   def ringAreaMeters(cs: Array[Coordinate]): Double = {
     if (cs.length < 3) return 0.0

@@ -15,7 +15,10 @@ import org.locationtech.jts.geom.util.GeometryFixer
  *
  *   1. pointwise round (duplicate points collapsed, short rings
  *      dropped); if the result is valid, just normalize ring
- *      orientation (shells CW in y-down space, holes CCW);
+ *      orientation (shells JTS-CW, holes JTS-CCW — the reference's
+ *      `OrientationFixer` rule at `geo/GeoUtils.java:319-330`; the
+ *      MVT encoder re-orients to spec winding after quantization,
+ *      so only consistency matters here, not the absolute sense);
  *   2. otherwise buffer(0)-fix the input if invalid, then run the
  *      topology-preserving `GeometryPrecisionReducer`;
  *   3. on robustness failure: `GeometryFixer`, reduce again;
@@ -70,8 +73,10 @@ object PolygonFixer {
     }
   }
 
-  /** Normalize ring orientation: exterior rings one way, holes the
-    * other (the transformer visits a polygon's shell first). */
+  /** Normalize ring orientation — reference-identical rule
+    * (`GeoUtils.java:319-330`): shells end up JTS-CW (isCCW false),
+    * holes JTS-CCW. The transformer visits a polygon's shell first,
+    * so `parent` changes exactly at each shell. */
   private final class OrientationFixer extends GeometryTransformer {
     private var lastPolygon: Geometry = _
     override protected def transformLinearRing(ring: LinearRing, parent: Geometry): Geometry = {

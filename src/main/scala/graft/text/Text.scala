@@ -104,8 +104,11 @@ object Text {
 
   /**
    * Language-ID heuristic: stopword hit-rate per language profile, plus
-   * a CJK codepoint test; ties -> "und". Not a model — the n-gram
-   * profile approach at its smallest.
+   * a CJK codepoint test; zero hits -> "und", equal-hit ties break to
+   * the lexicographically last language code (array_max over
+   * (hits, lang) structs — deterministic, and what the q27 oracle
+   * mirrors). Not a model — the n-gram profile approach at its
+   * smallest.
    */
   def langId(text: Column): Column = langIdFromTokens(text, tokens(text))
 

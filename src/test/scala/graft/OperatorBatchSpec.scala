@@ -132,6 +132,34 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(json.contains(""""minzoom":4"""))
   }
 
+  test("layer attr stats: zoomAttrs surface from their threshold; attr-less layers keep their zoom range") {
+    import graft.model.FeatureSpec
+    val specs = Seq(
+      // static name from z4; cafe-class attr only appears z6+ via zoomAttrs
+      FeatureSpec("pois", Array.empty, 1, 0, 4, 10, Map("name" -> "x"),
+        zoomAttrs = Seq((6, Map("class" -> "cafe")), (99, Map("never" -> "y")))),
+      // a layer with no attributes at all must still reach vector_layers
+      FeatureSpec("hillshade", Array.empty, 2, 0, 3, 8, Map.empty)).toDS()
+    val stats = TileStats.layerAttrStats(specs).collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) ->
+        (Option(r.getString(2)), r.getInt(3), r.getInt(4))).toMap
+    assert(stats(("pois", Some("name"))) == ((Some("String"), 4, 10)))
+    assert(stats(("pois", Some("class"))) == ((Some("String"), 6, 10))) // first visible at threshold
+    assert(!stats.contains(("pois", Some("never")))) // threshold beyond maxzoom -> never visible
+    assert(stats(("hillshade", None)) == ((None, 3, 8)))
+    val json = TileStats.vectorLayersJson(TileStats.layerAttrStats(specs))
+    assert(json.contains(""""id":"hillshade","minzoom":3,"maxzoom":8,"fields":{}"""))
+    assert(json.contains(""""class":"String""""))
+  }
+
+  test("metadata json on an empty tileset emits integer zoom bounds") {
+    import graft.model.TileBytes
+    val empty = spark.emptyDataset[TileBytes]
+    val json = TileStats.metadataJson(empty, "t", Seq("a"))
+    assert(json.contains(""""minzoom":0,"maxzoom":0,"tiles":0"""))
+    assert(!json.contains("null"))
+  }
+
   test("extra-precision scale bits: kv roundtrip, unscale, e2e bounds") {
     import graft.model.Rendered
     // codec roundtrips the scale field
