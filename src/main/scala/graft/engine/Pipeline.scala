@@ -47,7 +47,9 @@ object Pipeline {
     override def processFeature(sf: SourceFeature): Iterator[FeatureSpec] = {
       val geom = Geo.fromWkb(sf.geom)
       val world = Geo.latLonToWorld(geom)
-      val id = math.abs(sf.doc_id.hashCode).toLong
+      // abs AFTER widening: math.abs(Int.MinValue) is still negative,
+      // and a negative id would MVT-encode as a bogus huge uint64
+      val id = math.abs(sf.doc_id.hashCode.toLong)
       geom match {
         case p: JtsPoint =>
           val c = p.getCoordinate
@@ -96,7 +98,12 @@ object Pipeline {
    */
   def renderedFromDocs(docs: DataFrame, profile: Profile,
                        rebalance: Int = 0): Dataset[Kv] = {
-    val balanced = if (rebalance > 0) docs.repartition(rebalance) else docs
+    // only shuffle when the input actually arrives UNDER-split (the
+    // one-parquet-file small-ingest case); an input already at or past
+    // the target keeps its partitioning and skips the raw-doc shuffle
+    val balanced =
+      if (rebalance > 0 && docs.rdd.getNumPartitions < rebalance) docs.repartition(rebalance)
+      else docs
     renderedFromFeatures(Docs.sourceFeatures(balanced), profile)
   }
 
@@ -158,11 +165,31 @@ object Pipeline {
     val fs = base.getFileSystem(conf)
     val hint = new org.apache.hadoop.fs.Path(base, "version-hint.text")
     def latest(): Option[Int] =
-      if (!fs.exists(hint)) None
-      else {
+      if (fs.exists(hint)) {
         val in = fs.open(hint)
         try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
         finally in.close()
+      } else if (!fs.exists(base)) None
+      else {
+        // hint lost — a writer died in the delete->rename window. The
+        // tmp hint is written only AFTER its snapshot fully wrote, so
+        // the newest tmp is safe to recover (it was one rename from
+        // committed). Snapshot dirs themselves are NOT trusted here:
+        // the hint rename is the commit point, and a fully-written dir
+        // without a hint is still semantically uncommitted.
+        val tmps = fs.listStatus(base).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith(".version-hint.") && n.endsWith(".tmp") =>
+            n.stripPrefix(".version-hint.").stripSuffix(".tmp") }
+          .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt }
+        if (tmps.isEmpty) None
+        else {
+          // roll the interrupted commit FORWARD so every other reader
+          // (e.g. Streams.readCommittedTiles, which trusts only the
+          // hint) sees the same committed version we are about to act on
+          val v = tmps.max
+          fs.rename(new org.apache.hadoop.fs.Path(base, s".version-hint.$v.tmp"), hint)
+          Some(v)
+        }
       }
     latest() match {
       case Some(v) if !recompute =>
@@ -177,7 +204,7 @@ object Pipeline {
         out.write(v.toString.getBytes("UTF-8"))
         out.close()
         if (fs.exists(hint)) fs.delete(hint, false)
-        fs.rename(tmp, hint)
+        require(fs.rename(tmp, hint), s"failed to commit version hint $v at $hint")
         (spark.read.parquet(s"$tableDir/snapshot-$v").as[T], v)
     }
   }

@@ -134,12 +134,12 @@ object SpatialJoin {
                                  gridZoom: Int = 7): org.apache.spark.sql.Dataset[graft.model.SourceFeature] = {
     val spark = features.sparkSession
     import spark.implicits._
-    val pts = features.flatMap { f =>
-      Geo.fromWkb(f.geom) match {
-        case p: org.locationtech.jts.geom.Point =>
-          Some((f.doc_id, f.source, f.geom, f.tags, f.span_sig, f.relations, p.getX, p.getY))
-        case _ => None
-      }
+    // both branches route on the null-safe 5-byte kind peek — the
+    // full WKB parse runs only on actual points (never on nulls, and
+    // never wasted on large polygon/line bodies just to discard them)
+    val pts = features.filter(f => Geo.wkbIsPoint(f.geom)).map { f =>
+      val p = Geo.fromWkb(f.geom).asInstanceOf[org.locationtech.jts.geom.Point]
+      (f.doc_id, f.source, f.geom, f.tags, f.span_sig, f.relations, p.getX, p.getY)
     }.toDF("doc_id", "source", "geom", "tags", "span_sig", "relations", "__lon", "__lat")
       // join-back key: duplicates (same doc + same location) are safe —
       // the assignment is identical for every duplicate row. The NUL
@@ -314,10 +314,16 @@ object SpatialJoin {
       t
     }
 
-    /** Nearest site by squared lon/lat distance (expanding-ring search). */
+    /** Nearest site by squared PLANAR lon/lat distance (expanding-ring
+      * search; no antimeridian wrap — the geodesic scale path is
+      * [[nearestSiteS2]]). The last ring is clamped to exactly
+      * maxRadius so a site between the last ×4 ring and the cutoff is
+      * still found — same final-round clamp as the S2 twin. */
     def nearest(lon: Double, lat: Double, startRadius: Double, maxRadius: Double): Option[Site] = {
       var r = startRadius
-      while (r <= maxRadius) {
+      var last = false
+      while (!last) {
+        if (r >= maxRadius) { r = maxRadius; last = true }
         val hits = tree.query(new Envelope(lon - r, lon + r, lat - r, lat + r))
         if (!hits.isEmpty) {
           var best: Site = null
@@ -450,8 +456,12 @@ object SpatialJoin {
     var r = math.min(startRadiusMeters, maxRadiusMeters)
     var done = false
     var rounds = 0
-    while (!done && rounds < 16 && resolvedCount < total) {
-      val radius = math.min(r, maxRadiusMeters)
+    while (!done && resolvedCount < total) {
+      // round budget: once it is spent, jump STRAIGHT to the cutoff so
+      // the final full-radius round always runs (a tiny startRadius
+      // must degrade to fewer intermediate rings, never to silently
+      // unmatched points)
+      val radius = if (rounds >= 15) maxRadiusMeters else math.min(r, maxRadiusMeters)
       done = radius >= maxRadiusMeters // this is the final, full-cutoff round
       val lvl = s2LevelForRadius(radius)
       val siteCells = sites.select(

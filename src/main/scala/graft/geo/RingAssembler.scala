@@ -16,53 +16,60 @@ import scala.collection.mutable.ArrayBuffer
 object RingAssembler {
 
   /** Stitch segments into closed rings; unclosable chains dropped
-    * (returned count lets callers surface data-quality metrics). */
+    * (returned count lets callers surface data-quality metrics).
+    *
+    * Endpoint-indexed worklist, O(n) merges total (the reference's
+    * `OsmMultipolygon` uses the same endpoint-map idea): each merge is
+    * found via a hash lookup on the chain's endpoints, never a pair
+    * scan — a 10^5-member coastline relation assembles in one linear
+    * pass instead of the O(n^3) a scan-per-merge would cost. Merging
+    * never creates NEW endpoint values (only consumes shared ones), so
+    * a chain that finds no partner when processed is inert forever and
+    * is dropped without revisiting. */
   def assembleRings(segments: Seq[Array[Coordinate]]): (Seq[Array[Coordinate]], Int) = {
-    val open = ArrayBuffer.empty[ArrayBuffer[Coordinate]]
-    segments.foreach { s => if (s.length >= 2) open += ArrayBuffer(s: _*) }
+    // normalize -0.0 so the hash key agrees with equals2D
+    def k(c: Coordinate): (Double, Double) = (c.x + 0.0, c.y + 0.0)
     val rings = ArrayBuffer.empty[Array[Coordinate]]
-    var dropped = 0
-
-    // index endpoints -> chain; repeatedly join chains sharing endpoints
-    var progress = true
-    while (open.nonEmpty && progress) {
-      progress = false
-      // pull closed chains out
-      var i = 0
-      while (i < open.length) {
-        val c = open(i)
-        if (c.length >= 4 && c.head.equals2D(c.last)) {
-          rings += c.toArray
-          open.remove(i)
-          progress = true
-        } else i += 1
+    val chains = mutable.HashMap.empty[Int, ArrayBuffer[Coordinate]]
+    // LinkedHashSet: deterministic partner pick (insertion order)
+    val byEnd = mutable.HashMap.empty[(Double, Double), mutable.LinkedHashSet[Int]]
+    val work = mutable.Queue.empty[Int]
+    var nextId = 0
+    def add(ch: ArrayBuffer[Coordinate]): Unit = {
+      if (ch.length >= 4 && ch.head.equals2D(ch.last)) { rings += ch.toArray; return }
+      val id = nextId; nextId += 1
+      chains(id) = ch
+      byEnd.getOrElseUpdate(k(ch.head), mutable.LinkedHashSet.empty) += id
+      byEnd.getOrElseUpdate(k(ch.last), mutable.LinkedHashSet.empty) += id
+      work += id
+    }
+    def remove(id: Int): ArrayBuffer[Coordinate] = {
+      val ch = chains.remove(id).get
+      Seq(k(ch.head), k(ch.last)).foreach { key =>
+        byEnd.get(key).foreach { s => s -= id; if (s.isEmpty) byEnd.remove(key) }
       }
-      // try to join one pair
-      var joined = false
-      var a = 0
-      while (a < open.length && !joined) {
-        var b = a + 1
-        while (b < open.length && !joined) {
-          val ca = open(a)
-          val cb = open(b)
+      ch
+    }
+    segments.foreach { s => if (s.length >= 2) add(ArrayBuffer(s: _*)) }
+    while (work.nonEmpty) {
+      val id = work.dequeue()
+      if (chains.contains(id)) {
+        val ch = chains(id)
+        val partner = byEnd.get(k(ch.last)).flatMap(_.find(_ != id))
+          .orElse(byEnd.get(k(ch.head)).flatMap(_.find(_ != id)))
+        partner.foreach { pid =>
+          val a = remove(id)
+          val b = remove(pid)
           val merged: ArrayBuffer[Coordinate] =
-            if (ca.last.equals2D(cb.head)) { ca ++= cb.drop(1); ca }
-            else if (ca.last.equals2D(cb.last)) { ca ++= cb.reverse.drop(1); ca }
-            else if (ca.head.equals2D(cb.last)) { cb ++= ca.drop(1); open(a) = cb; cb }
-            else if (ca.head.equals2D(cb.head)) {
-              val r = ca.reverse; r ++= cb.drop(1); open(a) = r; r
-            } else null
-          if (merged != null) {
-            open.remove(b)
-            joined = true
-            progress = true
-          } else b += 1
+            if (a.last.equals2D(b.head)) { a ++= b.drop(1); a }
+            else if (a.last.equals2D(b.last)) { a ++= b.reverse.drop(1); a }
+            else if (a.head.equals2D(b.last)) { b ++= a.drop(1); b }
+            else { val r = a.reverse; r ++= b.drop(1); r } // head == head
+          add(merged)
         }
-        a += 1
       }
     }
-    dropped = open.length
-    (rings.toSeq, dropped)
+    (rings.toSeq, chains.size)
   }
 
   /**
@@ -81,12 +88,20 @@ object RingAssembler {
     }.sortBy(-_.area) // largest first
     if (rs.isEmpty) return gf.createPolygon()
 
+    // nesting probes must not kill the task on an invalid (e.g.
+    // figure-eight) ring: getInteriorPoint/contains can throw
+    // TopologyException there — degrade to centroid / non-containment
+    val probe = rs.map { r =>
+      try r.poly.getInteriorPoint
+      catch { case _: Exception => gf.createPoint(r.ring.getCoordinate) }
+    }
     val parent = Array.fill(rs.length)(-1)
     for (i <- rs.indices; j <- 0 until i) {
       // smallest enclosing ring that is larger: rings sorted desc, so
       // the LAST enclosing j (smallest area > rs(i)) wins
       if (parent(i) == -1 || rs(j).area < rs(parent(i)).area) {
-        if (rs(j).poly.contains(rs(i).poly.getInteriorPoint)) parent(i) = j
+        val contains = try rs(j).poly.contains(probe(i)) catch { case _: Exception => false }
+        if (contains) parent(i) = j
       }
     }
     def depth(i: Int): Int = {

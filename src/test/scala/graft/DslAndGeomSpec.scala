@@ -152,4 +152,38 @@ class DslAndGeomSpec extends AnyFunSuite {
       Array(new Coordinate(0, 0), new Coordinate(1, 0)))) // dangling
     assert(rings.isEmpty && dropped == 1)
   }
+
+  test("ring assembly is endpoint-indexed: a 100k-segment ring closes in linear time") {
+    // one giant ring split into 100k two-point segments, shuffled and
+    // half-reversed — a coastline-relation shape. The old pair-scan
+    // was O(n^3) here (~minutes); the endpoint index finishes in <10s.
+    val n = 100000
+    val pts = (0 until n).map { i =>
+      val a = 2 * math.Pi * i / n
+      new Coordinate(math.cos(a), math.sin(a))
+    }
+    val rnd = new scala.util.Random(42)
+    val segs = rnd.shuffle((0 until n).map { i =>
+      val s = Array(pts(i), pts((i + 1) % n))
+      if (rnd.nextBoolean()) s.reverse else s
+    }.toVector)
+    val t0 = System.nanoTime()
+    val (rings, dropped) = RingAssembler.assembleRings(segs)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(rings.size == 1 && dropped == 0)
+    assert(rings.head.length == n + 1)
+    assert(secs < 10.0, s"assembly took $secs s — endpoint index regressed?")
+  }
+
+  test("polygonize survives an invalid figure-eight ring without throwing") {
+    // figure-eight: self-intersecting closed ring (invalid polygon)
+    val eight = Array(
+      new Coordinate(0, 0), new Coordinate(2, 2), new Coordinate(2, 0),
+      new Coordinate(0, 2), new Coordinate(0, 0))
+    val square = Array(
+      new Coordinate(10, 10), new Coordinate(14, 10), new Coordinate(14, 14),
+      new Coordinate(10, 14), new Coordinate(10, 10))
+    val g = RingAssembler.polygonize(Seq(eight, square))
+    assert(g != null && !g.isEmpty) // degraded, not thrown
+  }
 }

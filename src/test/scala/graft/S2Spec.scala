@@ -261,6 +261,28 @@ class S2NearestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(gotClamped == want)
   }
 
+  test("nearestSiteS2: a microscopic start radius still reaches the full-cutoff round") {
+    import spark.implicits._
+    // 0.001 m * 4^15 never reaches 2e7 m — the round budget must jump
+    // straight to maxRadius on its last round instead of exiting with
+    // the point silently unmatched
+    val pts = Seq(("p1", 0.0, 0.0)).toDF("doc_id", "lon", "lat")
+    val sites = Seq(("s1", 45.0, 0.0)).toDF("site_id", "lon", "lat") // ~5e6 m away
+    val got = graft.engine.SpatialJoin.nearestSiteS2(
+        pts, sites, startRadiusMeters = 0.001, maxRadiusMeters = 2.1e7)
+      .select("doc_id", "site_id").as[(String, String)].collect().toMap
+    assert(got == Map("p1" -> "s1"))
+  }
+
+  test("broadcast SiteIndex.nearest runs a final clamped ring at maxRadius") {
+    import graft.engine.SpatialJoin
+    val idx = new SpatialJoin.SiteIndex(Array(SpatialJoin.Site("far", 179, 0)))
+    // rings 8/32/128 miss; only the clamped 360 ring can see the site
+    assert(idx.nearest(0, 0, startRadius = 8, maxRadius = 360).map(_.id).contains("far"))
+    // a site beyond maxRadius stays unmatched
+    assert(idx.nearest(0, 0, startRadius = 8, maxRadius = 100).isEmpty)
+  }
+
   test("out-of-range levels are refused, not silently wrapped into garbage ids") {
     intercept[IllegalArgumentException](S2.cellId(2.294, 48.858, 31))
     intercept[IllegalArgumentException](S2.cellId(2.294, 48.858, -1))

@@ -87,6 +87,26 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/t/snapshot-1").exists())
   }
 
+  test("hint lost in the delete->rename window rolls FORWARD, never back to v=1") {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapwin").toString
+    import spark.implicits._
+    val (_, v1) = Pipeline.snapshotVersioned(Seq((1L, "committed-v1")).toDS(), s"$root/t")
+    assert(v1 == 1)
+    // simulate a v2 commit that died between delete(hint) and rename:
+    // snapshot-2 fully written, tmp hint present, hint file gone
+    Seq((2L, "v2")).toDS().write.parquet(s"$root/t/snapshot-2")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/t/.version-hint.2.tmp"),
+      "2".getBytes("UTF-8"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$root/t/version-hint.text"))
+    val (back, v) = Pipeline.snapshotVersioned(
+      Seq((9L, "SHOULD NOT BE WRITTEN")).toDS(), s"$root/t")
+    assert(v == 2 && back.collect().head._2 == "v2")
+    // the interrupted commit was completed: hint restored, v1 untouched
+    assert(new java.io.File(s"$root/t/version-hint.text").exists())
+    assert(spark.read.parquet(s"$root/t/snapshot-1").as[(Long, String)]
+      .collect().head._2 == "committed-v1")
+  }
+
   test("re-running a committed batch reads the snapshot instead of recomputing") {
     val root = java.nio.file.Files.createTempDirectory("graft_snapidem").toString
     import spark.implicits._
