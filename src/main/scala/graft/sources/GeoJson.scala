@@ -63,29 +63,38 @@ object GeoJson {
       else {
         val mapper = mapperTl.get()
         val node = mapper.readTree(line)
-        val features: Seq[JsonNode] = node.get("type").asText() match {
-          case "FeatureCollection" =>
-            val fs = node.get("features")
-            (0 until fs.size()).map(fs.get)
-          case "Feature" => Seq(node)
-          case _ => Seq.empty
-        }
+        val features: Seq[JsonNode] =
+          Option(node.get("type")).map(_.asText()).getOrElse("") match {
+            case "FeatureCollection" =>
+              val fs = node.get("features")
+              if (fs == null || fs.isNull) Seq.empty else (0 until fs.size()).map(fs.get)
+            case "Feature" => Seq(node)
+            case _ => Seq.empty
+          }
         features.zipWithIndex.map { case (f, i) =>
-          val geom = parseGeometry(f.get("geometry"))
-          val id = Option(f.get("id")).map(_.asText()).getOrElse(s"f$i")
-          val props = Option(f.get("properties")).toSeq.flatMap { p =>
+          // RFC 7946 allows "geometry": null (unlocated feature) — keep
+          // the doc, just without a geom span
+          val geom = Option(f.get("geometry")).filter(!_.isNull).map(parseGeometry)
+          // id-less features get a line-content hash so distinct
+          // features on distinct ndjson lines never collide on "f0"
+          val id = Option(f.get("id")).filter(!_.isNull).map(_.asText()).getOrElse(
+            s"f${i}_${java.lang.Long.toHexString(graft.engine.Mvt.fnv1a64(line.getBytes("UTF-8")))}")
+          val props = Option(f.get("properties")).filter(!_.isNull).toSeq.flatMap { p =>
             val it = p.properties().iterator()
             val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
             while (it.hasNext) {
               val e = it.next()
-              buf += (e.getKey -> e.getValue.asText())
+              // asText() silently empties object/array values — keep
+              // containers as their JSON serialization
+              val v = if (e.getValue.isContainerNode) e.getValue.toString else e.getValue.asText()
+              buf += (e.getKey -> v)
             }
             buf
           }
           val spans =
             props.zipWithIndex.map { case ((k, v), off) =>
               Span("text", s"$k=$v", null, off)
-            } :+ Span("geom", Geo.toWkt(geom), null, props.size)
+            } ++ geom.map(g => Span("geom", Geo.toWkt(g), null, props.size)).toSeq
           Doc(s"gj_$id", spans)
         }
       }

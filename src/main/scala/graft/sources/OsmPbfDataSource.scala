@@ -308,8 +308,14 @@ private[sources] class OsmPbfScan(paths: Seq[String], kinds: Set[String], target
     * opaque indexdata happening to spell "node" must not prune rows. */
   private lazy val partitions: Array[InputPartition] = {
     val all = paths.flatMap { p =>
-      val trusted = OsmPbf.readHeader(p, conf.value).exists(_.writingProgram == "graft")
+      // index ONCE per file: the header blob comes out of the same
+      // frame walk the data refs do (readHeader would re-scan all ~70k
+      // frame headers of a planet file a second time)
       val refs = OsmPbf.indexBlobs(p, conf.value)
+      val trusted = refs.find(_.isHeader).exists { h =>
+        OsmPbf.decodeHeader(OsmPbf.inflateBlob(
+          OsmPbf.readBlobBytes(h, conf.value))).writingProgram == "graft"
+      }
       if (trusted) refs else refs.map(_.copy(kindHint = ""))
     }.filterNot(_.isHeader)
     val refs =

@@ -71,24 +71,18 @@ object Shapefile {
     val srs = graft.geo.Crs.parseWkt(new String(slurp(base + ".prj"), "UTF-8"))
     geoms.zipWithIndex.map { case ((recNo, g), i) =>
       val attrs: Map[String, String] =
-        if (i < records.length) fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
-        else Map.empty
+        if (i < records.length && records(i) != null)
+          fields.map(_.name).zip(records(i)).filter(_._2.nonEmpty).toMap
+        else Map.empty // past-the-end or deleted dbf row
       ShpRow(shp, recNo,
         if (g == null) Array.emptyByteArray
         else Geo.toWkb(graft.geo.Crs.toWgs84(g, srs)), attrs)
     }
   }
 
-  private def listShp(spark: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val st = fs.getFileStatus(p)
-    if (st.isFile) Seq(path)
-    else {
-      val it = fs.listStatus(p)
-      it.toSeq.map(_.getPath.toString).filter(_.endsWith(".shp")).sorted
-    }
-  }
+  private def listShp(spark: SparkSession, path: String): Seq[String] =
+    VectorFileDataSource.listBySuffix(path, ".shp",
+      spark.sparkContext.hadoopConfiguration)
 
   // ---------------- .shp geometry records ----------------
 
@@ -169,7 +163,7 @@ object Shapefile {
     var pos = headerSize
     var r = 0
     while (r < numRecords && pos + recordSize <= bytes.length) {
-      if (bytes(pos) != 0x2a) { // skip deleted rows
+      if (bytes(pos) != 0x2a) {
         val vals = new Array[String](fields.length)
         var fo = pos + 1
         fields.indices.foreach { fi =>
@@ -178,6 +172,11 @@ object Shapefile {
           fo += f.length
         }
         records += vals
+      } else {
+        // deleted (0x2A) rows stay as a null PLACEHOLDER: .shp/.dbf
+        // records pair positionally, so dropping the row would shift
+        // every later geometry onto the wrong attributes
+        records += null
       }
       pos += recordSize
       r += 1

@@ -36,6 +36,16 @@ private[sources] object VectorFileDataSource {
     StructField("attrs", MapType(StringType, StringType, valueContainsNull = false),
       nullable = false)))
 
+  /** File-or-directory expansion by suffix — THE one copy shared by
+    * the per-file providers (and [[Shapefile.listShp]] delegates here). */
+  def listBySuffix(path: String, suffix: String,
+                   conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (fs.getFileStatus(p).isFile) Seq(path)
+    else fs.listStatus(p).toSeq.map(_.getPath.toString).filter(_.endsWith(suffix)).sorted
+  }
+
   def toRow(source: String, fid: Long, geom: Array[Byte],
             attrs: Map[String, String]): InternalRow = {
     val ks = attrs.keys.toArray
@@ -72,8 +82,11 @@ private[sources] abstract class VectorFileTableProvider(short: String)
         val merged = new util.HashMap[String, String](properties)
         merged.putAll(scanOptions.asCaseSensitiveMap())
         val mergedMap = new CaseInsensitiveStringMap(merged)
+        // lowercase the option keys so executor-side lookups (e.g.
+        // "table") stay case-insensitive like every other DSv2 option
+        val optMap = merged.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
         () => new VectorFileScan(VectorFileTableProvider.this,
-          MbtilesDataSource.pathsOf(mergedMap), merged.asScala.toMap)
+          MbtilesDataSource.pathsOf(mergedMap), optMap)
       }
     }
   }
@@ -86,13 +99,17 @@ private[sources] class VectorFileScan(provider: VectorFileTableProvider,
     extends Scan with Batch {
   private val conf = new SerializableConfiguration(
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-  override def readSchema(): StructType = VectorFileDataSource.Schema
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
+  // list the filesystem ONCE per scan: planInputPartitions is called by
+  // Spark and again by description() (EXPLAIN / UI), and each remote
+  // listStatus would otherwise repeat
+  private lazy val partitions: Array[InputPartition] =
     paths.flatMap(provider.filesOf(_, conf.value))
       .map(f => VectorFilePartition(f): InputPartition).toArray
+  override def readSchema(): StructType = VectorFileDataSource.Schema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] = partitions
   override def description(): String =
-    s"${provider.shortName()} scan, filePartitions=${planInputPartitions().length}"
+    s"${provider.shortName()} scan, filePartitions=${partitions.length}"
   override def createReaderFactory(): PartitionReaderFactory = {
     val p = provider
     val c = conf
@@ -110,12 +127,8 @@ private[sources] class VectorFileScan(provider: VectorFileTableProvider,
 
 /** `spark.read.format("shapefile")` — one partition per .shp. */
 class ShapefileDataSource extends VectorFileTableProvider("shapefile") {
-  override def filesOf(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (fs.getFileStatus(p).isFile) Seq(path)
-    else fs.listStatus(p).toSeq.map(_.getPath.toString).filter(_.endsWith(".shp")).sorted
-  }
+  override def filesOf(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    VectorFileDataSource.listBySuffix(path, ".shp", conf)
   override def readFile(file: String, conf: org.apache.hadoop.conf.Configuration,
                         options: Map[String, String]): Iterator[InternalRow] =
     Shapefile.readOne(file, conf).iterator.map { r =>
@@ -126,12 +139,8 @@ class ShapefileDataSource extends VectorFileTableProvider("shapefile") {
 /** `spark.read.format("geopackage")` — one partition per .gpkg;
   * `.option("table", name)` restricts to one feature table. */
 class GeoPackageDataSource extends VectorFileTableProvider("geopackage") {
-  override def filesOf(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    if (fs.getFileStatus(p).isFile) Seq(path)
-    else fs.listStatus(p).toSeq.map(_.getPath.toString).filter(_.endsWith(".gpkg")).sorted
-  }
+  override def filesOf(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    VectorFileDataSource.listBySuffix(path, ".gpkg", conf)
   override def readFile(file: String, conf: org.apache.hadoop.conf.Configuration,
                         options: Map[String, String]): Iterator[InternalRow] = {
     val db = Sqlite.open(file, conf)
