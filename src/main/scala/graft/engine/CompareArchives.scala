@@ -137,7 +137,7 @@ object CompareArchives {
       checks += Check("tile addresses within zoom bounds",
         if (outOfBounds == 0) None else Some(s"$outOfBounds out-of-bounds tiles"))
       minFeatureCounts.foreach { case (layer, zoom, minCount) =>
-        // y is TMS in mbtiles; layer counting is y-orientation-agnostic
+        // layer counting is y-orientation-agnostic
         val cnt = tiles.where(col("z") === zoom)
           .select(col("bytes")).as[Array[Byte]](org.apache.spark.sql.Encoders.BINARY)
           .mapPartitions { it =>

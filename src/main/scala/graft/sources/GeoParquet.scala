@@ -137,7 +137,13 @@ object GeoParquet {
   case class WktToWkbExpr(child: Expression) extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override protected def nullSafeEval(v: Any): Any = {
-      val g = Geo.fromWktOrNull(v.toString)
+      // a WKT column stored as un-annotated BINARY arrives as bytes;
+      // toString on Array[Byte] would be "[B@..." and null out every row
+      val s = v match {
+        case b: Array[Byte] => new String(b, "UTF-8")
+        case other => other.toString
+      }
+      val g = Geo.fromWktOrNull(s)
       if (g == null) null else Geo.toWkb(g)
     }
     override protected def withNewChildInternal(c: Expression): WktToWkbExpr = copy(child = c)
@@ -430,11 +436,24 @@ object GeoParquet {
    */
   def write(df: DataFrame, dir: String, geomCol: String = "geometry",
             geometryTypes: Seq[String] = Nil, encoding: String = "WKB"): Unit = {
+    val bboxShapeOk = df.schema.find(_.name == "bbox").forall(_.dataType match {
+      case s: StructType =>
+        Seq("xmin", "ymin", "xmax", "ymax").forall(n =>
+          s.exists(f => f.name == n && (f.dataType == DoubleType || f.dataType == FloatType)))
+      case _ => false
+    })
     val withBbox = encoding match {
       case "WKB" =>
         require(df.schema(geomCol).dataType == BinaryType, s"$geomCol must be WKB binary")
-        if (df.schema.exists(_.name == "bbox")) df
-        else df.withColumn("bbox", bbox_struct(col(geomCol)))
+        if (df.schema.exists(_.name == "bbox")) {
+          // a pre-existing bbox column becomes the DECLARED covering —
+          // reads prune on it, so a mis-shaped one must fail here, not
+          // silently break every bounded read downstream
+          require(bboxShapeOk,
+            "existing 'bbox' column is not a struct<xmin,ymin,xmax,ymax:double> — " +
+              "rename it or drop it so the writer can derive the covering")
+          df
+        } else df.withColumn("bbox", bbox_struct(col(geomCol)))
       case "point" =>
         // geoarrow point: struct<x,y> doubles — their own column stats
         // are the covering, no bbox column needed
@@ -449,23 +468,35 @@ object GeoParquet {
     val json = geoJson(geomCol, geometryTypes, encoding)
     val conf = new SerializableConfiguration(df.sparkSession.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
-    base.getFileSystem(conf.value).mkdirs(base)
+    val baseFs = base.getFileSystem(conf.value)
+    baseFs.mkdirs(base)
+    // overwrite semantics: stale part files from a previous wider write
+    // must not survive and mix into the next read
+    baseFs.globStatus(new org.apache.hadoop.fs.Path(base, "part-*.parquet"))
+      .foreach(st => baseFs.delete(st.getPath, false))
     withBbox.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val mtLocal = org.apache.parquet.schema.MessageTypeParser.parseMessageType(mtString)
+        val fs = base.getFileSystem(conf.value)
+        // write to an ATTEMPT-unique temp name, then rename into place:
+        // retries and speculative attempts each produce a complete
+        // private file (no two writers ever share a path), and readers
+        // only ever see whole files — a deterministic shared filename
+        // in OVERWRITE mode would let concurrent attempts interleave
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          f".part-$pid%05d-attempt-${tc.taskAttemptId()}.parquet.tmp")
         val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.parquet")
         val support = new RowWriteSupport(schema, mtLocal, Map("geo" -> json).asJava)
-        val writer = new RowParquetWriterBuilder(out, support)
+        val writer = new RowParquetWriterBuilder(tmp, support)
           .withConf(conf.value)
-          // OVERWRITE: the filename is deterministic per partition, so a
-          // task retry / speculative attempt must replace the previous
-          // attempt's half-written file instead of failing every retry
-          // with FileAlreadyExistsException (default mode is CREATE)
           .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
           .withCompressionCodec(org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
           .build()
         try rows.foreach(writer.write) finally writer.close()
+        fs.delete(out, false) // a losing earlier attempt's complete file
+        require(fs.rename(tmp, out), s"rename $tmp -> $out failed")
       }
     }
   }

@@ -21,7 +21,9 @@ import scala.jdk.CollectionConverters._
  * input partition per archive file, opened executor-side through the
  * Hadoop FileSystem.
  *
- * Schema: z INT, x INT, y INT (TMS row as stored), bytes BINARY.
+ * Schema: z INT, x INT, y INT, bytes BINARY. y is XYZ (top-down) —
+ * the stored TMS `tile_row` is flipped on read, so write → read is a
+ * true round trip and the pmtiles reader's convention matches.
  * Compact map+images archives resolve blobs through an in-reader map
  * (single-file convenience path; the distributed two-scan join lives
  * in [[MbtilesReader.read]]).
@@ -95,10 +97,13 @@ private[sources] class MbtilesWriteBuilder(
   override def truncate(): WriteBuilder = this // a fresh archive either way
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = {
-      val metadata = info.options().entrySet().asScala
-        .filter(_.getKey.toLowerCase.startsWith("meta."))
-        .map(e => e.getKey.substring(5) -> e.getValue)
-        .toSeq.sortBy(_._1).toMap
+      // asCaseSensitiveMap preserves the caller's key case —
+      // CaseInsensitiveStringMap.entrySet would lowercase
+      // `.option("meta.myKey", v)` into metadata name "mykey"
+      val metadata = info.options().asCaseSensitiveMap().asScala
+        .filter { case (k, _) => k.toLowerCase.startsWith("meta.") }
+        .map { case (k, v) => k.substring(5) -> v }
+        .toMap
       new MbtilesBatchWrite(path, info.schema(), metadata)
     }
   }
@@ -136,7 +141,8 @@ private[sources] class MbtilesBatchWrite(path: String, schema: StructType,
           s"shard ranges overlap (${a.maxId} >= ${b.minId}): input must be orderBy(tile_id)")
       case _ =>
     }
-    require(shards.nonEmpty, "no tiles written")
+    // zero shards is legal: a data-dependent empty input still commits
+    // a valid (metadata-only) archive instead of failing the job
     // sequential page build into a local staging file, then publish via
     // the destination's FileSystem (any scheme)
     val local = java.io.File.createTempFile("mbtiles-commit-", ".mbtiles")
@@ -361,26 +367,36 @@ private[sources] class MbtilesPartitionReader(path: String, plain: Boolean,
   private val iter: Iterator[(Int, Int, Int, Array[Byte])] =
     if (plain) {
       db.rowsRange("tiles", lo, hi).map { case (_, m) =>
-        (m("zoom_level").asInstanceOf[Long].toInt,
-          m("tile_column").asInstanceOf[Long].toInt,
-          m("tile_row").asInstanceOf[Long].toInt,
+        val z = m("zoom_level").asInstanceOf[Long].toInt
+        (z, m("tile_column").asInstanceOf[Long].toInt,
+          (1 << z) - 1 - m("tile_row").asInstanceOf[Long].toInt, // TMS -> XYZ
           m("tile_data").asInstanceOf[Array[Byte]])
       }
     } else {
-      // compact schema: this partition owns an `images` rowid range —
-      // load those blobs once, then emit every `map` row that points at
-      // one of them (a map row's tile_id lives in exactly one images
-      // partition, so the union over partitions is exact)
-      lazy val images = db.rowsRange("images", lo, hi).map { case (_, m) =>
-        m("tile_id").toString -> m("tile_data").asInstanceOf[Array[Byte]]
-      }.toMap
-      db.rows("map").flatMap { case (_, m) =>
-        images.get(m("tile_id").toString).map { bytes =>
-          (m("zoom_level").asInstanceOf[Long].toInt,
-            m("tile_column").asInstanceOf[Long].toInt,
-            m("tile_row").asInstanceOf[Long].toInt,
-            bytes)
+      // compact schema: this partition owns an `images` rowid range.
+      // Pass 1 keeps only (tile_id -> rowid) — never the blobs (a
+      // planet images table is tens of GB; an in-heap blob map would
+      // OOM the task); pass 2 walks the narrow `map` table and
+      // point-fetches each matching blob through the b-tree by rowid
+      // (page-cached O(depth) seek). A map row's tile_id lives in
+      // exactly one images partition, so the union is exact.
+      lazy val images: scala.collection.Map[String, Long] = {
+        val m = scala.collection.mutable.HashMap.empty[String, Long]
+        db.rowsRange("images", lo, hi).foreach { case (rid, r) =>
+          m += (r("tile_id").toString -> rid)
         }
+        m
+      }
+      def blobAt(rid: Long): Array[Byte] =
+        db.rowsRange("images", rid, rid).next()._2("tile_data").asInstanceOf[Array[Byte]]
+      db.rows("map").flatMap { case (_, m) =>
+        val z = m("zoom_level").asInstanceOf[Long].toInt
+        val x = m("tile_column").asInstanceOf[Long].toInt
+        val y = (1 << z) - 1 - m("tile_row").asInstanceOf[Long].toInt // TMS -> XYZ
+        // pushed z/x/y filters gate the blob point-fetch: a filtered
+        // scan never touches non-matching blob pages
+        if (!pushed.forall(MbtilesScan.matches(_, z, x, y))) None
+        else images.get(m("tile_id").toString).map(rid => (z, x, y, blobAt(rid)))
       }
     }
   private val filtered = iter.filter { case (z, x, y, _) =>

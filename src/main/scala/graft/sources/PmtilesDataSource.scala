@@ -21,9 +21,10 @@ import scala.jdk.CollectionConverters._
  * becomes `[zoomOffset(z), zoomOffset(z+1))`, which the reader passes
  * to the directory walk so leaf directories (and their tile data)
  * outside the window are never fetched — a z14-only scan of a planet
- * archive touches z14 leaves only. Schema matches the mbtiles format
- * (z, x, y, bytes); x/y predicates are applied row-wise after the
- * Hilbert decode.
+ * archive touches z14 leaves only. Schema and convention match the
+ * mbtiles reader — (z, x, y, bytes) with XYZ (top-down) y — so the
+ * two formats interchange without a flip; x/y predicates are applied
+ * row-wise after the Hilbert decode.
  */
 class PmtilesDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "pmtiles"
@@ -129,7 +130,8 @@ private[sources] class PmtilesBatchWrite(path: String, schema: StructType,
           s"shard ranges overlap (${a.maxId} >= ${b.minId}): input must be orderBy(tile_id)")
       case _ =>
     }
-    require(shards.nonEmpty, "no tiles written")
+    // zero shards is legal: a data-dependent empty input still commits
+    // a valid zero-tile archive instead of failing the job
     graft.engine.PmtilesArchive.concatenateShards(
       shards.map(_.path).toSeq, path, metadataJson = opts.metadataJson,
       minZoom = opts.minZoom, maxZoom = opts.maxZoom,
@@ -314,17 +316,24 @@ private[sources] class PmtilesPartitionReader(path: String, rangeLo: Long, range
     if (lo > hi) Iterator.empty
     else {
       reader.entriesInRange(lo, hi).flatMap { e =>
-        val bytes = reader.tileData(e)
+        // decide which ids survive the pushed x/y/z filters BEFORE
+        // fetching bytes — a single-tile point lookup must not read
+        // every blob in the partition's directory range
         val run = math.max(e.runLength, 1)
-        (0 until run).iterator
+        val surviving = (0 until run).iterator
           .map(i => e.tileId + i)
           .filter(id => id >= lo && id <= hi)
           .map { id =>
             val (x, y, z) = TileCoord.decodeHilbert(id)
-            (z, x, y, bytes)
+            (z, x, y)
           }
-      }.filter { case (z, x, y, _) =>
-        pushed.forall(MbtilesScan.matches(_, z, x, y))
+          .filter { case (z, x, y) => pushed.forall(MbtilesScan.matches(_, z, x, y)) }
+          .toArray
+        if (surviving.isEmpty) Iterator.empty
+        else {
+          val bytes = reader.tileData(e)
+          surviving.iterator.map { case (z, x, y) => (z, x, y, bytes) }
+        }
       }
     }
   }

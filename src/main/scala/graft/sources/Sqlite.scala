@@ -270,14 +270,16 @@ object Sqlite {
 
     private def str(a: Any): String = if (a == null) null else a.toString
 
+    // SQLite identifiers are case-insensitive: `CREATE TABLE Tiles`
+    // and a lookup for "tiles" name the same table
     def tableRoot(name: String): Option[Int] =
-      master.collectFirst { case ("table", n, _, root, _) if n == name => root }
+      master.collectFirst { case ("table", n, _, root, _) if n.equalsIgnoreCase(name) => root }
 
     /** Column (name, isIntegerPrimaryKey) from the CREATE TABLE sql
       * (best-effort: top-level comma split, quoted identifiers
       * unwrapped). */
     def columns(name: String): Seq[(String, Boolean)] = {
-      val sql = master.collectFirst { case ("table", n, _, _, s) if n == name => s }
+      val sql = master.collectFirst { case ("table", n, _, _, s) if n.equalsIgnoreCase(name) => s }
         .getOrElse(return Seq.empty)
       val open = sql.indexOf('(')
       val close = sql.lastIndexOf(')')
@@ -301,10 +303,13 @@ object Sqlite {
           unquote(c.substring(c.indexOf('(') + 1, c.lastIndexOf(')')).trim
             .split("\\s+")(0)) // tolerate `PRIMARY KEY(x ASC)`
       }
+      // table-constraint detection needs a WORD BOUNDARY after the
+      // keyword: a column named `checksum` or `unique_id` must not be
+      // dropped (which would shift every later column's values)
+      val constraintRe =
+        "(?is)^(PRIMARY|FOREIGN|UNIQUE|CHECK|CONSTRAINT)\\b.*".r
       cols.toSeq
-        .filterNot(c => c.toUpperCase.startsWith("PRIMARY ") || c.toUpperCase.startsWith("FOREIGN ") ||
-          c.toUpperCase.startsWith("UNIQUE") || c.toUpperCase.startsWith("CHECK") ||
-          c.toUpperCase.startsWith("CONSTRAINT"))
+        .filterNot(c => constraintRe.matches(c.trim))
         .map { c =>
           val n = unquote(c.split("\\s+")(0))
           val inlineIpk = c.toUpperCase.matches("(?s).*INTEGER\\s+PRIMARY\\s+KEY.*")

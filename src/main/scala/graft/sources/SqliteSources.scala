@@ -194,7 +194,9 @@ object MbtilesReader {
   private case class ImageRow(tile_id: String, bytes: Array[Byte])
 
   /** Read every tile; handles both the plain `tiles` table and the
-    * compact `map` + `images` schema. y stays TMS (flipped) as stored.
+    * compact `map` + `images` schema. y is returned XYZ (the stored
+    * TMS `tile_row` is flipped on read), matching the DSv2 readers so
+    * write → read round-trips and mbtiles/pmtiles reads agree.
     * The compact schema resolves tile_id -> blob as a Spark join of two
     * per-file scans (the images table of a planet archive is tens of
     * GB — never an in-task hash map). */
@@ -208,18 +210,18 @@ object MbtilesReader {
     if (hasTilesTable) {
       perFile[MbTile](spark, path) { db =>
         db.rows("tiles").map { case (_, m) =>
-          MbTile(m("zoom_level").asInstanceOf[Long].toInt,
-            m("tile_column").asInstanceOf[Long].toInt,
-            m("tile_row").asInstanceOf[Long].toInt,
+          val z = m("zoom_level").asInstanceOf[Long].toInt
+          MbTile(z, m("tile_column").asInstanceOf[Long].toInt,
+            (1 << z) - 1 - m("tile_row").asInstanceOf[Long].toInt, // TMS -> XYZ
             m("tile_data").asInstanceOf[Array[Byte]])
         }
       }.toDF()
     } else {
       val maps = perFile[MapRow](spark, path) { db =>
         db.rows("map").map { case (_, m) =>
-          MapRow(m("zoom_level").asInstanceOf[Long].toInt,
-            m("tile_column").asInstanceOf[Long].toInt,
-            m("tile_row").asInstanceOf[Long].toInt,
+          val z = m("zoom_level").asInstanceOf[Long].toInt
+          MapRow(z, m("tile_column").asInstanceOf[Long].toInt,
+            (1 << z) - 1 - m("tile_row").asInstanceOf[Long].toInt, // TMS -> XYZ
             m("tile_id").toString)
         }
       }

@@ -37,6 +37,20 @@ class GeoParquetSpec extends AnyFunSuite {
     assert(cov.xmin == Seq("bbox", "xmin") && cov.ymax == Seq("bbox", "ymax"))
   }
 
+  test("rewrite cleans stale part files; mis-shaped bbox rejected") {
+    val dir = tmp()
+    // wide write (many partitions), then a narrow rewrite: old parts
+    // must not survive and mix into the next read
+    GeoParquet.write(pointsDf(500).repartition(8), dir)
+    GeoParquet.write(pointsDf(100).repartition(2), dir)
+    assert(GeoParquet.read(spark, dir).count() == 100)
+    // a pre-existing bbox column that is not the covering struct shape
+    // must fail the write loudly (it would break bounds pruning)
+    val bad = pointsDf(5).withColumn("bbox", col("id").cast("string"))
+    val e = intercept[IllegalArgumentException] { GeoParquet.write(bad, tmp()) }
+    assert(e.getMessage.contains("bbox"))
+  }
+
   test("round-trip: geometries and attrs survive; bbox struct written") {
     val dir = tmp()
     GeoParquet.write(pointsDf(100), dir)
@@ -85,7 +99,10 @@ class GeoParquetSpec extends AnyFunSuite {
       .toDF("id", "wkt_geometry").write.mode("overwrite").parquet(wktDir)
     val m2 = GeoParquet.metadata(spark, wktDir)
     assert(m2.primary.encoding == "WKT")
-    // decode path needs a STRING wkt column; re-write as string
+    // an un-annotated BINARY wkt column decodes as UTF-8, not toString
+    val backB = GeoParquet.read(spark, wktDir)
+    assert(Geo.fromWkb(backB.where(col("id") === 1).collect().head
+      .getAs[Array[Byte]]("geometry")).getCoordinate.x == 1.0)
     val wktDir2 = tmp()
     spark.range(5).map(i => (i, s"POINT ($i 2)")).toDF("id", "wkt_geometry")
       .write.mode("overwrite").parquet(wktDir2)

@@ -28,9 +28,9 @@ class MbtilesWriterSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getAs[Array[Byte]]("bytes").toSeq)
       .toMap
     assert(back.size == collected.length)
+    // the reader flips the stored TMS row back to XYZ: exact round trip
     collected.foreach { t =>
-      val tms = ((1 << t.z) - 1 - t.y)
-      assert(back((t.z, t.x, tms)) == t.bytes.toSeq, s"tile ${t.z}/${t.x}/${t.y}")
+      assert(back((t.z, t.x, t.y)) == t.bytes.toSeq, s"tile ${t.z}/${t.x}/${t.y}")
     }
     assert(MbtilesReader.metadataOf(path) == Map("name" -> "graft", "format" -> "pbf"))
   }

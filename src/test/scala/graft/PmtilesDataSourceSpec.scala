@@ -98,6 +98,15 @@ class PmtilesDataSourceSpec extends AnyFunSuite {
     assert(bad.getMessage != null)
   }
 
+  test("DSv2 write: empty input commits a valid zero-tile archive") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_pmempty").toString + "/e.pmtiles"
+    Seq.empty[TileBytes].toDF()
+      .write.format("pmtiles").mode("overwrite").save(out)
+    assert(new java.io.File(out).isFile)
+    assert(spark.read.format("pmtiles").load(out).count() == 0)
+  }
+
   test("DSv2 write survives a task retry: failed shard aborted, rerun commits clean") {
     import spark.implicits._
     PmtilesDataSourceSpec.crashed.clear()

@@ -41,9 +41,10 @@ class SqliteSourcesSpec extends AnyFunSuite {
     val tiles = MbtilesReader.read(spark, res("fixture_compact.mbtiles")).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getAs[Array[Byte]]("bytes").toSeq).toMap
     assert(tiles.size == 3)
+    // y is XYZ: the fixture's stored TMS rows 0/0/1 flip to 0/1/0
     assert(tiles((0, 0, 0)) == Seq[Byte](1, 2, 3))
-    assert(tiles((1, 0, 0)) == Seq[Byte](1, 2, 3), "deduped blob shared")
-    assert(tiles((1, 1, 1)) == Seq[Byte](9, 8))
+    assert(tiles((1, 0, 1)) == Seq[Byte](1, 2, 3), "deduped blob shared")
+    assert(tiles((1, 1, 0)) == Seq[Byte](9, 8))
     assert(MbtilesReader.metadata(res("fixture_compact.mbtiles")) ==
       Map("name" -> "fixture", "format" -> "pbf"))
   }
@@ -52,7 +53,8 @@ class SqliteSourcesSpec extends AnyFunSuite {
     val tiles = MbtilesReader.read(spark, res("fixture_plain.mbtiles")).collect()
     assert(tiles.length == 1)
     val t = tiles.head
-    assert(t.getInt(0) == 2 && t.getInt(1) == 1 && t.getInt(2) == 3)
+    // stored TMS row 3 at z=2 flips to XYZ y 0
+    assert(t.getInt(0) == 2 && t.getInt(1) == 1 && t.getInt(2) == 0)
     assert(t.getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](7, 7, 7, 7))
   }
 
@@ -94,7 +96,8 @@ class SqliteSourcesSpec extends AnyFunSuite {
     }.getOrElse(fail("no BatchScanExec in plan"))
     assert(scanDesc.contains("EqualTo(z,1)"), s"z filter not pushed: $scanDesc")
     val rows = z1.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
-    assert(rows == Set((1, 0, 0), (1, 1, 1)))
+    // y is XYZ: stored TMS rows 0/1 at z=1 flip to 1/0
+    assert(rows == Set((1, 0, 1), (1, 1, 0)))
     // plain tiles table through the same format
     val plain = spark.read.format("mbtiles").load(res("fixture_plain.mbtiles")).collect()
     assert(plain.length == 1 && plain.head.getInt(0) == 2)
@@ -161,9 +164,12 @@ class SqliteSourcesSpec extends AnyFunSuite {
       .!(scala.sys.process.ProcessLogger(l => buf.append(l).append('\n'),
         l => buf.append(l).append('\n')))
     assert(code == 0, s"python sqlite3 failed: $buf")
-    // round-trip through the DSv2 reader (y returns TMS-flipped)
+    // round-trip through the DSv2 reader (y flips back to XYZ): exact
     val back = spark.read.format("mbtiles").load(out)
     assert(back.count() == n)
+    val got = back.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getAs[Array[Byte]]("bytes").toSeq)).toSet
+    assert(got == tiles.map(t => (t.z, t.x, t.y, t.bytes.toSeq)).toSet)
     val r = back.where(org.apache.spark.sql.functions.col("z") === 6 &&
       org.apache.spark.sql.functions.col("x") === 5).collect()
     assert(r.nonEmpty && r.forall(_.getAs[Array[Byte]]("bytes").length == 3))
@@ -309,5 +315,47 @@ class SqliteSourcesSpec extends AnyFunSuite {
     assert(db.columns("t") == Seq(("x", true), ("y", false)))
     val got = db.rows("t").map(_._2).toSeq.sortBy(_("y").toString)
     assert(got.map(m => (m("x"), m("y"))) == Seq((5L, "a"), (9L, "b")))
+  }
+
+  test("columns named checksum/unique_id survive; table names case-insensitive") {
+    // constraint-keyword PREFIXES must not be treated as table
+    // constraints (dropping one would shift every later column), and
+    // sqlite identifiers are case-insensitive (CREATE TABLE Tiles ==
+    // lookup "tiles")
+    val path = java.nio.file.Files.createTempDirectory("graft_colnames")
+      .resolve("c.db").toString
+    val py =
+      s"""import sqlite3
+         |con = sqlite3.connect('$path')
+         |con.execute('''CREATE TABLE Tiles (
+         |  fid INTEGER PRIMARY KEY,
+         |  checksum TEXT,
+         |  unique_id TEXT,
+         |  constraint_level INTEGER,
+         |  name TEXT,
+         |  CHECK (constraint_level >= 0),
+         |  UNIQUE (unique_id))''')
+         |con.execute("INSERT INTO Tiles VALUES (1, 'abc', 'u1', 7, 'Alpha')")
+         |con.commit(); con.close()
+         |""".stripMargin
+    assert(scala.sys.process.Process(Seq("python3", "-c", py)).! == 0)
+    val db = Sqlite.open(path)
+    assert(db.tableRoot("tiles").isDefined, "case-insensitive table lookup")
+    assert(db.columnNames("tiles") ==
+      Seq("fid", "checksum", "unique_id", "constraint_level", "name"))
+    val row = db.rows("TILES").next()._2
+    assert(row("checksum") == "abc" && row("unique_id") == "u1" &&
+      row("constraint_level") == 7L && row("name") == "Alpha")
+  }
+
+  test("DSv2 mbtiles write: empty input commits a valid metadata-only archive") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_mbempty").toString + "/e.mbtiles"
+    Seq.empty[graft.model.TileBytes].toDF()
+      .write.format("mbtiles").mode("overwrite")
+      .option("meta.name", "empty").save(out)
+    assert(new java.io.File(out).isFile)
+    assert(spark.read.format("mbtiles").load(out).count() == 0)
+    assert(MbtilesReader.metadata(out)("name") == "empty")
   }
 }
