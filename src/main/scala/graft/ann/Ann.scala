@@ -17,8 +17,13 @@ case class ScoredNeighbor(neighbor: Long, cos: Double)
  * Order: cos desc, then neighbor asc (deterministic ties).
  */
 class TopKAggregator(k: Int) extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
+  // NaN (a zero vector's 0/0 cosine) sorts as worst, not incomparable:
+  // with raw `>` a NaN at buf.last makes `better(x, last)` false for
+  // every x, freezing the buffer and dropping real neighbors in
+  // arrival order. Mapping NaN -> -Inf keeps the order total.
+  private def key(c: Double): Double = if (c.isNaN) Double.NegativeInfinity else c
   private def better(a: ScoredNeighbor, b: ScoredNeighbor): Boolean =
-    a.cos > b.cos || (a.cos == b.cos && a.neighbor < b.neighbor)
+    key(a.cos) > key(b.cos) || (key(a.cos) == key(b.cos) && a.neighbor < b.neighbor)
   private def insert(buf: Seq[ScoredNeighbor], x: ScoredNeighbor): Seq[ScoredNeighbor] = {
     if (buf.size >= k && !better(x, buf.last)) buf
     else {
@@ -68,14 +73,17 @@ object Ann {
     Array.tabulate(planes)(p =>
       Array.tabulate(dim)(i => splitmix64(p.toLong * 100003L + i).toDouble / Long.MaxValue))
 
-  /** Embedding dimensionality from the first non-null vector; fails
+  /** Embedding dimensionality from the first non-empty vector; fails
     * with a clear message on an empty/all-null table instead of a
-    * NoSuchElementException or NPE from `head()`. */
+    * NoSuchElementException or NPE from `head()`. `d > 0` (not >= 0)
+    * so a corrupt empty-array row can't yield dim=0 — zero-length
+    * planes would give every vector the same all-zero signature and
+    * collapse the banded candidate join into a quadratic self-join. */
   private[graft] def probeDim(emb: DataFrame, vecCol: String): Int =
-    emb.select(size(col(vecCol)).as("d")).where(col("d") >= 0).limit(1)
+    emb.select(size(col(vecCol)).as("d")).where(col("d") > 0).limit(1)
       .collect().headOption.map(_.getInt(0)).getOrElse(
         throw new IllegalArgumentException(
-          s"cannot infer embedding dimension: no non-null '$vecCol' rows"))
+          s"cannot infer embedding dimension: no non-empty '$vecCol' rows"))
 
   /** cosine(a.v, b.v) — native loop, fold-order-identical to the
     * zip_with/aggregate form (and DuckDB's list_dot_product). */
@@ -153,19 +161,17 @@ object Ann {
       .orderBy(col("hk"), col("id")).limit(cells)
       .select(col("id"), col("v"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    def sqDistLit(a: Column, c: Array[Double]): Column =
-      aggregate(zip_with(a, typedlit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0.0d), (acc, x) => acc + x)
-    val distStructs = array(centroids.map { case (cid, cv) =>
-      struct(sqDistLit(col("v"), cv).as("d"), lit(cid).as("c"))
-    }: _*)
-    // assignment: argmin over the literal centroid array — no shuffle
-    val assigned = v.withColumn("cid", array_min(distStructs).getField("c"))
+    // assignment: argmin over the literal centroid array — no shuffle.
+    // Native one-loop-per-row expression; the interpreted
+    // zip_with/aggregate form this replaces evaluated cells×dim boxed
+    // lambdas per corpus row (~30× slower, per the TextExprs header).
+    import graft.functions.VectorExprs.nearestCentroids
+    val assigned = v.withColumn("cid",
+      nearestCentroids(col("v"), centroids, 1).getItem(0))
     // queries probe their nprobe nearest cells (sorted-prefix projection)
     val probes = assigned.where(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("v").as("qv"),
-        explode(transform(slice(array_sort(distStructs), 1, nprobe),
-          s => s.getField("c"))).as("pcid"))
+        explode(nearestCentroids(col("v"), centroids, nprobe)).as("pcid"))
     val scored = assigned.join(broadcast(probes),
         col("cid") === col("pcid") && col("id") =!= col("qid"))
       .select(col("qid"), col("id").as("neighbor"),

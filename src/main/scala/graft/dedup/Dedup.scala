@@ -111,15 +111,22 @@ object Dedup {
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
+    verifyJaccard(cand, base, num, den)
+  }
+
+  /** Exact-Jaccard verify shared by the prefix and LSH candidate
+    * generators: join the narrow (da, db) candidates back to the
+    * shingle table once per side, then keep pairs with
+    * |A∩B| * den >= num * |A∪B| (integer math — no float threshold). */
+  private def verifyJaccard(cand: DataFrame, base: DataFrame,
+                            num: Int, den: Int): DataFrame =
     cand
       .join(base.select(col("id").as("da"), col("sh").as("sha")), "da")
       .join(base.select(col("id").as("db"), col("sh").as("shb")), "db")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
-      // c / u >= num/den  <=>  c * den >= num * u (integer math)
       .where(col("c") * den >= col("u") * num)
       .select(col("da"), col("db"), col("c"), col("u"))
-  }
 
   /**
    * MinHash+LSH near-dup pairs: docs sharing at least one LSH band
@@ -153,15 +160,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
-    // exact verify: |A∩B| * den >= num * |A∪B| (integer math), shingles
-    // fetched once per side via equi-join-back
-    cand
-      .join(base.select(col("id").as("da"), col("sh").as("sha")), "da")
-      .join(base.select(col("id").as("db"), col("sh").as("shb")), "db")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
-      .where(col("c") * den >= col("u") * num)
-      .select(col("da"), col("db"), col("c"), col("u"))
+    verifyJaccard(cand, base, num, den)
   }
 
   /**
@@ -251,10 +250,15 @@ object Dedup {
       }
       sample.foreach { r =>
         val (u, v) = (r.getLong(0), r.getLong(1))
-        parent.getOrElseUpdate(u, u)
-        parent.getOrElseUpdate(v, v)
-        val (ru, rv) = (find(u), find(v))
-        if (ru != rv) { val (lo, hi) = (math.min(ru, rv), math.max(ru, rv)); parent(hi) = lo }
+        // self-pairs are ignored in BOTH regimes (the distributed path
+        // filters u != v below): a node appearing only as (x, x) gets
+        // no label row, regardless of which regime the volume picks
+        if (u != v) {
+          parent.getOrElseUpdate(u, u)
+          parent.getOrElseUpdate(v, v)
+          val (ru, rv) = (find(u), find(v))
+          if (ru != rv) { val (lo, hi) = (math.min(ru, rv), math.max(ru, rv)); parent(hi) = lo }
+        }
       }
       val rows = parent.keys.toSeq.map(id => (id, find(id))).sortBy(_._1)
       return spark.createDataset(rows).toDF("id", "label")

@@ -196,7 +196,10 @@ object TextExprs {
       val distinct = new java.util.HashSet[String](toks.length * 2)
       var i = 0
       while (i < toks.length) {
-        val low = toks(i).toLowerCase(java.util.Locale.ROOT)
+        // lowercase via UTF8String so this is bit-for-bit the same as
+        // the Column form's lower() — String.toLowerCase(ROOT) would
+        // diverge from Spark's slow path (default-locale) on e.g. tr-TR
+        val low = UTF8String.fromString(toks(i)).toLowerCase.toString
         var p = 0
         while (p < profiles.length) {
           if (profiles(p)._2.contains(low)) hits(p) += 1

@@ -108,10 +108,58 @@ object VectorExprs {
     override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   }
 
+  /** The `take` nearest centroid ids by squared distance, ordered
+    * (dist, cid) ascending — ties break on the smaller cid, matching
+    * the `array_min`/`array_sort` over `struct(d, c)` Column form this
+    * replaces (which evaluated cells×dim interpreted lambdas per row).
+    * Squared-distance fold order is the same sequential left-to-right
+    * sum as `aggregate(zip_with(...))`, so values are bit-identical. */
+  case class NearestCentroids(child: Expression, centroidIds: Array[Long],
+                              centroidVecs: Array[Array[Double]], take: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(v: Any): Any = {
+      val vec = toDoubles(v.asInstanceOf[ArrayData], elemType(child))
+      val m = centroidIds.length
+      val dists = new Array[Double](m)
+      var c = 0
+      while (c < m) {
+        val cv = centroidVecs(c)
+        var d = 0.0
+        var i = 0
+        val n = math.min(vec.length, cv.length)
+        while (i < n) { val t = vec(i) - cv(i); d += t * t; i += 1 }
+        dists(c) = d
+        c += 1
+      }
+      val kk = math.min(take, m)
+      val picked = new Array[Int](kk)
+      val used = new Array[Boolean](m)
+      var p = 0
+      while (p < kk) {
+        var best = -1
+        var j = 0
+        while (j < m) {
+          if (!used(j) && (best < 0 || dists(j) < dists(best) ||
+              (dists(j) == dists(best) && centroidIds(j) < centroidIds(best)))) best = j
+          j += 1
+        }
+        used(best) = true
+        picked(p) = best
+        p += 1
+      }
+      new GenericArrayData(picked.map(i => centroidIds(i): Any))
+    }
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   def bandedPlaneSig(vec: Column, planes: Array[Array[Double]], bands: Int, rows: Int): Column =
     SqlBridge.col(BandedPlaneSig(SqlBridge.expr(vec), planes, bands, rows))
   def planeSig(vec: Column, planes: Array[Array[Double]]): Column =
     SqlBridge.col(PlaneSig(SqlBridge.expr(vec), planes))
   def cosineSim(a: Column, b: Column): Column =
     SqlBridge.col(CosineSim(SqlBridge.expr(a), SqlBridge.expr(b)))
+  def nearestCentroids(vec: Column, centroids: Array[(Long, Array[Double])], take: Int): Column =
+    SqlBridge.col(NearestCentroids(SqlBridge.expr(vec),
+      centroids.map(_._1), centroids.map(_._2), take))
 }

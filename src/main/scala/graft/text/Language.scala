@@ -148,5 +148,5 @@ object Language {
   // ---- column forms (regex-only checks stay codegen'd) ----
 
   def onlyLatinCol(c: Column): Column =
-    c.rlike("^[\\P{IsLetter}[\\p{IsLetter}&&\\p{IsLatin}]]+$")
+    c.rlike(OnlyLatin.pattern()) // single source for the latin rule
 }

@@ -30,22 +30,10 @@ object Text {
         s => length(s) > 0))
   }
 
-  /**
-   * MinHash signature: k minimums of seeded 64-bit hashes over the
-   * shingle set. Each shingle STRING is hashed once; the k per-seed
-   * values derive from that long via a second cheap xxhash64 round —
-   * O(|set| + k·|set|) long-hashes instead of k full string hashes.
-   */
-  def minhash(shingleSet: Column, k: Int): Column = {
-    val hs = transform(shingleSet, s => xxhash64(s))
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(hs, h => xxhash64(h, seed))))
-  }
-
-  /** LSH band keys: hash r consecutive signature values per band. */
-  def lshBands(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+  // (The earlier xxhash64-based minhash/lshBands Column forms were
+  // removed: the pipeline's real path is TextExprs.minhashSig /
+  // lshBandKeys (FNV-1a + splitmix64) and mixing the two hash families
+  // would silently produce disjoint buckets.)
 
   /** SimHash fingerprint width (bits). 60 = what fits one signed long
     * from 15 hex chars of md5, so the token hash is reproducible in any

@@ -48,6 +48,20 @@ object Translit {
   private final val SBase = 0xAC00
   private final val SCount = 11172
 
+  // Compatibility jamo (U+3131..U+3163): standalone consonants romanize
+  // by their initial (lead) form, vowels by the medial table — same RR
+  // tables as precomposed syllables, laid out in compatibility order.
+  private val CompatConsonants = Array(
+    "g", "kk", "gs", "n", "nj", "nh", "d", "tt", "r", "lg",
+    "lm", "lb", "ls", "lt", "lp", "lh", "m", "b", "pp", "bs",
+    "s", "ss", "ng", "j", "jj", "ch", "k", "t", "p", "h")
+
+  /** Romanize one compatibility jamo (U+3131..U+3163), or null. */
+  def compatJamo(cp: Int): String =
+    if (cp >= 0x3131 && cp <= 0x314E) CompatConsonants(cp - 0x3131)
+    else if (cp >= 0x314F && cp <= 0x3163) HangulVowels(cp - 0x314F)
+    else null
+
   /** Romanize one precomposed Hangul syllable, or null if `cp` is not
     * one. Unicode decomposition: s = cp - AC00; lead = s/588,
     * vowel = (s%588)/28, tail = s%28. */
@@ -137,10 +151,12 @@ object Translit {
                  else stem + "y") + smallVowel(s.charAt(i + 1))
           step = 2
         } else if (i + 1 < s.length && isSmallVowel(s.charAt(i + 1)) &&
-                   syl.endsWith("u") && syl.length > 1) {
+                   syl.endsWith("u")) {
           // loanword contraction: u-row + small vowel (ヴァ -> va,
-          // ファ -> fa, ウィ -> wi via the u-row stem)
-          syl = syl.substring(0, syl.length - 1) + smallVowelOf(s.charAt(i + 1))
+          // ファ -> fa); the bare vowel ウ contracts on a 'w' stem
+          // (ウィ -> wi, ウェ -> we, ウォ -> wo — Hepburn loanword forms)
+          val stem = if (syl.length == 1) "w" else syl.substring(0, syl.length - 1)
+          syl = stem + smallVowelOf(s.charAt(i + 1))
           step = 2
         }
         if (geminate && syl.nonEmpty) {
@@ -270,8 +286,10 @@ object Translit {
       else if (isHangul(c)) {
         // concatenate syllables within one Hangul run (서울 -> seoul)
         while (i < s.length && isHangul(s.charAt(i))) {
-          val r = hangulSyllable(s.charAt(i))
-          if (r != null) sb.append(r) else sb.append(s.charAt(i))
+          val cp = s.charAt(i).toInt
+          val r = hangulSyllable(cp)
+          val r2 = if (r != null) r else compatJamo(cp)
+          if (r2 != null) sb.append(r2) else sb.append(s.charAt(i))
           i += 1
         }
       } else if (isHan(c) && HanPinyin.contains(c)) {

@@ -42,9 +42,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(dist(1007L) == 1000L && dist(7060L) == 7000L && dist(9003L) == 9002L)
   }
 
-  test("two-node and self-loop edges behave") {
-    val dist = labelsOf(Seq((5L, 2L), (2L, 5L), (3L, 3L)), forceDistributed = true)
-    // the self-loop contributes no component; {2,5} labels by 2
-    assert(dist.get(5L).contains(2L) && dist.get(2L).contains(2L))
+  test("two-node and self-loop edges behave identically in both regimes") {
+    val pairs = Seq((5L, 2L), (2L, 5L), (3L, 3L))
+    val dist = labelsOf(pairs, forceDistributed = true)
+    val local = labelsOf(pairs, forceDistributed = false)
+    // the self-loop contributes no component in EITHER regime — node 3
+    // gets no label row; {2,5} labels by 2
+    assert(dist == Map(2L -> 2L, 5L -> 2L))
+    assert(local == dist, "regime choice must not change self-pair semantics")
   }
 }

@@ -76,6 +76,63 @@ class ModulesSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("neighbor") < 25))
   }
 
+  test("top-k survives NaN cosines from zero vectors (NaN sorts last)") {
+    // neighbor 1 is a zero vector -> cosine NaN; arriving first it must
+    // not freeze the k=2 buffer and block the later good candidates
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.1f, 0.0f)),
+      (4L, Seq(1.0f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceTopK(emb.coalesce(1), Seq(0L), 2).collect()
+      .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor")).toSeq
+    assert(out == Seq(3L, 4L), s"NaN rows must rank below finite cosines, got $out")
+  }
+
+  test("probeDim skips empty vectors and fails loudly when none are usable") {
+    val emb = Seq((1L, Seq.empty[Float]), (2L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Ann.probeDim(emb.coalesce(1), "embedding") == 2)
+    val bad = Seq((1L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Ann.probeDim(bad, "embedding"))
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("ivf native centroid assignment matches the interpreted argmin form") {
+    val emb = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 0.37 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Ann.ivfTopK(emb, Seq(0L, 7L), 3, cells = 4, nprobe = 2).collect()
+    // reference: brute-force within the same probed cells via the old
+    // zip_with/aggregate argmin, recomputed here driver-side
+    val vecs = emb.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // same deterministic centroid pick as ivfTopK
+    val cents = vecs.keys.toSeq
+      .sortBy(id => ((id * 2654435761L) % 4294967296L + 4294967296L) % 4294967296L -> id)
+      .take(4).map(id => id -> vecs(id))
+    def near(v: Array[Double], n: Int) =
+      cents.sortBy { case (cid, cv) => (sq(v, cv), cid) }.take(n).map(_._1)
+    val assign = vecs.map { case (id, v) => id -> near(v, 1).head }
+    for (q <- Seq(0L, 7L)) {
+      val probed = near(vecs(q), 2).toSet
+      val cand = vecs.keys.filter(id => id != q && probed(assign(id)))
+      def cos(a: Array[Double], b: Array[Double]) = {
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum
+        BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val expect = cand.toSeq.map(id => (id, cos(vecs(q), vecs(id))))
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      val got = out.filter(_.getAs[Long]("qid") == q)
+        .sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor")).toSeq
+      assert(got == expect, s"qid=$q")
+    }
+  }
+
   test("simhash pairs equal exact brute force (pigeonhole recall is total)") {
     // docs engineered so some qualifying pairs differ in bits spread
     // across many blocks — the r1 4-block scheme missed these

@@ -40,6 +40,22 @@ class TranslitSpec extends AnyFunSuite {
     assert(Translit.transliterateCjk("ちゃ") == "cha")
   }
 
+  test("loanword small vowels contract on the bare u-row vowel too") {
+    assert(Translit.transliterateCjk("ウィーン") == "wiin")   // Vienna
+    assert(Translit.transliterateCjk("ウェールズ") == "weeruzu") // Wales
+    assert(Translit.transliterateCjk("ウォール") == "wooru")  // Wall (St.)
+    assert(Translit.transliterateCjk("ファ") == "fa")
+    assert(Translit.transliterateCjk("ヴァ") == "va")
+  }
+
+  test("compatibility jamo romanize through the RR tables") {
+    assert(Translit.transliterateCjk("ㄱ") == "g")
+    assert(Translit.transliterateCjk("ㄴ") == "n")
+    assert(Translit.transliterateCjk("ㅏ") == "a")
+    assert(Translit.transliterateCjk("ㅎㅏ") == "ha")
+    assert(Translit.transliterateCjk("ㅟ") == "wi")
+  }
+
   test("han subset romanizes to space-separated pinyin") {
     assert(Translit.transliterateCjk("北京") == "bei jing")
     assert(Translit.transliterateCjk("上海") == "shang hai")
