@@ -14,19 +14,23 @@ import scala.collection.mutable
  * surface of whatever pipeline actually ran — options don't need a
  * central registry.
  */
-final class Arguments private (values: Map[String, String]) {
+final class Arguments private (cli: Map[String, String], fromFile: Map[String, String]) {
 
   private val seen = mutable.LinkedHashMap.empty[String, (String, String)]
 
   private def canonical(key: String): String =
     key.toLowerCase.replace('-', '_')
 
-  /** Raw lookup through the precedence chain (no doc recording). */
+  /** Raw lookup through the precedence chain (no doc recording). The
+    * config FILE is the weakest layer — below props and env — so a
+    * file-supplied key can still be overridden per-run without editing
+    * the file (the documented contract above). */
   def optional(key: String): Option[String] = {
     val k = canonical(key)
-    values.get(k)
+    cli.get(k)
       .orElse(sys.props.get(s"graft.$k"))
       .orElse(sys.env.get(s"GRAFT_${k.toUpperCase}"))
+      .orElse(fromFile.get(k))
   }
 
   private def record(key: String, desc: String, default: String): Unit =
@@ -49,7 +53,14 @@ final class Arguments private (values: Map[String, String]) {
 
   def getBoolean(key: String, desc: String, default: Boolean): Boolean = {
     record(key, desc, default.toString)
-    optional(key).map(v => v.trim.isEmpty || v.trim.toBoolean).getOrElse(default)
+    optional(key).map { raw =>
+      raw.trim.toLowerCase match {
+        case "" | "true" | "1" | "yes" | "on" => true
+        case "false" | "0" | "no" | "off" => false
+        case other => throw new IllegalArgumentException(
+          s"--${canonical(key)}: expected a boolean (true/false/1/0/yes/no/on/off), got '$other'")
+      }
+    }.getOrElse(default)
   }
 
   /** Comma-separated list. */
@@ -58,11 +69,11 @@ final class Arguments private (values: Map[String, String]) {
     optional(key).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(default)
   }
 
-  /** All `prefix.<name>=value` pairs from the CLI/config layer (e.g.
-    * `--meta.attribution=...` -> archive metadata). */
+  /** All `prefix.<name>=value` pairs from the CLI/config layers (e.g.
+    * `--meta.attribution=...` -> archive metadata); CLI wins per key. */
   def withPrefix(prefix: String): Map[String, String] = {
     val p = canonical(prefix) + "."
-    values.collect { case (k, v) if k.startsWith(p) => k.substring(p.length) -> v }
+    (fromFile ++ cli).collect { case (k, v) if k.startsWith(p) => k.substring(p.length) -> v }
   }
 
   /** Help text for every option consumed so far. */
@@ -71,7 +82,7 @@ final class Arguments private (values: Map[String, String]) {
       f"  --$k%-24s $desc (default: $default)"
     }.mkString("\n")
 
-  def helpRequested: Boolean = values.contains("help")
+  def helpRequested: Boolean = cli.contains("help")
 }
 
 object Arguments {
@@ -93,8 +104,8 @@ object Arguments {
       import scala.jdk.CollectionConverters._
       p.asScala.map { case (k, v) => k.toLowerCase.replace('-', '_') -> v }.toMap
     }.getOrElse(Map.empty)
-    // CLI wins over the config file
-    new Arguments(fromFile ++ cli)
+    // layers stay separate so props/env can sit between them
+    new Arguments(cli, fromFile)
   }
 
   def of(pairs: (String, String)*): Arguments = parse(pairs.map { case (k, v) => s"--$k=$v" }.toArray)

@@ -19,25 +19,31 @@ import org.apache.spark.sql.SparkSession
  */
 object GraftCli {
 
-  /** Run the configured pipeline; returns the written tile count. */
-  def run(args: Arguments, spark: SparkSession): Long = {
+  /** Every pipeline option, read in one place. Consuming an option
+    * records it for `Arguments.describe()`, so `--help` can print the
+    * full surface by calling this WITHOUT executing the pipeline. No
+    * validation here — `run` validates after reading. */
+  private case class Opts(sfDir: String, input: String, output: String,
+                          maxZoom: Int, partitions: Int, gzip: Boolean,
+                          pip: Boolean, profilePath: String, hillshade: Boolean,
+                          metadata: Map[String, String]) {
+    val isOsm: Boolean = input.endsWith(".osm.pbf") || input.endsWith(".pbf")
+    val vectorFormat: Option[String] = // direct vector-file ingest via DSv2
+      if (input.endsWith(".shp")) Some("shapefile")
+      else if (input.endsWith(".gpkg")) Some("geopackage")
+      else None
+  }
+
+  private def readOptions(args: Arguments, defaultParallelism: Int): Opts = {
     val sfDir = args.getString("sf_dir",
       "testdata directory with the TPC-H-ish tables (docs synthesized)", "")
     val input = args.getString("input",
       "input: a parquet docs-table directory, an .osm.pbf file, a .shp, or a .gpkg", "")
-    require(sfDir.nonEmpty || input.nonEmpty, "one of --input / --sf-dir is required")
-    val isOsm = input.endsWith(".osm.pbf") || input.endsWith(".pbf")
-    val vectorFormat = // direct vector-file ingest via the DSv2 providers
-      if (input.endsWith(".shp")) Some("shapefile")
-      else if (input.endsWith(".gpkg")) Some("geopackage")
-      else None
     val output = args.getString("output",
       "output archive URI (.mbtiles/.pmtiles/.pb/.csv/.json or a {z}/{x}/{y}.pbf dir)", "")
-    require(output.nonEmpty, "--output is required")
-
     val maxZoom = args.getInt("maxzoom", "maximum zoom rendered (caps every layer)", 8)
     val partitions = args.getInt("partitions", "range partitions for the tile shuffle",
-      spark.sparkContext.defaultParallelism)
+      defaultParallelism)
     val gzip = args.getBoolean("gzip", "gzip tile bytes in the archive", default = true)
     val pip = args.getBoolean("pip",
       "assign each point its containing admin polygon (broadcast PIP)", default = true)
@@ -46,6 +52,25 @@ object GraftCli {
     val hillshade = args.getBoolean("hillshade",
       "hillshade each doc's media-ref DEM and add the shade bands as a polygon layer",
       default = false)
+    val metadata = Map(
+      "name" -> args.getString("archive_name", "archive metadata: name", "graft"),
+      "format" -> args.getString("archive_format", "archive metadata: tile format", "pbf")) ++
+      args.withPrefix("meta")
+    // consumed by main() before the session exists; recorded here too
+    // so --help documents them
+    args.getInt("shuffle_partitions", "spark.sql.shuffle.partitions", 32)
+    args.getString("master", "spark master when not using spark-submit", "local[*]")
+    args.getString("config", "java-properties file with option defaults", "")
+    Opts(sfDir, input, output, maxZoom, partitions, gzip, pip, profilePath,
+      hillshade, metadata)
+  }
+
+  /** Run the configured pipeline; returns the written tile count. */
+  def run(args: Arguments, spark: SparkSession): Long = {
+    val o = readOptions(args, spark.sparkContext.defaultParallelism)
+    import o._
+    require(sfDir.nonEmpty || input.nonEmpty, "one of --input / --sf-dir is required")
+    require(output.nonEmpty, "--output is required")
     require(!((isOsm || vectorFormat.isDefined) && hillshade),
       "--hillshade applies to docs inputs (media-ref DEMs); file-feature inputs carry no rasters")
 
@@ -93,6 +118,7 @@ object GraftCli {
     // read the pre-attached tag — a planet-scale polygon layer degrades
     // to the scale path instead of failing the job
     var pipIndex: Option[SpatialJoin.PolygonIndex] = None
+    var persisted: Option[org.apache.spark.sql.Dataset[graft.model.SourceFeature]] = None
     val features: org.apache.spark.sql.Dataset[graft.model.SourceFeature] =
       if (!pip || profilePath.nonEmpty) baseFeatures
       else {
@@ -101,10 +127,13 @@ object GraftCli {
         // itself) — persist so the expensive OSM/vector parse runs once,
         // spilling to disk rather than recomputing at planet scale
         baseFeatures.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // polygon layer: synthesized for --sf-dir; filtered out of
-        // the feature stream itself for --input
+        persisted = Some(baseFeatures)
+        // polygon layer: synthesized from sf-dir only when the docs
+        // THEMSELVES come from sf-dir — an explicit --input must be
+        // tagged against its own polygon features, never an unrelated
+        // synthetic layer that happens to also be configured
         val polysDf =
-          if (sfDir.nonEmpty && !isOsm && vectorFormat.isEmpty)
+          if (sfDir.nonEmpty && input.isEmpty && !isOsm && vectorFormat.isEmpty)
             Docs.sourceFeatures(Docs.polygonDocs(spark, sfDir)).toDF()
           else baseFeatures
             // hillshade shade bands are styling polygons, not admin
@@ -133,24 +162,24 @@ object GraftCli {
         pointMaxZoom = maxZoom, lineMaxZoom = maxZoom,
         polyMaxZoom = math.min(7, maxZoom), pip = pipIndex)
 
-    val metadata = Map(
-      "name" -> args.getString("archive_name", "archive metadata: name", "graft"),
-      "format" -> args.getString("archive_format", "archive metadata: tile format", "pbf")) ++
-      args.withPrefix("meta")
-
-    val tiles = Pipeline.tilesFromFeatures(features, profile,
-      numPartitions = partitions, gzipTiles = gzip,
-      rebalance = if (vectorFormat.isDefined) partitions else 0)
-    Archives.write(tiles, output, metadata, tilesGzipped = gzip)
+    try {
+      val tiles = Pipeline.tilesFromFeatures(features, profile,
+        numPartitions = partitions, gzipTiles = gzip,
+        rebalance = if (vectorFormat.isDefined) partitions else 0)
+      Archives.write(tiles, output, metadata, tilesGzipped = gzip)
+    } finally {
+      // release the PIP-stage cache: a long-lived session calling run()
+      // repeatedly must not accumulate pinned feature datasets
+      persisted.foreach(_.unpersist())
+    }
   }
 
   def main(argv: Array[String]): Unit = {
     val args = Arguments.parse(argv)
     if (args.helpRequested) {
-      // consume every option once so describe() covers the surface
-      val spark = SparkSession.builder().master("local[1]")
-        .appName("graft-help").getOrCreate()
-      try run(args, spark) catch { case _: Exception => () } finally spark.stop()
+      // record the full option surface WITHOUT running anything — help
+      // must never execute the pipeline (or write the output archive)
+      readOptions(args, defaultParallelism = 32)
       println("graft tile pipeline options:\n" + args.describe())
       return
     }

@@ -157,6 +157,37 @@ object Pipeline {
    * mini-table-format analog of the reference's reusable feature DB +
    * the north rule's "resume from Iceberg snapshot".
    */
+  /** The committed snapshot version under `base`, or None. THE shared
+    * hint probe — snapshotVersioned and Streams.readCommittedTiles
+    * both resolve versions through it, so the two can't drift on the
+    * recovery rule: if the hint file is missing but a
+    * `.version-hint.N.tmp` exists, a writer died in the delete->rename
+    * window AFTER snapshot N fully wrote, and the commit is rolled
+    * FORWARD (tmp renamed into place). Snapshot dirs themselves are
+    * NOT trusted: the hint rename is the commit point, and a
+    * fully-written dir without a hint is semantically uncommitted. */
+  private[graft] def committedVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                      base: org.apache.hadoop.fs.Path): Option[Int] = {
+    val hint = new org.apache.hadoop.fs.Path(base, "version-hint.text")
+    if (fs.exists(hint)) {
+      val in = fs.open(hint)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    } else if (!fs.exists(base)) None
+    else {
+      val tmps = fs.listStatus(base).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(".version-hint.") && n.endsWith(".tmp") =>
+          n.stripPrefix(".version-hint.").stripSuffix(".tmp") }
+        .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt }
+      if (tmps.isEmpty) None
+      else {
+        val v = tmps.max
+        fs.rename(new org.apache.hadoop.fs.Path(base, s".version-hint.$v.tmp"), hint)
+        Some(v)
+      }
+    }
+  }
+
   def snapshotVersioned[T](ds: Dataset[T], tableDir: String, recompute: Boolean = false)(
       implicit enc: org.apache.spark.sql.Encoder[T]): (Dataset[T], Int) = {
     val spark = ds.sparkSession
@@ -164,34 +195,7 @@ object Pipeline {
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(conf)
     val hint = new org.apache.hadoop.fs.Path(base, "version-hint.text")
-    def latest(): Option[Int] =
-      if (fs.exists(hint)) {
-        val in = fs.open(hint)
-        try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt)
-        finally in.close()
-      } else if (!fs.exists(base)) None
-      else {
-        // hint lost — a writer died in the delete->rename window. The
-        // tmp hint is written only AFTER its snapshot fully wrote, so
-        // the newest tmp is safe to recover (it was one rename from
-        // committed). Snapshot dirs themselves are NOT trusted here:
-        // the hint rename is the commit point, and a fully-written dir
-        // without a hint is still semantically uncommitted.
-        val tmps = fs.listStatus(base).toSeq.map(_.getPath.getName)
-          .collect { case n if n.startsWith(".version-hint.") && n.endsWith(".tmp") =>
-            n.stripPrefix(".version-hint.").stripSuffix(".tmp") }
-          .collect { case n if n.nonEmpty && n.forall(_.isDigit) => n.toInt }
-        if (tmps.isEmpty) None
-        else {
-          // roll the interrupted commit FORWARD so every other reader
-          // (e.g. Streams.readCommittedTiles, which trusts only the
-          // hint) sees the same committed version we are about to act on
-          val v = tmps.max
-          fs.rename(new org.apache.hadoop.fs.Path(base, s".version-hint.$v.tmp"), hint)
-          Some(v)
-        }
-      }
-    latest() match {
+    committedVersion(fs, base) match {
       case Some(v) if !recompute =>
         (spark.read.parquet(s"$tableDir/snapshot-$v").as[T], v)
       case prev =>

@@ -79,7 +79,11 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition "model" setup would go here (once, not per row)
       it.map { r =>
-        val payload = r.getAs[Array[Byte]](payloadIdx)
+        // payload is nullable in mediaSchema (a ref whose blob fetch
+        // failed); a null decodes to the zero/empty feature instead of
+        // killing the stage with an NPE
+        val payload0 = r.getAs[Array[Byte]](payloadIdx)
+        val payload = if (payload0 == null) Array.emptyByteArray else payload0
         val f = new Array[Float](FeatureDim)
         var i = 0
         while (i < payload.length) {
@@ -103,7 +107,10 @@ object Multimodal {
   def sampleFrames(media: DataFrame, everyMs: Int): DataFrame =
     media.where(col("kind") === "video")
       .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(col("meta.duration_ms") / everyMs - 1, lit(0)))))
+        // integer division: `/` yields DoubleType and sequence()
+        // rejects double bounds (DATATYPE_MISMATCH on Spark 4)
+        explode(sequence(lit(0L),
+          greatest(floor(col("meta.duration_ms") / everyMs).cast("long") - 1, lit(0L)))))
       .select(col("media_ref"), col("frame_idx"),
         xxhash64(col("media_ref"), col("frame_idx")).as("frame_sig"))
 }

@@ -61,7 +61,14 @@ object Streams {
               else if (t - cur.last_ts > gapSeconds) {
                 closed += cur
                 cur = SessionAgg(userId, 1, t, t)
-              } else cur = cur.copy(events = cur.events + 1, last_ts = t)
+              } else cur = cur.copy(events = cur.events + 1,
+                // sorting is per-micro-batch only: a LATE event from a
+                // later batch merges into the stored session but must
+                // not rewind its frontier (last_ts) — that would make
+                // the next on-time event look past-gap and split the
+                // session spuriously. Extend both edges monotonically.
+                start_ts = math.min(cur.start_ts, t),
+                last_ts = math.max(cur.last_ts, t))
             }
             if (cur != null) {
               state.update(cur)
@@ -74,15 +81,29 @@ object Streams {
 
   /**
    * Incremental ingest with TRANSACTIONAL batches: each micro-batch's
-   * tiles commit as a versioned snapshot under `tableDir/batch_<id>`
-   * via [[Pipeline.snapshotVersioned]] (write, then atomic
-   * version-hint rename). foreachBatch can re-run a batch after a
-   * failure, so the sink must be idempotent per batch id — and it is:
-   * a batch whose snapshot committed is read back instead of
-   * recomputed, while a batch that died mid-write left no hint, so
-   * readers never saw the partial output and the re-run overwrites it.
+   * RENDERED FEATURES (the pre-assembly Kv rows) commit as a versioned
+   * snapshot under `tableDir/batch_<id>` via
+   * [[Pipeline.snapshotVersioned]] (write, then atomic version-hint
+   * rename). foreachBatch can re-run a batch after a failure, so the
+   * sink must be idempotent per batch id — and it is: a batch whose
+   * snapshot committed is read back instead of recomputed, while a
+   * batch that died mid-write left no hint, so readers never saw the
+   * partial output and the re-run overwrites it.
+   *
+   * Snapshotting FEATURES rather than finished tiles is what makes the
+   * table upsert-correct: a tile coordinate touched by several batches
+   * is assembled ONCE, at read time, over the union of all committed
+   * features — per-tile merge, label-grid limits, and dedup see the
+   * full feature set, exactly as the uninterrupted batch run would.
+   * (Per-batch tile snapshots would leave two partial byte blobs for
+   * the same coordinate, which no reader can merge losslessly.)
    * End-to-end: kill at ANY point, restart from the checkpoint, and
-   * the committed archive equals the uninterrupted run.
+   * [[readCommittedTiles]] equals the uninterrupted run.
+   *
+   * Caveat: a profile with `sources`/`finish` emits its flush features
+   * once per BATCH here (the batch pipeline emits them once per run) —
+   * acceptable for summary/watermark features, but finish-heavy
+   * profiles should dedup in postProcess.
    */
   def incrementalTilesVersioned(docsStream: DataFrame, profile: Profile,
                                 tableDir: String, checkpointDir: String,
@@ -93,18 +114,27 @@ object Streams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           import batch.sparkSession.implicits._
-          val tiles = Pipeline.tiles(batch, profile, numPartitions, gzipTiles = false)
-          Pipeline.snapshotVersioned(tiles, s"$tableDir/batch_$batchId")
+          val rendered = Pipeline.renderedFromDocs(batch, profile, rebalance = numPartitions)
+          Pipeline.snapshotVersioned(rendered, s"$tableDir/batch_$batchId")
           ()
         }
       }
       .trigger(Trigger.AvailableNow())
       .start()
 
-  /** Union of all COMMITTED batch snapshots under `tableDir`; batch
+  /** Assemble final tiles from all COMMITTED batch snapshots under
+    * `tableDir` (merge-on-read): union the committed rendered-feature
+    * snapshots, then run the normal distributed tile assembly once, so
+    * tiles spanning batches merge exactly as in a batch run. Batch
     * dirs whose writer died before the version-hint rename are
-    * invisible. */
-  def readCommittedTiles(spark: SparkSession, tableDir: String): DataFrame = {
+    * invisible (the hint probe shares [[Pipeline.committedVersion]],
+    * including its roll-forward of a commit interrupted between the
+    * hint delete and rename). */
+  def readCommittedTiles(spark: SparkSession, tableDir: String,
+                         profile: Profile = new Pipeline.GraftProfile(),
+                         numPartitions: Int = 8,
+                         gzipTiles: Boolean = false): Dataset[TileBytes] = {
+    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val base = new org.apache.hadoop.fs.Path(tableDir)
     val fs = base.getFileSystem(conf)
@@ -114,19 +144,14 @@ object Streams {
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
         .sortBy(_.getPath.getName)
         .flatMap { s =>
-          val hint = new org.apache.hadoop.fs.Path(s.getPath, "version-hint.text")
-          if (!fs.exists(hint)) None
-          else {
-            val in = fs.open(hint)
-            val v = try new String(
-              org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim.toInt
-            finally in.close()
-            Some(s"${s.getPath}/snapshot-$v")
-          }
+          Pipeline.committedVersion(fs, s.getPath).map(v => s"${s.getPath}/snapshot-$v")
         }
     if (snapshots.isEmpty)
-      spark.emptyDataset(org.apache.spark.sql.Encoders.product[TileBytes]).toDF()
-    else spark.read.parquet(snapshots: _*)
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[TileBytes])
+    else
+      TileAssembler.assemble(
+        spark.read.parquet(snapshots: _*).as[graft.engine.Kv],
+        profile, numPartitions, gzipTiles)
   }
 
   /**

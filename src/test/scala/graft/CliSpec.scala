@@ -27,6 +27,19 @@ class CliSpec extends AnyFunSuite {
     val b = Arguments.of("ratio" -> "0.25", "names" -> "a, b,c")
     assert(b.getDouble("ratio", "r", 1.0) == 0.25)
     assert(b.getStrings("names", "n", Nil) == Seq("a", "b", "c"))
+    // system property outranks the config FILE (documented precedence:
+    // CLI > props > env > config file) — maxzoom=3 is in the file
+    sys.props("graft.archive_name") = "fromprop"
+    try
+      assert(a.getString("archive_name", "name", "graft") == "fromprop",
+        "props must override config-file values")
+    finally sys.props.remove("graft.archive_name")
+    // boolean spellings + a clear error naming the option
+    val c = Arguments.of("gzip" -> "1", "pip" -> "off", "bad" -> "maybe")
+    assert(c.getBoolean("gzip", "g", default = false))
+    assert(!c.getBoolean("pip", "p", default = true))
+    val err = intercept[IllegalArgumentException](c.getBoolean("bad", "b", default = true))
+    assert(err.getMessage.contains("--bad") && err.getMessage.contains("maybe"))
   }
 
   test("end-to-end: options-driven pipeline writes a readable archive") {

@@ -304,6 +304,24 @@ class ModulesSpec extends AnyFunSuite {
     val feats2 = graft.mm.Multimodal.extractFeatures(graft.mm.Multimodal.synthesizeMedia(refs))
       .collect()
     assert(feats.map(_.toString).sorted.toSeq == feats2.map(_.toString).sorted.toSeq)
+    // null payload (nullable in mediaSchema): zero feature, not an NPE
+    val nulled = media.withColumn("payload",
+      org.apache.spark.sql.functions.lit(null).cast("binary"))
+    val nf = graft.mm.Multimodal.extractFeatures(nulled).collect()
+    assert(nf.forall(_.getAs[Seq[Float]]("feature").forall(_ == 0.0f)))
+    // frame sampling: analyzable plan (sequence needs integral bounds)
+    // and one row per everyMs window of the video's duration
+    val video = graft.mm.Multimodal.synthesizeMedia(
+      Seq("media://vid/1").toDF("media_ref"))
+      .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.col("meta.width"),
+        org.apache.spark.sql.functions.col("meta.height"),
+        org.apache.spark.sql.functions.lit(5000).as("duration_ms"),
+        org.apache.spark.sql.functions.col("meta.codec")))
+    val frames = graft.mm.Multimodal.sampleFrames(video, everyMs = 1000).collect()
+    assert(frames.length == 5)
+    assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq == (0L to 4L))
   }
 
   test("streaming: watermarked window agg over a rate-less batch via AvailableNow") {

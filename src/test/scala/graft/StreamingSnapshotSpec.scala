@@ -23,7 +23,7 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     q.awaitTermination(120000)
   }
 
-  private def tileSet(df: DataFrame): Set[(Long, Long)] =
+  private def tileSet(df: org.apache.spark.sql.Dataset[_]): Set[(Long, Long)] =
     df.select(col("tile_id"), col("content_hash")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
@@ -38,7 +38,7 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     val in = s"$root/in"
     part1.write.mode("append").parquet(in)
     runOnce(in, s"$root/t", s"$root/ckpt")
-    val afterBatch0 = tileSet(Streams.readCommittedTiles(spark, s"$root/t"))
+    val afterBatch0 = tileSet(Streams.readCommittedTiles(spark, s"$root/t", profile, numPartitions = 4))
     assert(afterBatch0.nonEmpty)
 
     // simulate a writer killed MID-SNAPSHOT for the next batch: a
@@ -46,14 +46,14 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     // renamed into place
     val partialDir = s"$root/t/batch_1/snapshot-1"
     part1.limit(3).write.parquet(partialDir)
-    assert(tileSet(Streams.readCommittedTiles(spark, s"$root/t")) == afterBatch0,
+    assert(tileSet(Streams.readCommittedTiles(spark, s"$root/t", profile, numPartitions = 4)) == afterBatch0,
       "uncommitted partial snapshot must be invisible to readers")
 
     // resume: new input file arrives, same checkpoint — batch 1
     // reprocesses, overwrites the partial dir, and commits
     part2.write.mode("append").parquet(in)
     runOnce(in, s"$root/t", s"$root/ckpt")
-    val interrupted = tileSet(Streams.readCommittedTiles(spark, s"$root/t"))
+    val interrupted = tileSet(Streams.readCommittedTiles(spark, s"$root/t", profile, numPartitions = 4))
 
     // --- uninterrupted control run (same two increments) ---
     val in2 = s"$root/in2"
@@ -61,10 +61,22 @@ class StreamingSnapshotSpec extends AnyFunSuite {
     runOnce(in2, s"$root/t2", s"$root/ckpt2")
     part2.write.mode("append").parquet(in2)
     runOnce(in2, s"$root/t2", s"$root/ckpt2")
-    val clean = tileSet(Streams.readCommittedTiles(spark, s"$root/t2"))
+    val clean = tileSet(Streams.readCommittedTiles(spark, s"$root/t2", profile, numPartitions = 4))
 
     assert(interrupted == clean, "resumed archive must equal the uninterrupted run")
     assert(interrupted.size > afterBatch0.size, "batch 1 contributed tiles")
+
+    // merge-on-read upsert semantics: a tile coordinate touched by BOTH
+    // batches yields ONE assembled row (not one partial tile per batch),
+    // and the whole table equals the single-batch run over all docs
+    val merged = Streams.readCommittedTiles(spark, s"$root/t", profile, numPartitions = 4)
+      .collect()
+    assert(merged.map(_.tile_id).distinct.length == merged.length,
+      "one row per tile coordinate across batches")
+    val batchEquivalent = Pipeline.tiles(docs, profile, numPartitions = 4, gzipTiles = false)
+      .collect().map(t => (t.tile_id, t.content_hash)).toSet
+    assert(merged.map(t => (t.tile_id, t.content_hash)).toSet == batchEquivalent,
+      "incremental table must equal the batch pipeline over the union of docs")
   }
 
   test("expireSnapshots: old and orphaned-uncommitted versions removed, live kept") {
