@@ -287,7 +287,10 @@ final class LongHashSet(initialCapacity: Int = 1 << 16) {
       hasZero = true
       return true
     }
-    if (used * 10 >= cap * 7) grow()
+    // Long arithmetic: at planet scale (~300M entries) `used * 10`
+    // overflows Int, the grow check goes false-negative, and a full
+    // table turns insert() into an infinite probe loop
+    if (used.toLong * 10 >= cap.toLong * 7) grow()
     insert(table, cap, v)
   }
 
@@ -305,6 +308,7 @@ final class LongHashSet(initialCapacity: Int = 1 << 16) {
   private def grow(): Unit = {
     val old = table
     cap <<= 1
+    require(cap > 0, "LongHashSet capacity overflow (>2^30 entries) — shard the dedup set")
     table = new Array[Long](cap)
     used = 0
     old.foreach(v => if (v != 0L) insert(table, cap, v))
