@@ -80,6 +80,9 @@ object Proj {
   def ecefToGeodetic(x: Double, y: Double, z: Double, ell: Ellipsoid): (Double, Double) = {
     val lon = math.atan2(y, x)
     val p = math.hypot(x, y)
+    // exactly at a pole the h = p/cos(lat) - n form is 0/0 and the
+    // iteration NaNs; the closed answer is lat = ±90
+    if (p < 1e-9) return (0.0, if (z >= 0) 90.0 else -90.0)
     var lat = math.atan2(z, p * (1.0 - ell.e2))
     var i = 0
     while (i < 8) {
