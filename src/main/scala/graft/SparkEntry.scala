@@ -1420,6 +1420,75 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(max(col("session_idx")).as("sessions"), count(lit(1)).as("events"))
         .orderBy(col("user_id"))
+    }),
+
+    "q69_archive_roundtrip" -> ((s, dir) => {
+      // DSv2 tile-archive WRITE -> READ byte fidelity for BOTH
+      // single-file formats, content-dedup path included: per supplier
+      // row one z=10 tile at Hilbert position k with a 16-byte
+      // md5("t"+k) payload; every k % 10 == 0 shares ONE constant
+      // payload so the pmtiles run-length/back-reference and the
+      // mbtiles compact map+images dedup are ON the gate path. The
+      // oracle regenerates (x, y) by replaying the INVERSE Hilbert
+      // walk as a recursive CTE (the pmtiles reader decodes ids
+      // through its own curve, so this cross-checks it bitwise) and
+      // the payload hex by the same md5 arithmetic.
+      import s.implicits._
+      val ks = t(s, dir, "supplier").select(col("s_suppkey"))
+        .collect().map(_.get(0).asInstanceOf[Number].longValue).sorted
+      val constBytes = Array.fill(16)(0xAB.toByte)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tiles = ks.map { k =>
+        val (x, y) = graft.geo.Hilbert.indexToXY(10, k)
+        val dup = k % 10 == 0
+        val bytes = if (dup) constBytes else md.digest(s"t$k".getBytes("UTF-8"))
+        graft.model.TileBytes(graft.geo.TileCoord.zoomOffset(10) + k, 10, x, y,
+          bytes, 1, if (dup) -1L else k)
+      }.toSeq
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q69")
+      val pm = tmp.resolve("t.pmtiles").toString
+      val mb = tmp.resolve("t.mbtiles").toString
+      val df = tiles.toDF().repartition(4).orderBy("tile_id")
+      df.write.format("pmtiles").mode("overwrite")
+        .option("tiles_gzipped", "false").save(pm)
+      df.write.format("mbtiles").mode("overwrite").save(mb)
+      def back(fmt: String, path: String) =
+        s.read.format(fmt).load(path).select(lit(fmt).as("fmt"),
+          col("z"), col("x"), col("y"), lower(hex(col("bytes"))).as("payload_hex"))
+      back("pmtiles", pm).unionByName(back("mbtiles", mb))
+        .orderBy(col("fmt"), col("x"), col("y"))
+    }),
+
+    "q70_files_archive" -> ((s, dir) => {
+      // the PARALLEL files sink — the one archive with NO serial drain
+      // phase (every partition writes its own {z}/{x}/{y}.pbf leaves):
+      // the same md5-payload tiles as q69 go out through
+      // writeFilesArchive and come back through the binaryFile source
+      // with (z, x, y) parsed from the path; the oracle replays the
+      // inverse Hilbert walk + the md5 hex arithmetic
+      import s.implicits._
+      val ks = t(s, dir, "supplier").select(col("s_suppkey"))
+        .collect().map(_.get(0).asInstanceOf[Number].longValue).sorted
+      val constBytes = Array.fill(16)(0xAB.toByte)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val tiles = ks.map { k =>
+        val (x, y) = graft.geo.Hilbert.indexToXY(10, k)
+        val dup = k % 10 == 0
+        val bytes = if (dup) constBytes else md.digest(s"t$k".getBytes("UTF-8"))
+        graft.model.TileBytes(graft.geo.TileCoord.zoomOffset(10) + k, 10, x, y,
+          bytes, 1, if (dup) -1L else k)
+      }.toSeq
+      val out = java.nio.file.Files.createTempDirectory("graft_q70").toString
+      val written = graft.engine.TileAssembler.writeFilesArchive(
+        s.createDataset(tiles).repartition(4).orderBy("tile_id"), out)
+      require(written == ks.length, s"files archive wrote $written of ${ks.length}")
+      s.read.format("binaryFile").load(out + "/*/*/*.pbf")
+        .select(
+          regexp_extract(col("path"), "/(\\d+)/(\\d+)/(\\d+)\\.pbf$", 1).cast("int").as("z"),
+          regexp_extract(col("path"), "/(\\d+)/(\\d+)/(\\d+)\\.pbf$", 2).cast("int").as("x"),
+          regexp_extract(col("path"), "/(\\d+)/(\\d+)/(\\d+)\\.pbf$", 3).cast("int").as("y"),
+          lower(hex(col("content"))).as("payload_hex"))
+        .orderBy(col("x"), col("y"))
     })
   )
 
@@ -2356,6 +2425,51 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
            FROM e)
          SELECT user_id, CAST(MAX(session_idx) AS BIGINT) AS sessions, COUNT(*) AS events
-         FROM s GROUP BY 1 ORDER BY 1"""
+         FROM s GROUP BY 1 ORDER BY 1""",
+
+    // q69: (x, y) from the INVERSE Hilbert walk (d -> xy on a 2^10
+    // grid: rx = (t//2)&1, ry = (t xor rx)&1; ry=0 reflects+swaps),
+    // payload hex from the same md5 arithmetic as the fixture
+    "q69_archive_roundtrip" ->
+      """WITH RECURSIVE ks AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         walk(k, t, x, y, s) AS (
+           SELECT k, k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM ks
+           UNION ALL
+           SELECT k, t // 4,
+             (CASE WHEN (xor(t, t // 2) & 1) = 0
+                   THEN (CASE WHEN ((t // 2) & 1) = 1 THEN s - 1 - y ELSE y END)
+                   ELSE x END) + s * ((t // 2) & 1),
+             (CASE WHEN (xor(t, t // 2) & 1) = 0
+                   THEN (CASE WHEN ((t // 2) & 1) = 1 THEN s - 1 - x ELSE x END)
+                   ELSE y END) + s * (xor(t, t // 2) & 1),
+             s * 2
+           FROM walk WHERE s < 1024),
+         coords AS (SELECT k, x, y FROM walk WHERE s = 1024)
+         SELECT f.fmt, 10 AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+           CASE WHEN k % 10 = 0 THEN repeat('ab', 16)
+                ELSE md5('t' || CAST(k AS VARCHAR)) END AS payload_hex
+         FROM coords CROSS JOIN (VALUES ('pmtiles'), ('mbtiles')) AS f(fmt)
+         ORDER BY f.fmt, x, y""",
+
+    // q70: same inverse-Hilbert + md5 replay, one row per tile (the
+    // files archive has no per-format fan-out)
+    "q70_files_archive" ->
+      """WITH RECURSIVE ks AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+         walk(k, t, x, y, s) AS (
+           SELECT k, k, CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM ks
+           UNION ALL
+           SELECT k, t // 4,
+             (CASE WHEN (xor(t, t // 2) & 1) = 0
+                   THEN (CASE WHEN ((t // 2) & 1) = 1 THEN s - 1 - y ELSE y END)
+                   ELSE x END) + s * ((t // 2) & 1),
+             (CASE WHEN (xor(t, t // 2) & 1) = 0
+                   THEN (CASE WHEN ((t // 2) & 1) = 1 THEN s - 1 - x ELSE x END)
+                   ELSE y END) + s * (xor(t, t // 2) & 1),
+             s * 2
+           FROM walk WHERE s < 1024)
+         SELECT 10 AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
+           CASE WHEN k % 10 = 0 THEN repeat('ab', 16)
+                ELSE md5('t' || CAST(k AS VARCHAR)) END AS payload_hex
+         FROM walk WHERE s = 1024 ORDER BY x, y"""
   )
 }
