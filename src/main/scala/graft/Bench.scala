@@ -295,14 +295,25 @@ object Bench {
       m.map { case (k, v) => "\"" + k + "\":" + fmtAt(v, dp) }.mkString("{", ",", "}")
     def jmap(m: scala.collection.Map[String, Double]): String = jmapAt(m, 3)
     val total = results.values.sum
+    // the stdout line must survive the driver's ~2000-char tail capture
+    // (sbt's trailer takes ~80); with 70+ queries even 1-decimal values
+    // under full names run ~1780 chars — no margin. Abbreviate each
+    // query key to its unambiguous "qNN" stem on the STDOUT line only
+    // (the BENCH_LOCAL.json file copy keeps full names), then drop
+    // decimals as a second line of defense.
+    def stem(k: String): String = {
+      val m = "^(q\\d+)_.*$".r
+      k match { case m(s) => s; case other => other }
+    }
+    val shortResults = results.map { case (k, v) => stem(k) -> v }
     def lineAt(dp: Int): String =
-      s"""{"metric":"total","value":${fmtAt(total, dp)},"unit":"sec","queries":${jmapAt(results, dp)},"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${fmtAt(tiles / tileSec, 1)}}"""
-    // the driver tail-captures ~2000 chars and sbt's trailer takes ~80;
-    // drop decimal places until the line is safely inside that window
+      s"""{"metric":"total","value":${fmtAt(total, dp)},"unit":"sec","queries":${jmapAt(shortResults, dp)},"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${fmtAt(tiles / tileSec, 1)}}"""
     val json = (3 to 1 by -1).map(lineAt).find(_.length <= 1800).getOrElse(lineAt(1))
     // full detail (both passes) goes to the file copy only
     val fileJson = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${jmap(results)},"pass1":${jmap(passTimes(0))},"pass2":${jmap(passTimes(1))},"sf":"$sfDir","tiles":$tiles,"tiles_per_sec":${fmt(tiles / tileSec)}}"""
-    try {
+    // partial runs (SPARK_GRAFT_ONLY) must not clobber the committed
+    // full-run artifact
+    if (only.isEmpty) try {
       val w = new java.io.PrintWriter("/root/repo/BENCH_LOCAL.json")
       try w.println(fileJson) finally w.close()
     } catch { case _: Exception => () }
