@@ -211,26 +211,75 @@ object OsmPbf {
     } finally in.close()
   }
 
-  /** Blob message → uncompressed payload (raw or zlib). */
+  /**
+   * LZ4 BLOCK format decode, from the published spec (lz4.org block
+   * format): per sequence a token byte carries the literal length in
+   * the high nibble and the match length - 4 in the low nibble (15
+   * means extended by a run of 255-valued bytes plus a terminator), a
+   * 2-byte little-endian match offset follows the literals, and match
+   * copies run byte-wise so overlapping matches (offset < length) RLE
+   * correctly. The osm.pbf `lz4_data` field carries one raw block
+   * whose decompressed size is the blob's `raw_size` — the same
+   * contract the reference decodes via lz4-java
+   * (`reader/osm/PbfDecoder.java:80-95`).
+   */
+  def lz4DecompressBlock(src: Array[Byte], rawSize: Int): Array[Byte] = {
+    val out = new Array[Byte](rawSize)
+    var sp = 0
+    var op = 0
+    while (sp < src.length) {
+      val token = src(sp) & 0xff; sp += 1
+      var litLen = token >>> 4
+      if (litLen == 15) {
+        var b = 255
+        while (b == 255) { b = src(sp) & 0xff; sp += 1; litLen += b }
+      }
+      System.arraycopy(src, sp, out, op, litLen)
+      sp += litLen; op += litLen
+      if (sp < src.length) { // the last sequence ends after its literals
+        val offset = (src(sp) & 0xff) | ((src(sp + 1) & 0xff) << 8)
+        sp += 2
+        require(offset > 0 && offset <= op, s"lz4: bad match offset $offset at out pos $op")
+        var matchLen = token & 0xf
+        if (matchLen == 15) {
+          var b = 255
+          while (b == 255) { b = src(sp) & 0xff; sp += 1; matchLen += b }
+        }
+        matchLen += 4
+        var from = op - offset
+        var i = 0
+        while (i < matchLen) { out(op) = out(from); op += 1; from += 1; i += 1 }
+      }
+    }
+    require(op == rawSize, s"lz4: decompressed $op bytes, blob raw_size says $rawSize")
+    out
+  }
+
+  /** Blob message → uncompressed payload (raw, zlib, or lz4 block). */
   def inflateBlob(blob: Array[Byte]): Array[Byte] = {
     val pb = new Pb(blob, 0, blob.length)
     var raw: Array[Byte] = null
     var rawSize = -1
     var zlib: Array[Byte] = null
+    var lz4: Array[Byte] = null
     while (pb.hasMore) {
       pb.tag() match {
         case (1, 2) => raw = pb.bytesValue()
         case (2, 0) => rawSize = pb.varint().toInt
         case (3, 2) => zlib = pb.bytesValue()
-        case (f, 2) if f == 4 || f == 5 || f == 6 || f == 7 =>
+        case (6, 2) => lz4 = pb.bytesValue()
+        case (f, 2) if f == 4 || f == 5 || f == 7 =>
           throw new UnsupportedOperationException(
-            s"osmpbf: blob compression field $f (lzma/lz4/zstd) not supported; re-encode with zlib")
+            s"osmpbf: blob compression field $f (lzma/zstd) not supported; re-encode with zlib")
         case (_, w) => pb.skip(w)
       }
     }
     if (raw != null) raw
-    else {
-      require(zlib != null, "osmpbf: blob has neither raw nor zlib_data")
+    else if (lz4 != null) {
+      require(rawSize >= 0, "osmpbf: lz4 blob lacks the mandatory raw_size")
+      lz4DecompressBlock(lz4, rawSize)
+    } else {
+      require(zlib != null, "osmpbf: blob has neither raw, zlib_data nor lz4_data")
       val inf = new Inflater()
       inf.setInput(zlib)
       var out = new Array[Byte](if (rawSize > 0) rawSize else math.max(1 << 16, zlib.length * 8))

@@ -93,6 +93,23 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(counts("relation") == 243)
   }
 
+  test("lz4 monaco decodes identically to the zlib monaco (from-scratch LZ4 block decode)") {
+    val lz4Path =
+      "/root/reference/planetiler-core/src/test/resources/monaco-latest.lz4.osm.pbf"
+    assume(monacoAvailable && new java.io.File(lz4Path).canRead)
+    // the reference ships the SAME extract lz4- and zlib-compressed;
+    // both must decode to the same entity stream, bit for bit
+    def sig(path: String): Seq[(String, Long, Double, Double, Int, Int, Long)] =
+      OsmPbf.readAll(path, conf).map { e =>
+        (e.kind, e.id, if (e.lat.isNaN) 0.0 else e.lat, if (e.lon.isNaN) 0.0 else e.lon,
+          e.tags.hashCode, java.util.Arrays.hashCode(e.refs), e.timestamp)
+      }.toSeq
+    val a = sig(monacoPath)
+    val b = sig(lz4Path)
+    assert(b.size == a.size)
+    assert(b == a)
+  }
+
   test("monaco: specific node/way/relation decode exactly") {
     assume(monacoAvailable)
     val all = OsmPbf.readAll(monacoPath, conf).toSeq

@@ -171,4 +171,31 @@ class OsmRelationInfoSpec extends AnyFunSuite {
     assert(rels.size == 1, s"one entry per (way, relation): $rels")
     assert(rels.head.role == "main", "the direct membership's role wins")
   }
+
+  test("bremen trams: route refs reach member ways on a REAL extract") {
+    // the reference repo's own bremen-trams extract: 51 relations, all
+    // type=route route=tram, 882 distinct member ways — the exact use
+    // case Profile.preprocessOsmRelation exists for. Pins are
+    // deterministic (one fixed input file, one deterministic pipeline).
+    val p = "/root/reference/planetiler-core/src/test/resources/bremen-trams.osm.pbf"
+    assume(new java.io.File(p).canRead)
+    import org.apache.spark.sql.functions._
+    val feats = Osm.sourceFeatures(spark.read.format("osmpbf").load(p)).toDF()
+    val ways = feats.where(col("doc_id").startsWith("way/")).cache()
+    assert(ways.count() == 1208, "every way in the extract is tagged and complete")
+    val withRel = ways.where(size(col("relations")) > 0)
+    assert(withRel.count() == 844,
+      "tagged member ways with located coords carry relation info")
+    assert(withRel.agg(sum(size(col("relations")))).collect()(0).getLong(0) == 3459)
+    // per-route membership histogram, exact (ref -> member-way entries)
+    val hist = withRel.select(explode(col("relations")).as("m"))
+      .select(col("m.rel_tags").getItem("ref").as("ref"))
+      .groupBy("ref").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hist == Map(
+      "1" -> 345L, "2" -> 150L, "3" -> 120L, "4" -> 612L, "5" -> 88L,
+      "6" -> 570L, "8" -> 327L, "10" -> 150L, "14" -> 266L,
+      "N1" -> 368L, "N4" -> 313L, "N10" -> 150L))
+    ways.unpersist()
+  }
 }
