@@ -233,15 +233,21 @@ object Bench {
     // warmup run pays the JIT/codegen ramp, then best-of-2 timed runs
     // measure steady-state scan->render->shuffle->encode throughput.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val (tiles, tileSec) =
-      if (only.exists(!_.contains("tiles_pipeline"))) (0L, 1.0)
-      else {
-        tileJob(spark, "/root/testdata/sf0.001", cpus)
-        (1 to 2).map { _ =>
-          spark.sharedState.cacheManager.clearCache()
-          tileJob(spark, sfDir, cpus, preSplit = true)
-        }.minBy(_._2)
-      }
+    // The flagship is best-of-2 like every gate query, but its two
+    // timed runs must NOT be back-to-back either (round-5 final run 1
+    // recorded 18.4 s where runs 2/3 of the same binary measured
+    // 3.6-4.1 s: one multi-minute burst sat on both consecutive runs).
+    // Timed run 1 happens here; timed run 2 happens AFTER the two
+    // query passes, a full list-length apart in time.
+    val runFlagship = !only.exists(!_.contains("tiles_pipeline"))
+    var tiles = 0L
+    var tileSec = 1.0
+    if (runFlagship) {
+      tileJob(spark, "/root/testdata/sf0.001", cpus)
+      spark.sharedState.cacheManager.clearCache()
+      val (n, s) = tileJob(spark, sfDir, cpus, preSplit = true)
+      tiles = n; tileSec = s
+    }
     // release the last run's persisted render blocks so the 68 query
     // measurements below don't compete with a stale cache for memory
     spark.sharedState.cacheManager.clearCache()
@@ -287,6 +293,16 @@ object Bench {
       passTimes(pass) += (name -> once(fn))
     for ((name, _) <- queryList)
       results += (name -> math.min(passTimes(0)(name), passTimes(1)(name)))
+
+    // flagship timed run 2 (interleaved with the query passes in time —
+    // see the comment above runFlagship); LinkedHashMap update keeps
+    // tiles_pipeline's position at the head of the artifact
+    if (runFlagship) {
+      spark.sharedState.cacheManager.clearCache()
+      val (_, s2) = tileJob(spark, sfDir, cpus, preSplit = true)
+      tileSec = math.min(tileSec, s2)
+      results("tiles_pipeline") = tileSec
+    }
 
     def fmtAt(v: Double, dp: Int): String =
       BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
