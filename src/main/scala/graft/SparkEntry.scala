@@ -1489,6 +1489,74 @@ object SparkEntry {
           regexp_extract(col("path"), "/(\\d+)/(\\d+)/(\\d+)\\.pbf$", 3).cast("int").as("y"),
           lower(hex(col("content"))).as("payload_hex"))
         .orderBy(col("x"), col("y"))
+    }),
+
+    "q71_image_decode" -> ((s, dir) => {
+      // REAL image codec gate (JDK PNG via javax.imageio): per-nation
+      // deterministic pixel pattern, encode -> decode on executors,
+      // exact integer luminance sums the oracle replays arithmetically
+      // over generate_series. PNG is lossless, so a single pixel off
+      // anywhere in the codec path breaks the hash match.
+      import s.implicits._
+      t(s, dir, "nation").select(col("n_nationkey").cast("int")).as[Int]
+        .mapPartitions { it =>
+          it.map { k =>
+            val w = 16 + (k % 7) * 4; val h = 12 + (k % 5) * 4
+            val png = graft.mm.Codecs.encodePng(w, h, (x, y) =>
+              (((x * 7 + y * 11 + k * 13) % 256) << 16) |
+                (((x * 3 + y * 5 + k * 17) % 256) << 8) |
+                ((x * 13 + y * 3 + k * 29) % 256))
+            val img = graft.mm.Codecs.decodeImage(png)
+            (k, img.width, img.height, img.lumSum)
+          }
+        }.toDF("nk", "width", "height", "lum_sum").orderBy("nk")
+    }),
+
+    "q72_audio_decode" -> ((s, dir) => {
+      // REAL audio codec gate (RIFF/WAVE via javax.sound.sampled):
+      // deterministic 16-bit PCM per nation, encode -> decode on
+      // executors, sample-exact aggregates replayed by the oracle
+      import s.implicits._
+      t(s, dir, "nation").select(col("n_nationkey").cast("int")).as[Int]
+        .mapPartitions { it =>
+          it.map { k =>
+            val n = 500 + k * 37
+            val samples = Array.tabulate(n) { i =>
+              ((i.toLong * i % 7919 + i * 31 + k * 101) % 65536 - 32768).toShort
+            }
+            val (got, _) = graft.mm.Codecs.decodeWav(
+              graft.mm.Codecs.encodeWavPcm16(samples, graft.mm.Multimodal.SampleRate))
+            var sumAbs = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            got.foreach { v => sumAbs += math.abs(v.toInt); mn = mn min v; mx = mx max v }
+            (k, got.length, sumAbs, mn, mx)
+          }
+        }.toDF("nk", "n_samples", "sum_abs", "min_s", "max_s").orderBy("nk")
+    }),
+
+    "q73_video_frames" -> ((s, dir) => {
+      // REAL video-container gate (animated GIF via javax.imageio):
+      // per-nation multi-frame GIF with per-frame delay metadata,
+      // encode -> frame-decode on executors; gray frames stay within
+      // the 256-color GIF palette so pixels round-trip exactly and
+      // the oracle replays frame luminance + delays arithmetically
+      import s.implicits._
+      t(s, dir, "nation").select(col("n_nationkey").cast("int")).as[Int]
+        .mapPartitions { it =>
+          it.flatMap { k =>
+            val nf = 2 + k % 4; val w = 20; val h = 14
+            val frames = (0 until nf).map { f =>
+              (Array.tabulate(w * h) { i =>
+                val v = ((i % w) * 7 + (i / w) * 11 + f * 37 + k * 5) % 256
+                0xff000000 | (v << 16) | (v << 8) | v
+              }, 6 + (k + f) % 5)
+            }
+            val back = graft.mm.Codecs.decodeGifFrames(
+              graft.mm.Codecs.encodeGifAnim(w, h, frames))
+            back.zipWithIndex.map { case ((img, delay), f) =>
+              (k, f, delay, img.lumSum)
+            }
+          }
+        }.toDF("nk", "frame", "delay_cs", "lum_sum").orderBy("nk", "frame")
     })
   )
 
@@ -2470,6 +2538,49 @@ object SparkEntry {
          SELECT 10 AS z, CAST(x AS INT) AS x, CAST(y AS INT) AS y,
            CASE WHEN k % 10 = 0 THEN repeat('ab', 16)
                 ELSE md5('t' || CAST(k AS VARCHAR)) END AS payload_hex
-         FROM walk WHERE s = 1024 ORDER BY x, y"""
+         FROM walk WHERE s = 1024 ORDER BY x, y""",
+
+    // q71-q73: the REAL media codecs (JDK javax.imageio / javax.sound)
+    // — the engine encodes deterministic pixel/sample patterns, decodes
+    // them back on executors, and the oracle replays the pattern
+    // arithmetic; lossless formats (PNG, <=256-color GIF, PCM WAV)
+    // make the comparison exact to the last pixel/sample.
+    "q71_image_decode" ->
+      """WITH px AS (
+           SELECT n_nationkey AS nk, x, y
+           FROM nation, generate_series(0, 39) g1(x), generate_series(0, 27) g2(y)
+           WHERE x < 16 + (n_nationkey % 7) * 4 AND y < 12 + (n_nationkey % 5) * 4)
+         SELECT CAST(nk AS INT) AS nk,
+           CAST(16 + (nk % 7) * 4 AS INT) AS width,
+           CAST(12 + (nk % 5) * 4 AS INT) AS height,
+           CAST(SUM((x*7 + y*11 + nk*13) % 256
+                  + (x*3 + y*5 + nk*17) % 256
+                  + (x*13 + y*3 + nk*29) % 256) AS BIGINT) AS lum_sum
+         FROM px GROUP BY nk ORDER BY nk""",
+
+    "q72_audio_decode" ->
+      """WITH s AS (
+           SELECT n_nationkey AS nk, i,
+             (i*i % 7919 + i*31 + n_nationkey*101) % 65536 - 32768 AS v
+           FROM nation, generate_series(0, 1387) g(i)
+           WHERE i < 500 + n_nationkey * 37)
+         SELECT CAST(nk AS INT) AS nk, CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+           CAST(MIN(v) AS INT) AS min_s, CAST(MAX(v) AS INT) AS max_s
+         FROM s GROUP BY nk ORDER BY nk""",
+
+    "q73_video_frames" ->
+      """WITH fr AS (
+           SELECT n_nationkey AS nk, f, 6 + ((n_nationkey + f) % 5) AS delay_cs
+           FROM nation, generate_series(0, 4) g(f)
+           WHERE f < 2 + n_nationkey % 4),
+         px AS (
+           SELECT nk, f, delay_cs,
+             3 * SUM((x*7 + y*11 + f*37 + nk*5) % 256) AS lum
+           FROM fr, generate_series(0, 19) gx(x), generate_series(0, 13) gy(y)
+           GROUP BY nk, f, delay_cs)
+         SELECT CAST(nk AS INT) AS nk, CAST(f AS INT) AS frame,
+           CAST(delay_cs AS INT) AS delay_cs, CAST(lum AS BIGINT) AS lum_sum
+         FROM px ORDER BY nk, frame"""
   )
 }

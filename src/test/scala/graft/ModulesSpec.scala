@@ -294,34 +294,74 @@ class ModulesSpec extends AnyFunSuite {
     assert(fp(0) != fp(1))
   }
 
-  test("multimodal: deterministic payloads, normalized features, frame sampling") {
-    val refs = Seq("media://img/1", "media://img/2", "media://img/1").toDF("media_ref")
-    val media = graft.mm.Multimodal.synthesizeMedia(refs)
-    assert(media.count() == 2) // distinct refs
-    val feats = graft.mm.Multimodal.extractFeatures(media).collect()
-    assert(feats.forall(_.getAs[Seq[Float]]("feature").size == graft.mm.Multimodal.FeatureDim))
-    // deterministic: re-synthesis gives identical features
-    val feats2 = graft.mm.Multimodal.extractFeatures(graft.mm.Multimodal.synthesizeMedia(refs))
-      .collect()
+  test("codecs: PNG / WAV / animated GIF round-trip exactly (JDK codecs)") {
+    import graft.mm.Codecs
+    // PNG is lossless: every pixel survives encode -> decode
+    val png = Codecs.encodePng(23, 17, (x, y) =>
+      ((x * 7 + y * 11) % 256 << 16) | ((x * 3 + y * 5) % 256 << 8) | ((x * 13 + y * 3) % 256))
+    val img = Codecs.decodeImage(png)
+    assert(img.width == 23 && img.height == 17)
+    for (y <- 0 until 17; x <- 0 until 23)
+      assert((img.pixel(x, y) & 0xffffff) ==
+        (((x * 7 + y * 11) % 256 << 16) | ((x * 3 + y * 5) % 256 << 8) | ((x * 13 + y * 3) % 256)))
+    // 16-bit PCM WAV: sample-exact both ways
+    val samples = Array.tabulate(777)(i => ((i * 37 + i * i % 101) % 65536 - 32768).toShort)
+    val (got, rate) = Codecs.decodeWav(Codecs.encodeWavPcm16(samples, 8000))
+    assert(rate == 8000 && got.toSeq == samples.toSeq)
+    // animated GIF: <=256-color frames and delays round-trip exactly
+    val frames = (0 until 3).map { f =>
+      (Array.tabulate(20 * 14) { i =>
+        val v = ((i % 20) * 7 + (i / 20) * 11 + f * 37) % 256
+        0xff000000 | (v << 16) | (v << 8) | v
+      }, 10 + f)
+    }
+    val back = Codecs.decodeGifFrames(Codecs.encodeGifAnim(20, 14, frames))
+    assert(back.size == 3)
+    for (f <- 0 until 3) {
+      assert(back(f)._2 == 10 + f)
+      assert(back(f)._1.argb.map(_ & 0xffffff).toSeq == frames(f)._1.map(_ & 0xffffff).toSeq)
+    }
+    // exact area-average resample: 2x2 box means
+    val src = Codecs.Image(4, 2, Array(0, 0, 100 << 16, 100 << 16, 40, 60, 0, 0).map(0xff000000 | _))
+    val rs = Codecs.resample(src, 2, 1)
+    assert(((rs.pixel(0, 0) >> 16) & 0xff) == 0 && (rs.pixel(0, 0) & 0xff) == 25)
+    assert(((rs.pixel(1, 0) >> 16) & 0xff) == 50)
+  }
+
+  test("multimodal: real payloads, true metadata, features, resize, frame sampling") {
+    import graft.mm.{Codecs, Multimodal}
+    // media://m/0 -> video, m/2 -> image, m/4 -> audio (hash-derived kinds)
+    val refs = Seq("media://m/0", "media://m/2", "media://m/4", "media://m/2").toDF("media_ref")
+    val media = Multimodal.synthesizeMedia(refs)
+    val rows = media.collect().map(r => r.getString(1) -> r).toMap
+    assert(rows.keySet == Set("image", "audio", "video"))
+    // the image payload is a real PNG whose decoded dims match meta
+    val imgRow = rows("image")
+    val dec = Codecs.decodeImage(imgRow.getAs[Array[Byte]]("payload"))
+    assert(dec.width == imgRow.getStruct(3).getInt(0) && dec.height == imgRow.getStruct(3).getInt(1))
+    // the audio payload is a real WAV whose duration matches meta
+    val (aus, _) = Codecs.decodeWav(rows("audio").getAs[Array[Byte]]("payload"))
+    assert(rows("audio").getStruct(3).getInt(2) == aus.length * 1000 / Multimodal.SampleRate)
+    // features: fixed dim, deterministic, null payload -> null feature
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.forall(_.getAs[Seq[Float]]("feature").size == Multimodal.FeatureDim))
+    val feats2 = Multimodal.extractFeatures(Multimodal.synthesizeMedia(refs)).collect()
     assert(feats.map(_.toString).sorted.toSeq == feats2.map(_.toString).sorted.toSeq)
-    // null payload (nullable in mediaSchema): zero feature, not an NPE
     val nulled = media.withColumn("payload",
       org.apache.spark.sql.functions.lit(null).cast("binary"))
-    val nf = graft.mm.Multimodal.extractFeatures(nulled).collect()
-    assert(nf.forall(_.getAs[Seq[Float]]("feature").forall(_ == 0.0f)))
-    // frame sampling: analyzable plan (sequence needs integral bounds)
-    // and one row per everyMs window of the video's duration
-    val video = graft.mm.Multimodal.synthesizeMedia(
-      Seq("media://vid/1").toDF("media_ref"))
-      .withColumn("kind", org.apache.spark.sql.functions.lit("video"))
-      .withColumn("meta", org.apache.spark.sql.functions.struct(
-        org.apache.spark.sql.functions.col("meta.width"),
-        org.apache.spark.sql.functions.col("meta.height"),
-        org.apache.spark.sql.functions.lit(5000).as("duration_ms"),
-        org.apache.spark.sql.functions.col("meta.codec")))
-    val frames = graft.mm.Multimodal.sampleFrames(video, everyMs = 1000).collect()
-    assert(frames.length == 5)
-    assert(frames.map(_.getAs[Long]("frame_idx")).sorted.toSeq == (0L to 4L))
+    assert(Multimodal.extractFeatures(nulled).collect().forall(_.isNullAt(2)))
+    // resize re-encodes the image at the target dims (real PNG out)
+    val resized = Multimodal.resize(media, 8, 8).collect()
+      .find(_.getString(1) == "image").get
+    val rimg = Codecs.decodeImage(resized.getAs[Array[Byte]]("payload"))
+    assert(rimg.width == 8 && rimg.height == 8 && resized.getStruct(3).getString(3) == "image/png")
+    // frame sampling decodes the real GIF: one row per everyMs tick
+    // across the true duration, shown_frame from the delay timeline
+    val vids = Multimodal.sampleFrames(media, everyMs = 80).collect()
+    val nFrames = Codecs.decodeGifFrames(rows("video").getAs[Array[Byte]]("payload")).size
+    assert(vids.length == nFrames) // 80 ms/frame delays, 80 ms ticks
+    assert(vids.map(_.getInt(2)).sorted.toSeq == (0 until nFrames))
+    assert(vids.forall(_.getLong(3) > 0L))
   }
 
   test("streaming: watermarked window agg over a rate-less batch via AvailableNow") {
