@@ -54,35 +54,50 @@ object TileStats {
    * conflicting types collapse to "String" like the reference.
    */
   def layerAttrStats(specs: Dataset[graft.model.FeatureSpec]): DataFrame = {
-    // One (key, value, first-visible zoom) entry per static attr and
-    // per zoomAttrs override that can actually appear inside the
-    // spec's [minzoom, maxzoom]; explode_OUTER keeps attr-less specs
-    // as a null-key row so their layer still contributes a zoom range
+    // One (key, value, first-visible zoom) row per static attr and per
+    // zoomAttrs override that can actually appear inside the spec's
+    // [minzoom, maxzoom]. Plain explodes + a where stay inside
+    // whole-stage codegen; the earlier struct-building HOF chain
+    // (transform/filter/concat) was interpreted per element and cost
+    // ~2x the whole query. A spec with NO visible entry at all still
+    // contributes a null-key row so its layer keeps a zoom range
     // (reference LayerAttrStats accepts features with no attributes).
-    val entry = (k: Column, v: Column, mz: Column) =>
-      struct(k.as("key"), v.as("value"), mz.as("mz"))
-    val statics = transform(map_entries(col("attrs")),
-      e => entry(e.getField("key"), e.getField("value"), col("minzoom")))
-    val zoomed = flatten(transform(col("zoomAttrs"), za =>
-      transform(map_entries(za.getField("_2")),
-        e => entry(e.getField("key"), e.getField("value"),
-          greatest(col("minzoom"), za.getField("_1"))))))
-    val visible = filter(concat(statics, zoomed), e => e.getField("mz") <= col("maxzoom"))
-    val typed = specs.toDF()
-      .select(col("layer"), col("minzoom"), col("maxzoom"), explode_outer(visible).as("e"))
-      .select(col("layer"),
-        col("e.key").as("key"),
-        col("e.value").as("value"),
-        coalesce(col("e.mz"), col("minzoom")).as("mz"),
-        col("maxzoom"))
+    val df = specs.toDF()
+    val statics = df
+      .select(col("layer"), col("minzoom").as("mz"), col("maxzoom"),
+        explode(col("attrs")).as(Seq("key", "value")))
+    val zoomed = df
+      .where(size(col("zoomAttrs")) > 0)
+      .select(col("layer"), col("minzoom"), col("maxzoom"), explode(col("zoomAttrs")).as("za"))
+      .select(col("layer"), greatest(col("minzoom"), col("za._1")).as("mz"), col("maxzoom"),
+        explode(col("za._2")).as(Seq("key", "value")))
+    // exactly the specs whose visible entry set is empty: no static
+    // entry (attrs empty or minzoom past maxzoom) and no zoomAttrs
+    // entry whose threshold still falls inside the zoom range
+    val attrless = df
+      .where(!(size(col("attrs")) > 0 && col("minzoom") <= col("maxzoom")) &&
+        !exists(col("zoomAttrs"), za =>
+          size(za.getField("_2")) > 0 && za.getField("_1") <= col("maxzoom") &&
+            col("minzoom") <= col("maxzoom")))
+      .select(col("layer"), col("minzoom").as("mz"), col("maxzoom"),
+        lit(null).cast("string").as("key"), lit(null).cast("string").as("value"))
+    val typed = statics.unionByName(zoomed)
+      .where(col("mz") <= col("maxzoom"))
+      .unionByName(attrless)
+      .select(col("layer"), col("key"), col("value"), col("mz"), col("maxzoom"))
       .withColumn("typ",
         when(col("value").isNull, lit(null).cast("string"))
-          .when(col("value").rlike("^(true|false)$"), "Boolean")
+          .when(col("value").isin("true", "false"), "Boolean")
           .when(col("value").rlike("^-?\\d+(\\.\\d+)?$"), "Number")
           .otherwise("String"))
     typed.groupBy(col("layer"), col("key"))
       .agg(
-        when(countDistinct(col("typ")) > 1, "String").otherwise(min(col("typ"))).as("type"),
+        // mixed types collapse to String; min!=max spots a mix without
+        // countDistinct's Expand + double-aggregate plan (typ has only
+        // 3 possible values, and min/max both ignore nulls like
+        // countDistinct does, so the collapse semantics are identical)
+        when(min(col("typ")) =!= max(col("typ")), "String")
+          .otherwise(min(col("typ"))).as("type"),
         min(col("mz")).as("minzoom"),
         max(col("maxzoom")).as("maxzoom"))
       .orderBy(col("layer"), col("key"))
