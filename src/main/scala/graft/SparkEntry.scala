@@ -1557,6 +1557,56 @@ object SparkEntry {
             }
           }
         }.toDF("nk", "frame", "delay_cs", "lum_sum").orderBy("nk", "frame")
+    }),
+
+    "q74_decontaminate" -> ((s, dir) => {
+      // train/eval decontamination: the benchmark slice's distinct
+      // 3-gram shingle hashes BROADCAST against the full corpus (the
+      // eval set is tiny by construction at any scale); one narrow
+      // (id, hash60) projection of the train side, one broadcast-hash
+      // join, one per-pair count shuffle
+      val docs = t(s, dir, "documents")
+      val bench = docs.where(col("doc_id") % 37 === 3)
+      graft.dedup.Dedup.contaminationPairs(docs, bench, shingleN = 3)
+        .where(col("train_id") =!= col("bench_id"))
+        .groupBy(col("bench_id"))
+        .agg(count(lit(1)).cast("long").as("contaminated"),
+          sum(col("overlap_ngrams")).cast("long").as("overlap_total"))
+        .orderBy(col("bench_id"))
+    }),
+
+    "q75_stratified_sample" -> ((s, dir) => {
+      // deterministic hash-based stratified sampling: membership is a
+      // pure function of (seed, doc_id) — retry/speculation-safe where
+      // rand()-based sample() is not — and the per-stratum rates are
+      // dyadic so the long-domain threshold compare is bit-exact in
+      // the oracle's replay of the same md5 arithmetic
+      val docs = t(s, dir, "documents")
+      graft.engine.Sampling.stratified(docs, col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.125, seed = "graft-q75")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("sampled"), sum(col("doc_id")).cast("long").as("key_sum"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
+    "q76_pii_redact" -> ((s, dir) => {
+      // PII scrub: deterministic synthetic PII (email + E.164 phone +
+      // IPv4) appended to every document, redacted by the codegen'd
+      // regexp_replace chain; the oracle replays the identical
+      // patterns in DuckDB's RE2 (the patterns stay in the common
+      // regex subset) and compares md5 of the redacted text
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+          lit(".org or +440"), lpad((col("doc_id") % 100000).cast("string"), 7, "0"),
+          lit(" from 10."), col("doc_id") % 256, lit(".0."), col("doc_id") % 100,
+          lit(" end")).as("text"))
+      aug.select(col("doc_id"),
+          graft.text.Pii.emailCount(col("text")).cast("int").as("emails"),
+          graft.text.Pii.ipCount(col("text")).cast("int").as("ips"),
+          graft.text.Pii.phoneCount(col("text")).cast("int").as("phones"),
+          md5(graft.text.Pii.redact(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2581,6 +2631,66 @@ object SparkEntry {
            GROUP BY nk, f, delay_cs)
          SELECT CAST(nk AS INT) AS nk, CAST(f AS INT) AS frame,
            CAST(delay_cs AS INT) AS delay_cs, CAST(lum AS BIGINT) AS lum_sum
-         FROM px ORDER BY nk, frame"""
+         FROM px ORDER BY nk, frame""",
+
+    "q74_decontaminate" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(md5(s), 1, 15), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+               (a, b) -> a * 16 + b) AS h
+           FROM (
+             SELECT doc_id,
+               UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+                 RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 1, 2)),
+                 i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]
+                      || ' ' || STRING_SPLIT(text, ' ')[i+2]))) AS s
+             FROM documents)),
+         pairs AS (
+           SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS ov
+           FROM sh t JOIN (SELECT * FROM sh WHERE doc_id % 37 = 3) b USING (h)
+           WHERE t.doc_id <> b.doc_id
+           GROUP BY 1, 2)
+         SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS contaminated,
+           CAST(SUM(ov) AS BIGINT) AS overlap_total
+         FROM pairs GROUP BY 1 ORDER BY 1""",
+
+    "q75_stratified_sample" ->
+      """WITH s AS (
+           SELECT lang, source, doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substr(md5('graft-q75:' || CAST(doc_id AS VARCHAR)), 1, 15), ''),
+                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT))),
+               (a, b) -> a * 16 + b) AS h,
+             CASE lang WHEN 'en' THEN 576460752303423488
+                       WHEN 'de' THEN 288230376151711744
+                       ELSE 144115188075855872 END AS thr
+           FROM documents)
+         SELECT lang, source, COUNT(*) AS sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS key_sum
+         FROM s WHERE h < thr GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q76_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+                  || CAST(doc_id % 7 AS VARCHAR) || '.org or +440'
+                  || lpad(CAST(doc_id % 100000 AS VARCHAR), 7, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 100 AS VARCHAR) || ' end' AS t
+           FROM documents),
+         red AS (
+           SELECT doc_id, t,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+           FROM aug)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails,
+           CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS ips,
+           CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS INT) AS phones,
+           md5(regexp_replace(regexp_replace(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\+\d{7,15}', '<PHONE>', 'g')) AS redacted_md5
+         FROM red ORDER BY doc_id"""
   )
 }

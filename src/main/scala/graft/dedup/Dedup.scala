@@ -41,6 +41,45 @@ object Dedup {
       .where(col("copies") > 1)
 
   /**
+   * Train/eval DECONTAMINATION: find training documents sharing any
+   * `shingleN`-token shingle with a benchmark/eval document — the
+   * standard n-gram-overlap contamination check run before training.
+   * Returns one row per (train_id, bench_id) contaminated pair with
+   * the number of distinct shared shingles.
+   *
+   * Scale shape: the benchmark side is tiny by construction (eval
+   * sets are a few MB against a multi-TB corpus), so its distinct
+   * shingle hashes BROADCAST and the train side — the 100 TB side —
+   * is touched by exactly one narrow projection (id, hash) with a
+   * map-side broadcast-hash join; the only shuffle is the final
+   * per-pair count. Shingles travel as the portable 60-bit md5 hash
+   * ([[graft.text.Text.tokenHash60]]), 8 bytes on the wire and
+   * replayable in any engine with md5.
+   */
+  def contaminationPairs(train: DataFrame, bench: DataFrame, shingleN: Int = 3,
+                         textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    def shingleHashes(df: DataFrame, outId: String) =
+      df.select(col(idCol).as(outId),
+          explode(graft.text.Text.shingles(col(textCol), shingleN)).as("_sh"))
+        .select(col(outId), graft.text.Text.tokenHash60(col("_sh")).as("_h"))
+        .distinct()
+    shingleHashes(train, "train_id")
+      .join(broadcast(shingleHashes(bench, "bench_id")), Seq("_h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("overlap_ngrams"))
+  }
+
+  /** The corpus minus every document [[contaminationPairs]] flags —
+    * one anti-join; pass the pairs through so callers can log/audit
+    * what was dropped (never silently). */
+  def decontaminate(train: DataFrame, bench: DataFrame, shingleN: Int = 3,
+                    textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val flagged = contaminationPairs(train, bench, shingleN, textCol, idCol)
+      .select(col("train_id").as(idCol)).distinct()
+    train.join(flagged, Seq(idCol), "left_anti")
+  }
+
+  /**
    * Exact n-gram Jaccard join over `shingleN`-gram shingle sets: pairs
    * with jaccard >= num/den (integer-exact comparison, no FP).
    *

@@ -288,6 +288,59 @@ class ModulesSpec extends AnyFunSuite {
     assert(q(1L) > q(2L))
   }
 
+  test("decontamination: overlapping shingles flag pairs; clean docs survive; bench side broadcasts") {
+    import graft.dedup.Dedup
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a quick brown fox appears in this corpus too"),
+      (3L, "completely unrelated words with zero shared trigrams here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "watch the quick brown fox run")).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(train, bench, shingleN = 3)
+    // "quick brown fox" (and for doc 1 also "the quick brown") overlap
+    val m = pairs.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) == 2L && m(2L) == 1L && !m.contains(3L))
+    // the eval side must be the broadcast build side (the 100 TB-scale contract)
+    assert(pairs.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val clean = Dedup.decontaminate(train, bench, shingleN = 3)
+    assert(clean.select("doc_id").as[Long].collect().toSet == Set(3L))
+  }
+
+  test("sampling: deterministic in (seed, key), dyadic-exact thresholds, stratified rates") {
+    import graft.engine.Sampling
+    val df = spark.range(0, 2000).select(col("id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val a = Sampling.bernoulli(df, col("id"), lit(0.25), "s1").select("id").as[Long].collect().sorted
+    val b = Sampling.bernoulli(df, col("id"), lit(0.25), "s1").select("id").as[Long].collect().sorted
+    assert(a.toSeq == b.toSeq) // same seed -> identical sample, every run
+    val c = Sampling.bernoulli(df, col("id"), lit(0.25), "s2").select("id").as[Long].collect().sorted
+    assert(a.toSeq != c.toSeq) // different seed -> different sample
+    assert(math.abs(a.length / 2000.0 - 0.25) < 0.05) // rate honored
+    assert(Sampling.bernoulli(df, col("id"), lit(0.0), "s1").count() == 0)
+    assert(Sampling.bernoulli(df, col("id"), lit(1.0), "s1").count() == 2000)
+    val strat = Sampling.stratified(df, col("id"), col("lang"),
+      Map("en" -> 0.5), defaultRate = 0.125, seed = "s1")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(strat("en") / 1000.0 - 0.5) < 0.1)
+    assert(math.abs(strat("de") / 1000.0 - 0.125) < 0.1)
+  }
+
+  test("pii: email/ip/phone redaction and counts") {
+    import graft.text.Pii
+    val df = Seq(
+      "mail me at jo.doe+spam@sub.example.co.uk or call +4915112345678 from 192.168.1.254 ok",
+      "no pii here just words and 1234 numbers",
+      "two mails a@b.io c@d.org one ip 8.8.8.8").toDF("text")
+    val out = df.select(Pii.redact(col("text")).as("r"),
+      Pii.emailCount(col("text")).as("e"), Pii.ipCount(col("text")).as("i"),
+      Pii.phoneCount(col("text")).as("p")).collect()
+    assert(out(0).getString(0) == "mail me at <EMAIL> or call <PHONE> from <IP> ok")
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1 && out(0).getInt(3) == 1)
+    assert(out(1).getString(0) == "no pii here just words and 1234 numbers")
+    assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
+    assert(out(2).getString(0) == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert(out(2).getInt(1) == 2 && out(2).getInt(2) == 1)
+  }
+
   test("fingerprint is order-sensitive") {
     val d = Seq((1L, "a b c"), (2L, "c b a")).toDF("doc_id", "text")
     val fp = d.select(Text.fingerprint(col("text"))).collect().map(_.getLong(0))
