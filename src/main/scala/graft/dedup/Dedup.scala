@@ -60,7 +60,7 @@ object Dedup {
                          textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     def shingleHashes(df: DataFrame, outId: String) =
       df.select(col(idCol).as(outId),
-          explode(graft.text.Text.shingles(col(textCol), shingleN)).as("_sh"))
+          explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("_sh"))
         .select(col(outId), graft.text.Text.tokenHash60(col("_sh")).as("_h"))
         .distinct()
     shingleHashes(train, "train_id")
