@@ -195,7 +195,11 @@ object Codecs {
     bos.toByteArray
   }
 
-  /** Animated GIF → (frame pixels, delayCentiseconds) per frame. */
+  /** Animated GIF → (frame pixels, delayCentiseconds) per frame.
+    * Frames are returned as stored: a foreign GIF using sub-rectangle
+    * frames + restore-style disposal decodes to the stored sub-rects,
+    * not a composed canvas (graft-written GIFs always store full
+    * frames with disposal "none", so their round trip is exact). */
   def decodeGifFrames(bytes: Array[Byte]): Seq[(Image, Int)] = {
     init
     val reader = ImageIO.getImageReadersByFormatName("gif").next()
