@@ -297,7 +297,7 @@ object Bench {
     // flagship timed run 2 (interleaved with the query passes in time —
     // see the comment above runFlagship); LinkedHashMap update keeps
     // tiles_pipeline's position at the head of the artifact
-    if (runFlagship) {
+    if (runFlagship && tiles > 0) {
       spark.sharedState.cacheManager.clearCache()
       val (_, s2) = tileJob(spark, sfDir, cpus, preSplit = true)
       tileSec = math.min(tileSec, s2)

@@ -2633,6 +2633,10 @@ object SparkEntry {
            CAST(delay_cs AS INT) AS delay_cs, CAST(lum AS BIGINT) AS lum_sum
          FROM px ORDER BY nk, frame""",
 
+    // NOTE: like the q23/q37 shingle replays, this oracle's
+    // single-space string_split mirrors ShinglesExpr only on the gate
+    // corpus's contract (single-spaced text, >=3 tokens per doc) —
+    // irregular whitespace or 2-token docs would tokenize differently.
     "q74_decontaminate" ->
       s"""WITH sh AS (
            SELECT DISTINCT doc_id,
@@ -2687,7 +2691,7 @@ object SparkEntry {
          SELECT doc_id,
            CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS emails,
            CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS ips,
-           CAST(len(regexp_extract_all(t, '\+\d{7,15}')) AS INT) AS phones,
+           CAST(len(regexp_extract_all(t1, '\+\d{7,15}')) AS INT) AS phones,
            md5(regexp_replace(regexp_replace(t1,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
              '\+\d{7,15}', '<PHONE>', 'g')) AS redacted_md5

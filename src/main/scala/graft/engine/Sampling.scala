@@ -21,9 +21,12 @@ object Sampling {
 
   /** Portable 60-bit key hash in [0, 2^60): first 15 hex chars of
     * md5(seed:key) — the same construction as
-    * [[graft.text.Text.tokenHash60]], seeded. */
+    * [[graft.text.Text.tokenHash60]], seeded. NULL keys hash to NULL
+    * (concat propagates, unlike concat_ws which would silently skip
+    * the NULL and give every un-keyed row the same fixed hash), so
+    * NULL-key rows are never sampled — matching 'seed:'||key in SQL. */
   def hash60(key: Column, seed: String): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 15), 16, 10)
+    conv(substring(md5(concat(lit(seed + ":"), key.cast("string"))), 1, 15), 16, 10)
       .cast("long")
 
   /** Keep each row with probability `rate` (a Column, so per-stratum

@@ -87,6 +87,9 @@ object TileStats {
       .select(col("layer"), col("key"), col("value"), col("mz"), col("maxzoom"))
       .withColumn("typ",
         when(col("value").isNull, lit(null).cast("string"))
+          // exact equality (not the old rlike ^(true|false)$, whose $
+          // also accepted a trailing line terminator — "true\n" is now
+          // String, the stricter and intended classification)
           .when(col("value").isin("true", "false"), "Boolean")
           .when(col("value").rlike("^-?\\d+(\\.\\d+)?$"), "Number")
           .otherwise("String"))

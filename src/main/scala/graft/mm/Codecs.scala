@@ -64,6 +64,19 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** Encode pre-built ARGB pixels as a PNG via one bulk raster write
+    * (the per-pixel-function overload above pays w*h closure calls —
+    * fine for synthesis, wrong for the bulk re-encode path). */
+  def encodePngPixels(width: Int, height: Int, argb: Array[Int]): Array[Byte] = {
+    init
+    require(argb.length == width * height, "pixel buffer size mismatch")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, argb, 0, width)
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "no PNG writer on this JDK")
+    bos.toByteArray
+  }
+
   /** Decode any ImageIO-supported still image (PNG/JPEG/GIF/BMP —
     * format sniffed from the bytes). Returns null-free pixels or
     * throws on undecodable input (callers choose how loud to be). */
@@ -141,6 +154,10 @@ object Codecs {
     val fmt = in.getFormat
     require(fmt.getChannels == 1, s"expected mono WAV, got ${fmt.getChannels} channels")
     val raw = in.readAllBytes()
+    val enc = fmt.getEncoding
+    require(enc == AudioFormat.Encoding.PCM_SIGNED || enc == AudioFormat.Encoding.PCM_UNSIGNED,
+      s"unsupported WAV encoding: $enc (only PCM — a ULAW/ALAW stream widened as PCM " +
+        "would silently produce garbage samples)")
     fmt.getSampleSizeInBits match {
       case 16 =>
         val n = raw.length / 2
@@ -169,29 +186,29 @@ object Codecs {
     val writer = ImageIO.getImageWritersByFormatName("gif").next()
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
-    for ((argb, delayCs) <- frames) {
-      require(argb.length == width * height, "frame size mismatch")
-      val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
-      img.setRGB(0, 0, width, height, argb, 0, width)
-      val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img),
-        writer.getDefaultWriteParam)
-      val fmtName = meta.getNativeMetadataFormatName
-      val root = meta.getAsTree(fmtName).asInstanceOf[IIOMetadataNode]
-      val gce = new IIOMetadataNode("GraphicControlExtension")
-      gce.setAttribute("disposalMethod", "none")
-      gce.setAttribute("userInputFlag", "FALSE")
-      gce.setAttribute("transparentColorFlag", "FALSE")
-      gce.setAttribute("delayTime", delayCs.toString)
-      gce.setAttribute("transparentColorIndex", "0")
-      root.appendChild(gce)
-      meta.setFromTree(fmtName, root)
-      writer.writeToSequence(new IIOImage(img, null, meta), writer.getDefaultWriteParam)
-    }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for ((argb, delayCs) <- frames) {
+        require(argb.length == width * height, "frame size mismatch")
+        val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, width, height, argb, 0, width)
+        val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img),
+          writer.getDefaultWriteParam)
+        val fmtName = meta.getNativeMetadataFormatName
+        val root = meta.getAsTree(fmtName).asInstanceOf[IIOMetadataNode]
+        val gce = new IIOMetadataNode("GraphicControlExtension")
+        gce.setAttribute("disposalMethod", "none")
+        gce.setAttribute("userInputFlag", "FALSE")
+        gce.setAttribute("transparentColorFlag", "FALSE")
+        gce.setAttribute("delayTime", delayCs.toString)
+        gce.setAttribute("transparentColorIndex", "0")
+        root.appendChild(gce)
+        meta.setFromTree(fmtName, root)
+        writer.writeToSequence(new IIOImage(img, null, meta), writer.getDefaultWriteParam)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 

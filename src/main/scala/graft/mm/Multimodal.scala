@@ -170,14 +170,25 @@ object Multimodal {
       it.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         if (r.getString(kindIdx) != "image" || payload == null) r
-        else {
-          val img = Codecs.resample(Codecs.decodeImage(payload), w, h)
-          val png = Codecs.encodePng(w, h, (x, y) => img.pixel(x, y))
-          val meta = r.getStruct(metaIdx)
-          val vals = r.toSeq.toArray
-          vals(payloadIdx) = png
-          vals(metaIdx) = Row(w, h, meta.getInt(2), "image/png")
-          Row(vals: _*)
+        else try {
+          val src = Codecs.decodeImage(payload)
+          // already at target size: keep the original bytes (no lossy
+          // surprise for JPEG inputs, no wasted re-encode)
+          if (src.width == w && src.height == h) r
+          else {
+            val img = Codecs.resample(src, w, h)
+            val png = Codecs.encodePngPixels(w, h, img.argb)
+            val meta = r.getStruct(metaIdx)
+            val vals = r.toSeq.toArray
+            vals(payloadIdx) = png
+            vals(metaIdx) = Row(w, h, if (meta != null) meta.getInt(2) else 0, "image/png")
+            Row(vals: _*)
+          }
+        } catch {
+          // same corrupt-blob contract as extractFeatures: one bad
+          // payload in a 100 TB corpus must not kill the stage — the
+          // row passes through unresized for downstream auditing
+          case _: Exception => r
         }
       }
     }(enc)
@@ -205,7 +216,13 @@ object Multimodal {
       .mapPartitions { it =>
         it.flatMap { r =>
           val ref = r.getString(refIdx)
-          val frames = Codecs.decodeGifFrames(r.getAs[Array[Byte]](payloadIdx))
+          // corrupt-blob contract (same as extractFeatures): an
+          // undecodable "video" payload contributes no frames instead
+          // of failing the stage
+          val frames =
+            try Codecs.decodeGifFrames(r.getAs[Array[Byte]](payloadIdx))
+            catch { case _: Exception => Seq.empty }
+          if (frames.isEmpty) Iterator.empty else {
           val startsMs = frames.scanLeft(0L) { case (t, (_, d)) => t + d * 10L }
           val durationMs = startsMs.last
           val lums = frames.map(_._1.lumSum)
@@ -216,6 +233,7 @@ object Multimodal {
             var f = frames.size - 1
             while (f > 0 && startsMs(f) > at) f -= 1
             Row(ref, t, f, lums(f))
+          }
           }
         }
       }(enc)

@@ -32,7 +32,11 @@ object Pii {
       PhoneRe, "<PHONE>")
 
   def emailCount(text: Column): Column = regexp_count(text, lit(EmailRe))
+  // ip/phone counts run on the email-redacted text so the audit counts
+  // agree with what redact() actually replaces (a '+12345678' inside an
+  // email local part is scrubbed as part of <EMAIL>, not as a phone)
   def ipCount(text: Column): Column =
     regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(Ipv4Re))
-  def phoneCount(text: Column): Column = regexp_count(text, lit(PhoneRe))
+  def phoneCount(text: Column): Column =
+    regexp_count(regexp_replace(text, EmailRe, "<EMAIL>"), lit(PhoneRe))
 }

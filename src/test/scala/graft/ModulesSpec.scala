@@ -339,6 +339,12 @@ class ModulesSpec extends AnyFunSuite {
     assert(out(1).getInt(1) == 0 && out(1).getInt(2) == 0 && out(1).getInt(3) == 0)
     assert(out(2).getString(0) == "two mails <EMAIL> <EMAIL> one ip <IP>")
     assert(out(2).getInt(1) == 2 && out(2).getInt(2) == 1)
+    // counts agree with the scrub: a phone-like run INSIDE an email's
+    // local part is swallowed by <EMAIL>, so it must not count as a phone
+    val tricky = Seq("mail +12345678@host.com now").toDF("text")
+      .select(Pii.redact(col("text")).as("r"), Pii.phoneCount(col("text")).as("p"))
+      .collect()(0)
+    assert(tricky.getString(0) == "mail <EMAIL> now" && tricky.getInt(1) == 0)
   }
 
   test("fingerprint is order-sensitive") {
@@ -415,6 +421,14 @@ class ModulesSpec extends AnyFunSuite {
     assert(vids.length == nFrames) // 80 ms/frame delays, 80 ms ticks
     assert(vids.map(_.getInt(2)).sorted.toSeq == (0 until nFrames))
     assert(vids.forall(_.getLong(3) > 0L))
+    // corrupt-blob contract everywhere, not just extractFeatures: a
+    // garbage payload passes through resize unchanged and contributes
+    // no sampled frames — never a stage failure
+    val corrupt = media.withColumn("payload",
+      org.apache.spark.sql.functions.lit("not media".getBytes))
+    val rz = Multimodal.resize(corrupt, 8, 8).collect()
+    assert(rz.forall(_.getAs[Array[Byte]]("payload").sameElements("not media".getBytes)))
+    assert(Multimodal.sampleFrames(corrupt, everyMs = 80).collect().isEmpty)
   }
 
   test("streaming: watermarked window agg over a rate-less batch via AvailableNow") {
