@@ -132,6 +132,23 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(json.contains(""""minzoom":4"""))
   }
 
+  test("layer attr stats: plan stays codegen-friendly (no countDistinct Expand, no interpreted HOF entry-builder)") {
+    import graft.model.FeatureSpec
+    val specs = Seq(
+      FeatureSpec("roads", Array.empty, 1, 0, 4, 9, Map("oneway" -> "true")),
+      FeatureSpec("pois", Array.empty, 2, 0, 4, 10, Map("name" -> "x"),
+        zoomAttrs = Seq((6, Map("class" -> "cafe"))))).toDS()
+    val plan = TileStats.layerAttrStats(specs).queryExecution.executedPlan.toString
+    // countDistinct alongside other aggs plans an Expand + double
+    // aggregate; the min!=max rewrite must keep it out (q59 4.55->1.87s)
+    assert(!plan.contains("Expand"))
+    // the statics path must be a plain generator explode, not the old
+    // interpreted transform/filter/concat array builder
+    assert(!plan.toLowerCase.contains("lambdafunction") ||
+      plan.toLowerCase.linesIterator.count(_.contains("lambdafunction")) <= 1,
+      "only the rare-zoomAttrs exists() lambda may remain")
+  }
+
   test("layer attr stats: zoomAttrs surface from their threshold; attr-less layers keep their zoom range") {
     import graft.model.FeatureSpec
     val specs = Seq(
