@@ -324,6 +324,19 @@ class ModulesSpec extends AnyFunSuite {
     assert(math.abs(strat("de") / 1000.0 - 0.125) < 0.1)
   }
 
+  test("sampling + pii plans are narrow: zero exchanges before any aggregation") {
+    import graft.engine.Sampling
+    import graft.text.Pii
+    val df = spark.range(0, 100).select(col("id"), col("id").cast("string").as("text"))
+    val sPlan = Sampling.bernoulli(df, col("id"), lit(0.5), "s")
+      .queryExecution.executedPlan.toString
+    assert(!sPlan.contains("Exchange"), "a sample pass over 100 TB must not shuffle")
+    val pPlan = df.select(Pii.redact(col("text")), Pii.emailCount(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(!pPlan.contains("Exchange"), "a scrub pass over 100 TB must not shuffle")
+    assert(pPlan.contains("*("), "regexp chain must stay inside whole-stage codegen ('*(n)' span)")
+  }
+
   test("pii: email/ip/phone redaction and counts") {
     import graft.text.Pii
     val df = Seq(
