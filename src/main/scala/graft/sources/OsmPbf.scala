@@ -227,28 +227,52 @@ object OsmPbf {
     val out = new Array[Byte](rawSize)
     var sp = 0
     var op = 0
+    // every read/write is range-checked with a descriptive failure —
+    // a corrupt blob must name itself, not surface as a bare
+    // ArrayIndexOutOfBoundsException four stack frames deep
+    def corrupt(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"corrupt lz4 blob: $what (src pos $sp/${src.length}, out pos $op/$rawSize)")
     while (sp < src.length) {
       val token = src(sp) & 0xff; sp += 1
       var litLen = token >>> 4
       if (litLen == 15) {
         var b = 255
-        while (b == 255) { b = src(sp) & 0xff; sp += 1; litLen += b }
+        while (b == 255) {
+          if (sp >= src.length) corrupt("truncated literal-length extension")
+          b = src(sp) & 0xff; sp += 1; litLen += b
+        }
       }
+      if (sp + litLen > src.length) corrupt(s"literal run of $litLen overruns input")
+      if (op + litLen > rawSize) corrupt(s"literal run of $litLen overruns raw_size")
       System.arraycopy(src, sp, out, op, litLen)
       sp += litLen; op += litLen
       if (sp < src.length) { // the last sequence ends after its literals
+        if (sp + 2 > src.length) corrupt("truncated match offset")
         val offset = (src(sp) & 0xff) | ((src(sp + 1) & 0xff) << 8)
         sp += 2
         require(offset > 0 && offset <= op, s"lz4: bad match offset $offset at out pos $op")
         var matchLen = token & 0xf
         if (matchLen == 15) {
           var b = 255
-          while (b == 255) { b = src(sp) & 0xff; sp += 1; matchLen += b }
+          while (b == 255) {
+            if (sp >= src.length) corrupt("truncated match-length extension")
+            b = src(sp) & 0xff; sp += 1; matchLen += b
+          }
         }
         matchLen += 4
-        var from = op - offset
-        var i = 0
-        while (i < matchLen) { out(op) = out(from); op += 1; from += 1; i += 1 }
+        if (op + matchLen > rawSize) corrupt(s"match of $matchLen overruns raw_size")
+        val from = op - offset
+        if (offset >= matchLen) {
+          // non-overlapping (the dominant case): one bulk copy instead
+          // of billions of per-byte bounds-checked stores on a planet
+          System.arraycopy(out, from, out, op, matchLen)
+          op += matchLen
+        } else {
+          // overlapping match = intentional RLE; byte-wise is the spec
+          var f = from; var i = 0
+          while (i < matchLen) { out(op) = out(f); op += 1; f += 1; i += 1 }
+        }
       }
     }
     require(op == rawSize, s"lz4: decompressed $op bytes, blob raw_size says $rawSize")
@@ -269,8 +293,10 @@ object OsmPbf {
         case (3, 2) => zlib = pb.bytesValue()
         case (6, 2) => lz4 = pb.bytesValue()
         case (f, 2) if f == 4 || f == 5 || f == 7 =>
+          // fileformat.proto: 4 = lzma_data, 5 = OBSOLETE_bzip2_data, 7 = zstd_data
+          val codec = f match { case 4 => "lzma"; case 5 => "bzip2"; case _ => "zstd" }
           throw new UnsupportedOperationException(
-            s"osmpbf: blob compression field $f (lzma/zstd) not supported; re-encode with zlib")
+            s"osmpbf: blob compression field $f ($codec) not supported; re-encode with zlib")
         case (_, w) => pb.skip(w)
       }
     }

@@ -110,6 +110,32 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(b == a)
   }
 
+  test("lz4: corrupt blocks fail loudly with named reasons, never a bare index error") {
+    // valid round trip first: a literal-only block (token 0x50 = 5 literals)
+    val ok = OsmPbf.lz4DecompressBlock(Array(0x50, 'a', 'b', 'c', 'd', 'e').map(_.toByte), 5)
+    assert(new String(ok, "UTF-8") == "abcde")
+    def msg(body: => Any): String =
+      intercept[IllegalArgumentException](body).getMessage
+    // literal run overruns the input bytes
+    assert(msg(OsmPbf.lz4DecompressBlock(Array(0x70, 'a').map(_.toByte), 7))
+      .contains("literal run"))
+    // literal run overruns raw_size
+    assert(msg(OsmPbf.lz4DecompressBlock(Array(0x50, 'a', 'b', 'c', 'd', 'e').map(_.toByte), 3))
+      .contains("overruns raw_size"))
+    // truncated match offset (one byte where two are required)
+    assert(msg(OsmPbf.lz4DecompressBlock(Array(0x12, 'a', 0x01).map(_.toByte), 30))
+      .contains("truncated match offset"))
+    // truncated literal-length extension (0xF0 token, no extension byte)
+    assert(msg(OsmPbf.lz4DecompressBlock(Array(0xF0.toByte), 40))
+      .contains("truncated literal-length extension"))
+    // match overruns raw_size: 1 literal then a 4-byte match into size-2 output
+    assert(msg(OsmPbf.lz4DecompressBlock(Array(0x10, 'a', 0x01, 0x00).map(_.toByte), 2))
+      .contains("overruns raw_size"))
+    // overlap RLE still exact: 1 literal 'x' + match offset 1 len 8 -> 9 x's
+    val rle = OsmPbf.lz4DecompressBlock(Array(0x14, 'x', 0x01, 0x00).map(_.toByte), 9)
+    assert(new String(rle, "UTF-8") == "xxxxxxxxx")
+  }
+
   test("monaco: specific node/way/relation decode exactly") {
     assume(monacoAvailable)
     val all = OsmPbf.readAll(monacoPath, conf).toSeq
