@@ -51,8 +51,14 @@ object Dedup {
    * sets are a few MB against a multi-TB corpus), so its distinct
    * shingle hashes BROADCAST and the train side — the 100 TB side —
    * is touched by exactly one narrow projection (id, hash) with a
-   * map-side broadcast-hash join; the only shuffle is the final
-   * per-pair count. Shingles travel as the portable 60-bit md5 hash
+   * map-side broadcast-hash join; the ONLY train-side shuffle is the
+   * final per-pair distinct-count, which carries matched rows only
+   * (the broadcast semi-join has already dropped everything else).
+   * The train side is deliberately NOT pre-deduped: a distinct on
+   * (train_id, hash) would plan a full hash-aggregate Exchange over
+   * the 100 TB side before the join — the per-pair COUNT(DISTINCT
+   * hash) after the join computes the same overlap on a vastly
+   * smaller row set. Shingles travel as the portable 60-bit md5 hash
    * ([[graft.text.Text.tokenHash60]]), 8 bytes on the wire and
    * replayable in any engine with md5.
    */
@@ -62,11 +68,10 @@ object Dedup {
       df.select(col(idCol).as(outId),
           explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("_sh"))
         .select(col(outId), graft.text.Text.tokenHash60(col("_sh")).as("_h"))
-        .distinct()
     shingleHashes(train, "train_id")
-      .join(broadcast(shingleHashes(bench, "bench_id")), Seq("_h"))
+      .join(broadcast(shingleHashes(bench, "bench_id").distinct()), Seq("_h"))
       .groupBy(col("train_id"), col("bench_id"))
-      .agg(count(lit(1)).as("overlap_ngrams"))
+      .agg(countDistinct(col("_h")).as("overlap_ngrams"))
   }
 
   /** The corpus minus every document [[contaminationPairs]] flags —

@@ -300,7 +300,27 @@ class ModulesSpec extends AnyFunSuite {
     val m = pairs.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(m(1L) == 2L && m(2L) == 1L && !m.contains(3L))
     // the eval side must be the broadcast build side (the 100 TB-scale contract)
-    assert(pairs.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val pPlan = pairs.queryExecution.executedPlan
+    assert(pPlan.toString.contains("BroadcastHashJoin"))
+    // ... and the TRAIN side must reach the join without any shuffle:
+    // the only exchanges are the bench-side distinct (inside the
+    // broadcast build) and the post-join per-pair distinct-count
+    def flat(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flat(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: flat(s.plan)
+      case _ => p +: p.children.flatMap(flat)
+    }
+    val bhj = flat(pPlan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }.get
+    val streamed = if (bhj.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildRight)
+      bhj.left else bhj.right
+    assert(!flat(streamed).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"train side must not shuffle before the broadcast join:\n$streamed")
     val clean = Dedup.decontaminate(train, bench, shingleN = 3)
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(3L))
   }

@@ -75,4 +75,19 @@ class ResilienceSpec extends AnyFunSuite {
     assert(closure.filter(_._1 == 200L).map(_._2) == Set(300L, 200L))
     assert(closure.filter(_._1 == 300L).map(_._2) == Set(200L, 300L))
   }
+
+  test("closure local fast path == distributed doubling, rows and depths") {
+    // mixed fixture straddling both regimes: a deep chain (depth 40 >
+    // maxDepth fuse), a 7-cycle, and a fan-in forest
+    val edges =
+      (1L to 40L).map(i => (i, i + 1)) ++            // chain
+        (100L to 106L).map(i => (i, if (i == 106L) 100L else i + 1)) ++ // cycle
+        (200L to 299L).map(i => (i, 200L + (i % 7))) // fan-in (incl. self at 200)
+    val df = edges.toDF("member_id", "relation_id")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Int)].collect().sorted.toSeq
+    val local = norm(Relations.transitiveClosure(df, maxDepth = 12))
+    val dist = norm(Relations.transitiveClosure(df, maxDepth = 12, localSolveMaxEdges = 0))
+    assert(local == dist, "local fast path must replay the distributed doubling exactly")
+  }
 }
