@@ -32,7 +32,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default (was 8g): the render/encode path is allocation-heavy
+  // and at 16+ local threads an 8g heap made G1 young collections the
+  // dominant memory-bandwidth consumer (measured: the 16-thread render
+  // stage burned 62 CPU-s at 8g vs 40 CPU-s at 32g for identical
+  // work). The sandbox has 128 GiB; production clusters size executor
+  // heaps per-node via spark.executor.memory instead — this default
+  // only governs the local single-JVM harnesses and stays overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 ) ++ sys.env.getOrElse("SPARK_GC_OPTS", "-XX:+UseG1GC -XX:MaxGCPauseMillis=400")
   .split(" ").toSeq

@@ -103,6 +103,121 @@ object TileAssembler {
     }
   }
 
+  /** Murmur3/pmod preimages: ints j(0..n-1) with
+    * pmod(murmur3(j, 42), n) == i — hash-partitioning on the looked-up
+    * preimage steers a row to EXACTLY partition i, which lets a plain
+    * `repartition(n, expr)` express explicit range partitioning with
+    * no sampling pass (partition index stays monotone in the range
+    * bucket, which the ordered archive drains rely on). */
+  private[engine] def hashPreimages(n: Int): Array[Int] = {
+    val pre = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var j = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(j, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; pre(p) = j; remaining -= 1 }
+      j += 1
+    }
+    pre
+  }
+
+  /** Range-steering expression: binary-search the sampled bounds,
+    * output the preimage int for the bucket. One lookup per row,
+    * evaluated inside the exchange's partitioner projection. */
+  private[engine] case class RangeSteer(child: org.apache.spark.sql.catalyst.expressions.Expression,
+                                        bounds: Array[Long], preimages: Array[Int])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    override def dataType: org.apache.spark.sql.types.DataType =
+      org.apache.spark.sql.types.IntegerType
+    override protected def nullSafeEval(v: Any): Any = {
+      val ip = java.util.Arrays.binarySearch(bounds, v.asInstanceOf[Long])
+      preimages(if (ip >= 0) ip else -(ip + 1))
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): RangeSteer = copy(child = c)
+  }
+
+  /** Doc-sampling fraction for the bound estimate: ~1% of the input
+    * rows rendered through the same fan-out — unbiased in key space
+    * (unlike a take-N head sample, which inherits whatever ordering
+    * the input files have) at ~1% of the render cost. */
+  private val BoundSampleFraction = 0.01
+
+  /**
+   * SAMPLE-PUSHDOWN key sample: re-execute the kv plan with a
+   * `Sample(fraction)` node injected directly above every file-scan
+   * leaf. Every operator between the scan and the kv rows is a
+   * deterministic per-row transform (parse -> processFeature -> render
+   * fan-out), so sampling the docs first yields exactly the key
+   * distribution of a post-compute sample at a fraction of the cost —
+   * the pushdown `repartitionByRange`'s own sampler cannot do (it
+   * samples its immediate child, recomputing the whole fan-out).
+   * Returns None when the plan has no file-scan leaf to push below.
+   */
+  private[engine] def sampleKeysPushdown(kv: Dataset[Kv]): Option[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sample}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.functions.col
+    var injected = false
+    val plan: LogicalPlan = kv.queryExecution.logical.transformUp {
+      case lr: LogicalRelation =>
+        injected = true; Sample(0.0, BoundSampleFraction, withReplacement = false, 42L, lr)
+      case dr: DataSourceV2Relation =>
+        injected = true; Sample(0.0, BoundSampleFraction, withReplacement = false, 42L, dr)
+    }
+    if (!injected) return None
+    val spark = kv.sparkSession
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("assemble: range-bound sample (pushed-down doc sample)")
+    try {
+      Some(org.apache.spark.sql.graftbridge.SqlBridge.ofRows(spark, plan)
+        .select(col("key")).collect().map(_.getLong(0)))
+    } catch { case _: Exception => None }
+    finally sc.setJobDescription(prev)
+  }
+
+  /** Fallback partial-scan sample: `iterator.take(n)` on a spread of
+    * input partitions (pull-based upstream computes only what the take
+    * consumes). Biased toward each partition's head ordering — only
+    * used when no scan leaf exists for [[sampleKeysPushdown]]. */
+  private[engine] def sampleKeysPartial(kv: Dataset[Kv], buckets: Int): Array[Long] = {
+    import org.apache.spark.sql.functions.col
+    val keyRdd = kv.toDF().select(col("key")).rdd
+    val total = keyRdd.getNumPartitions
+    if (total == 0) return Array.empty
+    val k = math.min(total, 16)
+    val picks = (0 until k).map(i => (i.toLong * total / k).toInt).distinct.toArray
+    val perPart = math.min(1 << 16, math.max(4096, buckets * 1024 / picks.length))
+    val sc = kv.sparkSession.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("assemble: range-bound sample (partial scan)")
+    try sc.runJob(keyRdd,
+      (it: Iterator[org.apache.spark.sql.Row]) => it.take(perPart).map(_.getLong(0)).toArray,
+      picks.toSeq).flatten
+    finally sc.setJobDescription(prev)
+  }
+
+  /** Equal-frequency bounds (deduped) over the pooled key sample. */
+  private[engine] def sampleRangeBounds(kv: Dataset[Kv], buckets: Int): Array[Long] = {
+    if (buckets <= 1) return Array.empty
+    val sample = sampleKeysPushdown(kv).getOrElse(sampleKeysPartial(kv, buckets))
+    if (sample.isEmpty) return Array.empty
+    java.util.Arrays.sort(sample)
+    val bounds = ArrayBuffer.empty[Long]
+    var i = 1
+    while (i < buckets) {
+      val q = sample(((i.toLong * (sample.length - 1)) / buckets).toInt)
+      if (bounds.isEmpty || q > bounds.last) bounds += q
+      i += 1
+    }
+    bounds.toArray
+  }
+
   def assemble(kv: Dataset[Kv],
                profile: Profile,
                numPartitions: Int,
@@ -113,15 +228,24 @@ object TileAssembler {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
 
-    val pre0 = partialLabelGridLimit(kv)
-    // repartitionByRange samples its child to pick bounds; persisting
-    // here trades memory for skipping one recompute of the render
-    // fan-out (at real scale this slot is the snapshot table).
-    val pre = if (persistBeforeShuffle)
-      pre0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    else pre0
+    // `persistBeforeShuffle` is retired (kept for source compat): it
+    // existed to keep repartitionByRange's bound-sampling job from
+    // recomputing the render fan-out. The explicit-bounds shuffle below
+    // replaces that full sampling pass with a partial take()-scan, so
+    // the fan-out computes exactly ONCE and nothing needs caching.
+    val pre = partialLabelGridLimit(kv)
+    // 4x buckets per slot: per-ROW encode cost varies by zoom region
+    // (many tiny tiles pay per-tile gzip/alloc overhead), so equal-row
+    // buckets alone leave a 2-3x straggler at the stage tail; finer
+    // buckets let the scheduler pack them (guide §2.5/§2.6)
+    val targetBuckets = if (numPartitions <= 1) 1 else numPartitions * 4
+    val bounds = sampleRangeBounds(kv, targetBuckets)
+    val buckets = bounds.length + 1
+    val steer = org.apache.spark.sql.graftbridge.SqlBridge.col(
+      RangeSteer(org.apache.spark.sql.graftbridge.SqlBridge.expr(col("key")),
+        bounds, hashPreimages(buckets)))
     val sorted = pre
-      .repartitionByRange(numPartitions, col("key"))
+      .repartition(buckets, steer)
       .sortWithinPartitions(col("key"), col("meta"), col("value"))
     val layers = profile.layers
 
