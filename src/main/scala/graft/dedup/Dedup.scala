@@ -151,6 +151,12 @@ object Dedup {
       .withColumn("rk", row_number().over(byRarity))
       .where(col("rk") <= prefixLen)
       .select(col("id"), col("t"))
+    // NOTE: deliberately NOT merge-hinted like the band self-joins
+    // below — measured 2-5x slower here (interleaved A/B, warm: hint
+    // 6.8-16.2 s vs no-hint 2.7-3.3 s at sf0.1): the prefix token
+    // distribution has hot keys whose equal-key groups the sort-merge
+    // join must buffer, while the broadcast build AQE picks hashes
+    // them; the duplicated prefix subtree is the cheaper evil
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.t") === col("b.t") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
@@ -200,7 +206,9 @@ object Dedup {
     val bandRows = base
       .select(col("id"), TextExprs.minhashSig(col("sh"), k).as("sig"))
       .select(col("id"), explode(TextExprs.lshBandKeys(col("sig"), bands, rows)).as("band"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+    // merge-hinted self-join -> one shared exchange: the shingle +
+    // minhash signature pass runs once, not once per join side
+    val cand = bandRows.as("a").hint("merge").join(bandRows.as("b").hint("merge"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
@@ -237,7 +245,9 @@ object Dedup {
       explode(array((0 until nb).map(i =>
         struct(lit(i).as("blk"),
           shiftright(col("h"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("key"))): _*)).as("b"))
-    blocks.as("a").join(blocks.as("b"),
+    // merge-hinted self-join -> one shared exchange for the simhash
+    // signature pass (tokenize + per-token md5)
+    blocks.as("a").hint("merge").join(blocks.as("b").hint("merge"),
         col("a.b") === col("b.b") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         Text.hamming(col("a.h"), col("b.h")).as("hamming"))
@@ -390,7 +400,9 @@ object Dedup {
     // bands·rows·dim lambdas per row)
     val bandRows = v.select(col("id"),
       explode(VectorExprs.bandedPlaneSig(col("v"), planes, bands, rowsPerBand)).as("bk"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+    // merge-hinted self-join -> one shared exchange: the 64-plane dot
+    // product signature pass runs once, not once per join side
+    val cand = bandRows.as("a").hint("merge").join(bandRows.as("b").hint("merge"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
