@@ -34,6 +34,29 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Round-robin an under-split input up to the session's parallelism
+    * BEFORE the per-row heavy passes (shingling, signatures): a
+    * single-file corpus (one parquet row group) would otherwise pin
+    * each pass to one task. Inputs already at or past half the target
+    * keep their partitioning (the 100 TB case: thousands of splits,
+    * no extra exchange). Same small-ingest handling as
+    * [[graft.engine.Pipeline.renderedFromDocs]]. */
+  private def rebalanced(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+
+  /** Spread a narrow candidate-pair frame across the session's
+    * parallelism before a CPU-heavy verify: AQE coalesces the dedup
+    * shuffle by BYTES (pairs are two longs), but the exact
+    * verification behind it costs array-intersection/cosine CPU per
+    * row — a 1 MB partition is minutes of work, not a megabyte.
+    * Hash-partitioned on the pair, so placement is deterministic
+    * under retries. */
+  private def spreadPairs(cand: DataFrame): DataFrame =
+    cand.repartition(cand.sparkSession.sparkContext.defaultParallelism,
+      col("da"), col("db"))
+
   /** Exact duplicate groups by full-content hash. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
@@ -68,7 +91,7 @@ object Dedup {
       df.select(col(idCol).as(outId),
           explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("_sh"))
         .select(col(outId), graft.text.Text.tokenHash60(col("_sh")).as("_h"))
-    shingleHashes(train, "train_id")
+    shingleHashes(rebalanced(train), "train_id")
       .join(broadcast(shingleHashes(bench, "bench_id").distinct()), Seq("_h"))
       .groupBy(col("train_id"), col("bench_id"))
       .agg(countDistinct(col("_h")).as("overlap_ngrams"))
@@ -110,7 +133,7 @@ object Dedup {
    */
   def ngramJaccardPairsPostings(docs: DataFrame, num: Int, den: Int, shingleN: Int = 3,
                                 textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
+    val toks = rebalanced(docs).select(col(idCol).as("id"),
         explode(graft.functions.TextExprs.shingles(col(textCol), shingleN)).as("t"))
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = toks.as("a").join(toks.as("b"),
@@ -168,8 +191,9 @@ object Dedup {
     * generators: join the narrow (da, db) candidates back to the
     * shingle table once per side, then keep pairs with
     * |A∩B| * den >= num * |A∪B| (integer math — no float threshold). */
-  private def verifyJaccard(cand: DataFrame, base: DataFrame,
-                            num: Int, den: Int): DataFrame =
+  private def verifyJaccard(cand0: DataFrame, base: DataFrame,
+                            num: Int, den: Int): DataFrame = {
+    val cand = spreadPairs(cand0)
     cand
       .join(base.select(col("id").as("da"), col("sh").as("sha")), "da")
       .join(base.select(col("id").as("db"), col("sh").as("shb")), "db")
@@ -177,6 +201,7 @@ object Dedup {
       .withColumn("u", size(col("sha")) + size(col("shb")) - col("c"))
       .where(col("c") * den >= col("u") * num)
       .select(col("da"), col("db"), col("c"), col("u"))
+  }
 
   /**
    * MinHash+LSH near-dup pairs: docs sharing at least one LSH band
@@ -198,7 +223,7 @@ object Dedup {
     val rows = k / bands
     require(rows * bands == k, s"bands=$bands must divide k=$k")
     import graft.functions.TextExprs
-    val base = docs.select(col(idCol).as("id"),
+    val base = rebalanced(docs).select(col(idCol).as("id"),
         TextExprs.shingles(col(textCol), shingleN).as("sh"))
       .where(size(col("sh")) > 0)
     // native one-pass signature + band keys (the transform/aggregate
@@ -223,7 +248,7 @@ object Dedup {
    */
   def simhashSignatures(docs: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol).as("id"),
+    rebalanced(docs).select(col(idCol).as("id"),
       graft.functions.TextExprs.simhash60(col(textCol)).as("h"))
 
   /**
@@ -393,7 +418,7 @@ object Dedup {
                            bands: Int = 16, rowsPerBand: Int = 4,
                            vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     import graft.functions.VectorExprs
-    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val v = rebalanced(emb).select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val dim = graft.ann.Ann.probeDim(emb, vecCol)
     val planes = graft.ann.Ann.planeMatrix(bands * rowsPerBand, dim)
     // native one-loop signature (the zip_with/aggregate form interprets
@@ -407,7 +432,7 @@ object Dedup {
       .select(col("a.id").as("da"), col("b.id").as("db"))
       .dropDuplicates("da", "db")
     val cosine = VectorExprs.cosineSim(col("va"), col("vb"))
-    cand
+    spreadPairs(cand)
       .join(v.select(col("id").as("da"), col("v").as("va")), "da")
       .join(v.select(col("id").as("db"), col("v").as("vb")), "db")
       .select(col("da"), col("db"), round(cosine, 6).as("cos"))

@@ -443,7 +443,16 @@ object SpatialJoin {
                     maxRadiusMeters: Double = 2.1e7): DataFrame = {
     import graft.functions.GeoFunctions
     val spark = points.sparkSession
-    val pointSel = points.select(col(idCol), col(lonCol).as("_p_lon"), col(latCol).as("_p_lat"))
+    // the per-round cap-cover explode + join is the expensive work; a
+    // single-split input (one parquet row group) would pin every round
+    // to one task, so under-split inputs are round-robined up to the
+    // session's parallelism first (same small-ingest hazard handling
+    // as Pipeline.renderedFromDocs — well-split inputs skip it)
+    val target = spark.sparkContext.defaultParallelism
+    val pointSel0 = points.select(col(idCol), col(lonCol).as("_p_lon"), col(latCol).as("_p_lat"))
+    val pointSel =
+      if (pointSel0.rdd.getNumPartitions < math.max(2, target / 2)) pointSel0.repartition(target)
+      else pointSel0
     var unresolved = pointSel
     var resolved: DataFrame = null
     var resolvedCount = 0L
