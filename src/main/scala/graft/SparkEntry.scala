@@ -23,6 +23,18 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic total order for a SMALL (oracle-sized) result
+    * without `orderBy`'s range exchange: RangePartitioner SAMPLES its
+    * child to compute bounds, re-executing everything above the last
+    * shuffle a second time — for the dedup gates that segment is the
+    * expensive exact-verify join (r6 measured the orderBy form at ~2x
+    * the noop cost of the same query). One shuffle to a single
+    * partition + in-partition sort yields the identical global row
+    * order (Verify coalesce(1)s the result anyway) at one execution.
+    * Only for results bounded by the oracle's size, never for data. */
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Scratch dir for gate fixtures that round-trip real files: prefer
     * tmpfs (/dev/shm, where the bench already points spark.local.dir)
     * over the disk-backed java.io.tmpdir — the q70 files-archive gate
@@ -1166,8 +1178,8 @@ object SparkEntry {
     "q23_ngram_jaccard" -> ((s, dir) => {
       // exact token-set similarity join: posting-list candidates +
       // integer-exact threshold (c*5 >= 4*union <=> jaccard >= 0.8)
-      graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), 4, 5)
-        .orderBy(col("da"), col("db"))
+      sortedSmall(graft.dedup.Dedup.ngramJaccardPairs(t(s, dir, "documents"), 4, 5),
+        col("da"), col("db"))
     }),
 
     "q24_minhash_lsh" -> ((s, dir) => {
@@ -1175,9 +1187,9 @@ object SparkEntry {
       // shingles. 32 bands x 2 rows: every qualifying pair in the
       // corpus (all j >= 0.8) collides with p > 1 - 1e-14, so the
       // LSH output equals the oracle's exact brute-force join.
-      graft.dedup.Dedup.minhashLshPairs(t(s, dir, "documents"),
-          shingleN = 3, k = 64, bands = 32, num = 1, den = 2)
-        .orderBy(col("da"), col("db"))
+      sortedSmall(graft.dedup.Dedup.minhashLshPairs(t(s, dir, "documents"),
+          shingleN = 3, k = 64, bands = 32, num = 1, den = 2),
+        col("da"), col("db"))
     }),
 
     "q25_simhash" -> ((s, dir) => {
@@ -1192,9 +1204,9 @@ object SparkEntry {
       // embedding-cosine near-dup pairs >= 0.95 via 16x4 banded
       // hyperplane LSH (miss probability < 1e-7 at the threshold);
       // oracle is the exact all-pairs cosine join
-      graft.dedup.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), 0.95,
-          bands = 16, rowsPerBand = 4)
-        .orderBy(col("da"), col("db"))
+      sortedSmall(graft.dedup.Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), 0.95,
+          bands = 16, rowsPerBand = 4),
+        col("da"), col("db"))
     }),
 
     "q27_lang_quality" -> ((s, dir) => {

@@ -46,6 +46,21 @@ object Dedup {
     if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
   }
 
+  /** Partition count for CPU-heavy narrow-row stages: 2x the session
+    * parallelism (scheduler slack for uneven verify tasks), nudged so
+    * it can never equal `spark.sql.shuffle.partitions` — a user
+    * repartition whose keys AND count match the ENSURE_REQUIREMENTS
+    * exchange below it is pruned as redundant at planning, and the
+    * remaining exchange is then AQE-coalesced by BYTES (candidate
+    * pairs are two longs, so a 32 MB pair set collapses to a handful
+    * of tasks while costing tens of CPU-seconds of verify work — the
+    * r6 q26 profile measured exactly this serialization). */
+  private def cpuSpreadCount(spark: org.apache.spark.sql.SparkSession): Int = {
+    val t = 2 * math.max(1, spark.sparkContext.defaultParallelism)
+    val sp = try spark.conf.get("spark.sql.shuffle.partitions").toInt catch { case _: Exception => -1 }
+    if (t == sp) t + 1 else t
+  }
+
   /** Spread a narrow candidate-pair frame across the session's
     * parallelism before a CPU-heavy verify: AQE coalesces the dedup
     * shuffle by BYTES (pairs are two longs), but the exact
@@ -54,8 +69,16 @@ object Dedup {
     * Hash-partitioned on the pair, so placement is deterministic
     * under retries. */
   private def spreadPairs(cand: DataFrame): DataFrame =
-    cand.repartition(cand.sparkSession.sparkContext.defaultParallelism,
-      col("da"), col("db"))
+    cand.repartition(cpuSpreadCount(cand.sparkSession), col("da"), col("db"))
+
+  /** Spread band/block rows by the self-join key before the candidate
+    * join: the explicit REPARTITION_BY_NUM exchange satisfies the
+    * join's required distribution (no second exchange appears), AQE
+    * cannot coalesce it, and both hint("merge") sides stay the
+    * identical subtree so stage reuse still computes the signature
+    * pass once. */
+  private def spreadKeyed(df: DataFrame, key: String): DataFrame =
+    df.repartition(cpuSpreadCount(df.sparkSession), col(key))
 
   /** Exact duplicate groups by full-content hash. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
@@ -228,9 +251,9 @@ object Dedup {
       .where(size(col("sh")) > 0)
     // native one-pass signature + band keys (the transform/aggregate
     // formulation interprets k·|sh| lambdas per row — 30x slower)
-    val bandRows = base
+    val bandRows = spreadKeyed(base
       .select(col("id"), TextExprs.minhashSig(col("sh"), k).as("sig"))
-      .select(col("id"), explode(TextExprs.lshBandKeys(col("sig"), bands, rows)).as("band"))
+      .select(col("id"), explode(TextExprs.lshBandKeys(col("sig"), bands, rows)).as("band")), "band")
     // merge-hinted self-join -> one shared exchange: the shingle +
     // minhash signature pass runs once, not once per join side
     val cand = bandRows.as("a").hint("merge").join(bandRows.as("b").hint("merge"),
@@ -272,7 +295,8 @@ object Dedup {
           shiftright(col("h"), starts(i)).bitwiseAND(lit((1L << widths(i)) - 1)).as("key"))): _*)).as("b"))
     // merge-hinted self-join -> one shared exchange for the simhash
     // signature pass (tokenize + per-token md5)
-    blocks.as("a").hint("merge").join(blocks.as("b").hint("merge"),
+    val blocksSpread = spreadKeyed(blocks, "b")
+    blocksSpread.as("a").hint("merge").join(blocksSpread.as("b").hint("merge"),
         col("a.b") === col("b.b") && col("a.id") < col("b.id"))
       .select(col("a.id").as("da"), col("b.id").as("db"),
         Text.hamming(col("a.h"), col("b.h")).as("hamming"))
@@ -423,8 +447,8 @@ object Dedup {
     val planes = graft.ann.Ann.planeMatrix(bands * rowsPerBand, dim)
     // native one-loop signature (the zip_with/aggregate form interprets
     // bands·rows·dim lambdas per row)
-    val bandRows = v.select(col("id"),
-      explode(VectorExprs.bandedPlaneSig(col("v"), planes, bands, rowsPerBand)).as("bk"))
+    val bandRows = spreadKeyed(v.select(col("id"),
+      explode(VectorExprs.bandedPlaneSig(col("v"), planes, bands, rowsPerBand)).as("bk")), "bk")
     // merge-hinted self-join -> one shared exchange: the 64-plane dot
     // product signature pass runs once, not once per join side
     val cand = bandRows.as("a").hint("merge").join(bandRows.as("b").hint("merge"),

@@ -176,6 +176,60 @@ class ModulesSpec extends AnyFunSuite {
     assert(got == brute)
   }
 
+  test("vector expressions stay codegen'd and match an independent Scala replay") {
+    // r6: CosineSim/BandedPlaneSig/PlaneSig/NearestCentroids grew real
+    // doGenCode (a CodegenFallback anywhere ejects the whole operator
+    // from whole-stage codegen — the dominant cost of the q26 verify).
+    // Assert (a) the projection stays inside a WholeStageCodegen span
+    // and (b) generated-code results equal a plain-Scala replay on
+    // both float and double arrays.
+    import graft.functions.VectorExprs
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 50).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val planes = Array.fill(8, dim)(rnd.nextGaussian())
+    val cents = Array.tabulate(4)(c => (c.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    for (asFloat <- Seq(false, true)) {
+      val df0 = rows.map { case (i, v) => (i, v.toSeq) }.toDF("id", "v")
+      // repartition keeps ConvertToLocalRelation from folding the
+      // whole projection at plan time (which would bypass codegen)
+      val df = (if (asFloat) df0.select(col("id"), col("v").cast("array<float>").as("v")) else df0)
+        .repartition(2)
+      val vcol = col("v")
+      val out = df.select(col("id"),
+        VectorExprs.cosineSim(vcol, vcol).as("cos"),
+        VectorExprs.planeSig(vcol, planes).as("sig"),
+        VectorExprs.bandedPlaneSig(vcol, planes, 4, 2).as("bands"),
+        VectorExprs.nearestCentroids(vcol, cents, 2).as("near"))
+      val got = out.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        r.getSeq[Long](3), r.getSeq[Long](4))).sortBy(_._1)
+      // executedPlan is the FINAL adaptive plan only after the action ran
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("*("),
+        s"vector exprs must stay inside whole-stage codegen (asFloat=$asFloat):\n$plan")
+      rows.foreach { case (i, v0) =>
+        val v = if (asFloat) v0.map(x => x.toFloat.toDouble) else v0
+        val (_, cos, sig, bands, near) = got(i.toInt)
+        def dot(a: Array[Double], b: Array[Double]) =
+          a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0)(_ + _)
+        assert(cos == dot(v, v) / (math.sqrt(dot(v, v)) * math.sqrt(dot(v, v))))
+        val expSig = planes.zipWithIndex.map { case (p, j) =>
+          if (dot(v, p) >= 0) 1L << j else 0L }.foldLeft(0L)(_ | _)
+        assert(sig == expSig)
+        val expBands = (0 until 4).map { b =>
+          val key = (0 until 2).map { r =>
+            if (dot(v, planes(b * 2 + r)) >= 0) 1L << r else 0L }.foldLeft(0L)(_ | _)
+          (b.toLong << 2) | key
+        }
+        assert(bands == expBands)
+        val expNear = cents.map { case (cid, cv) =>
+          (v.zip(cv).map { case (x, y) => (x - y) * (x - y) }.foldLeft(0.0)(_ + _), cid)
+        }.sortBy(identity).take(2).map(_._2).toSeq
+        assert(near == expNear)
+      }
+    }
+  }
+
   test("prefix-filtered jaccard join equals the posting-list join") {
     // include a HOT token shared by every doc — the prefix filter must
     // still find exactly the same qualifying pairs
