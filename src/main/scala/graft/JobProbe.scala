@@ -39,7 +39,14 @@ object JobProbe {
       }
     })
 
-    Bench.tileJob(s, sfDir, n) // warmup
+    // match the scaling harness's workload when SPARK_GRAFT_SCALECFG=1:
+    // pre-split docs input, x4 corpus, z0-12, no persist
+    val scaleCfg = sys.env.get("SPARK_GRAFT_SCALECFG").contains("1")
+    def run() =
+      if (scaleCfg) Bench.tileJob(s, sfDir, n, maxZoom = 12, preSplit = true,
+        multiplier = 4, persistDefault = false)
+      else Bench.tileJob(s, sfDir, n)
+    run() // warmup
     s.sharedState.cacheManager.clearCache()
     println("[job] ---- timed run ----")
     import scala.jdk.CollectionConverters._
@@ -49,7 +56,7 @@ object JobProbe {
     }
     val (gc0, gct0) = gcStats()
     val t0 = System.nanoTime()
-    val (tiles, sec) = Bench.tileJob(s, sfDir, n)
+    val (tiles, sec) = run()
     val (gc1, gct1) = gcStats()
     println(f"[job] TOTAL $sec%.2f s, $tiles tiles, gcCount=${gc1 - gc0} gcTime=${(gct1 - gct0) / 1000.0}%.1f s")
     Thread.sleep(500)

@@ -74,11 +74,16 @@ object TileStats {
     // exactly the specs whose visible entry set is empty: no static
     // entry (attrs empty or minzoom past maxzoom) and no zoomAttrs
     // entry whose threshold still falls inside the zoom range
+    // NULL attrs/zoomAttrs columns behave like empty (coalesce keeps
+    // the predicate non-NULL): a spec with a NULL map still lands here
+    // as a null-key row preserving its layer's zoom range — the old
+    // explode_outer semantics — instead of vanishing when the
+    // three-valued NULL logic makes the filter result NULL
     val attrless = df
-      .where(!(size(col("attrs")) > 0 && col("minzoom") <= col("maxzoom")) &&
-        !exists(col("zoomAttrs"), za =>
+      .where(!(coalesce(size(col("attrs")), lit(0)) > 0 && col("minzoom") <= col("maxzoom")) &&
+        !coalesce(exists(col("zoomAttrs"), za =>
           size(za.getField("_2")) > 0 && za.getField("_1") <= col("maxzoom") &&
-            col("minzoom") <= col("maxzoom")))
+            col("minzoom") <= col("maxzoom")), lit(false)))
       .select(col("layer"), col("minzoom").as("mz"), col("maxzoom"),
         lit(null).cast("string").as("key"), lit(null).cast("string").as("value"))
     val typed = statics.unionByName(zoomed)

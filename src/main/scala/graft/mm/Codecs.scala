@@ -147,6 +147,26 @@ object Codecs {
     bos.toByteArray
   }
 
+  /** Declared `data` chunk size from a RIFF/WAVE header, walking the
+    * chunk list (each chunk: 4cc + LE size, padded to even). Returns
+    * -1 when no data chunk is found (malformed container — left to
+    * the AudioSystem parser's own error). */
+  private def riffDataChunkSize(bytes: Array[Byte]): Long = {
+    def le32(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 12) return -1L
+    var off = 12 // past RIFF<size>WAVE
+    while (off + 8 <= bytes.length) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val sz = le32(off + 4)
+      if (id == "data") return sz
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks pad to even
+      if (sz < 0) return -1L
+    }
+    -1L
+  }
+
   /** RIFF/WAVE bytes → (samples, sampleRate). Accepts 16-bit signed
     * PCM in either endianness and 8-bit unsigned PCM (widened). */
   def decodeWav(bytes: Array[Byte]): (Array[Short], Int) = {
@@ -160,6 +180,17 @@ object Codecs {
         "would silently produce garbage samples)")
     fmt.getSampleSizeInBits match {
       case 16 =>
+        // a truncated/corrupt stream with an odd PCM byte count must
+        // fail loudly (named-failure contract), not decode to
+        // plausible-looking samples with the tail silently dropped.
+        // AudioInputStream already rounds DOWN to whole frames before
+        // we see the bytes, so the parity check must read the declared
+        // `data` chunk size from the RIFF header itself.
+        val declared = riffDataChunkSize(bytes)
+        require(declared < 0 || declared % 2 == 0,
+          s"corrupt 16-bit WAV: odd data-chunk byte count $declared (truncated stream?)")
+        require(raw.length % 2 == 0,
+          s"corrupt 16-bit WAV: odd PCM byte count ${raw.length} (truncated stream?)")
         val n = raw.length / 2
         val out = new Array[Short](n)
         var i = 0

@@ -454,6 +454,23 @@ class ModulesSpec extends AnyFunSuite {
     val samples = Array.tabulate(777)(i => ((i * 37 + i * i % 101) % 65536 - 32768).toShort)
     val (got, rate) = Codecs.decodeWav(Codecs.encodeWavPcm16(samples, 8000))
     assert(rate == 8000 && got.toSeq == samples.toSeq)
+    // a 16-bit stream truncated to an odd byte count fails LOUDLY
+    // (named corrupt-block contract) instead of silently dropping the
+    // trailing byte and decoding plausible-looking samples
+    val wav = Codecs.encodeWavPcm16(samples, 8000)
+    val truncated = java.util.Arrays.copyOf(wav, wav.length - 1)
+    // patch RIFF + data chunk sizes so the header itself stays
+    // consistent with the odd payload (headers at 4 and 40 for the
+    // canonical 44-byte javax.sound WAV layout)
+    def putLe(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    putLe(truncated, 4, truncated.length - 8)
+    putLe(truncated, 40, truncated.length - 44)
+    val ex = intercept[Exception](Codecs.decodeWav(truncated))
+    assert(ex.getMessage != null && ex.getMessage.contains("odd data-chunk byte count"),
+      s"expected the named odd-byte failure, got: ${ex.getMessage}")
     // animated GIF: <=256-color frames and delays round-trip exactly
     val frames = (0 until 3).map { f =>
       (Array.tabulate(20 * 14) { i =>

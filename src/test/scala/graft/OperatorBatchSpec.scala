@@ -132,6 +132,20 @@ class OperatorBatchSpec extends AnyFunSuite {
     assert(json.contains(""""minzoom":4"""))
   }
 
+  test("layer attr stats: NULL attrs/zoomAttrs behave like empty — layer keeps its zoom range") {
+    import graft.model.FeatureSpec
+    val specs = Seq(
+      FeatureSpec("ghost", Array.empty, 1, 0, 3, 8, attrs = null, zoomAttrs = null),
+      FeatureSpec("roads", Array.empty, 2, 0, 4, 9, Map("oneway" -> "true"))).toDS()
+    val rows = TileStats.layerAttrStats(specs).collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getInt(3), r.getInt(4)))
+    // the NULL-map spec must NOT vanish under three-valued NULL logic:
+    // it contributes the attrless null-key row carrying its zoom range
+    assert(rows.contains(("ghost", None, 3, 8)),
+      s"NULL-attrs layer dropped; got ${rows.mkString(", ")}")
+    assert(rows.exists { case (l, k, _, _) => l == "roads" && k.contains("oneway") })
+  }
+
   test("layer attr stats: plan stays codegen-friendly (no countDistinct Expand, no interpreted HOF entry-builder)") {
     import graft.model.FeatureSpec
     val specs = Seq(
